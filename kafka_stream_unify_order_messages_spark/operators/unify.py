@@ -1,0 +1,146 @@
+"""Batch order-event unification — the reference's whole pipeline as one
+declarative DataFrame transform.
+
+Semantics (parity with /root/reference):
+- canonicalize raw types through the alias map with per-topic fallback
+  (OrderProjectionTopology.java:84-97)
+- drop null ids (OrderProjectionTopology.java:80) and events whose canonical
+  type is unknown (OrderProjection.java:50-54 — addEvent ignores them)
+- first-wins dedup per (id, type) by arrival order (OrderProjection.java:55-58)
+- completeness gate: emit only ids holding every required type
+  (OrderProjection.java:94-96)
+- events ordered by type priority (OrderProjection.java:74-84)
+
+Scale design: expressed as two hash aggregations rather than window
+functions —
+
+    groupBy(id, type).agg(min_by(event, arrival))   # first-wins
+    groupBy(id).agg(sorted collect_list, count)     # assemble + gate
+
+both enjoy map-side partial aggregation (a window over (id, type) would
+shuffle the full input with no combine), and AQE handles skewed ids. State
+per id is O(#types) — safe at any scale. The batch window approximation
+treats each id as a single group regardless of time; the 5 s processing-time
+window lives in streaming/unify_stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.functions.normalize import (
+    TYPE_ALIASES,
+    TYPE_PRIORITIES,
+    canonicalize_type,
+    topic_fallback,
+    type_priority,
+)
+
+
+def _prepare(
+    df: DataFrame,
+    id_col: str,
+    type_col: str,
+    priorities: dict[str, int],
+    aliases: dict[str, str] | None,
+    topic_col: str | None,
+) -> DataFrame:
+    fallback: Column | None = topic_fallback(topic_col) if topic_col else None
+    canon = canonicalize_type(F.col(type_col), fallback=fallback, aliases=aliases)
+    out = df.withColumn(type_col, canon)
+    # unknown canonical types carry no priority -> ignored, like addEvent
+    return out.filter(
+        F.col(id_col).isNotNull()
+        & type_priority(F.col(type_col), priorities).isNotNull()
+    )
+
+
+def unify_events(
+    df: DataFrame,
+    *,
+    id_col: str = "order_id",
+    type_col: str = "type",
+    arrival_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
+    priorities: dict[str, int] | None = None,
+    aliases: dict[str, str] | None = None,
+    topic_col: str | None = None,
+    required_count: int | None = None,
+) -> DataFrame:
+    """Unify per-id event streams into one ordered projection per complete id.
+
+    Returns ``(id_col, events array<struct<payload_cols>>)`` with events
+    sorted by type priority. ``arrival_cols`` break first-wins ties
+    (default: the payload columns themselves, which must then be
+    deterministic).
+    """
+    priorities = priorities or TYPE_PRIORITIES
+    aliases = aliases if aliases is not None else TYPE_ALIASES
+    payload_cols = payload_cols or [c for c in df.columns if c != id_col]
+    arrival_cols = arrival_cols or payload_cols
+    required_count = required_count or len(priorities)
+
+    prepared = _prepare(df, id_col, type_col, priorities, aliases, topic_col)
+
+    event_struct = F.struct(*[F.col(c) for c in payload_cols])
+    arrival_key = F.struct(*[F.col(c) for c in arrival_cols])
+
+    # first-wins per (id, type): keep the earliest-arriving event of each type
+    firsts = prepared.groupBy(id_col, type_col).agg(
+        F.min_by(event_struct, arrival_key).alias("event")
+    )
+
+    prio = type_priority(F.col(type_col), priorities)
+    assembled = firsts.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(prio.alias("priority"), F.col("event")))
+        ).alias("_pe"),
+        F.count(type_col).alias("_n_types"),  # types already distinct here
+    )
+
+    return (
+        assembled.filter(F.col("_n_types") == required_count)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_pe"), lambda pe: pe["event"]).alias("events"),
+        )
+    )
+
+
+def unify_events_flat(
+    df: DataFrame,
+    *,
+    id_col: str = "order_id",
+    type_col: str = "type",
+    arrival_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
+    priorities: dict[str, int] | None = None,
+    aliases: dict[str, str] | None = None,
+    topic_col: str | None = None,
+    required_count: int | None = None,
+) -> DataFrame:
+    """Same unification, flattened: one row per projected event with a
+    1-based ``position`` — fully ANSI-SQL-expressible (oracle-friendly) and
+    hash-stable (no nested arrays in the output).
+    """
+    projected = unify_events(
+        df,
+        id_col=id_col,
+        type_col=type_col,
+        arrival_cols=arrival_cols,
+        payload_cols=payload_cols,
+        priorities=priorities,
+        aliases=aliases,
+        topic_col=topic_col,
+        required_count=required_count,
+    )
+    payload_cols = payload_cols or [c for c in df.columns if c != id_col]
+    exploded = projected.select(
+        F.col(id_col), F.posexplode(F.col("events")).alias("pos", "event")
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("long").alias("position"),
+        *[F.col(f"event.{c}").alias(c) for c in payload_cols],
+    )

@@ -1,0 +1,473 @@
+"""Query registry: every implemented operator exposed as a (Spark query,
+DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame; each
+oracle is ANSI SQL DuckDB runs against the same parquet registered as views.
+Column names and types are aligned on both sides (the driver sorts columns
+by name and hashes values). Double-typed aggregates are rounded identically
+on both sides to absorb summation-order float drift.
+
+Operator IDs in comments refer to SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.sources.files import load_table
+from kafka_stream_unify_order_messages_spark.functions.normalize import (
+    canonicalize_type,
+)
+from kafka_stream_unify_order_messages_spark.operators.unify import (
+    unify_events_flat,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's full unification pipeline (P2+P3+T1+T5+T7+T8+T9)
+# run against the `events` table — user_id plays order-id, the five event
+# types play the lifecycle, completeness requires all five. Flattened
+# (one row per projected event, 1-based position) for hash stability.
+# ---------------------------------------------------------------------------
+
+EVENTS_PRIORITIES = {
+    "click": 10,
+    "view": 20,
+    "signup": 30,
+    "purchase": 40,
+    "error": 50,
+}
+EVENTS_ALIASES = {t: t for t in EVENTS_PRIORITIES}
+
+_EVENTS_PRIORITY_SQL = (
+    "CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 20 "
+    "WHEN 'signup' THEN 30 WHEN 'purchase' THEN 40 WHEN 'error' THEN 50 END"
+)
+
+
+@query(
+    "unify_projection",
+    f"""
+WITH firsts AS (
+    SELECT user_id, event_type, event_id, ts, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND lower(event_type) IN ('click','view','signup','purchase','error')
+), first1 AS (
+    SELECT user_id, lower(event_type) AS event_type, event_id, ts, value
+    FROM firsts WHERE rn = 1
+), complete AS (
+    SELECT user_id FROM first1 GROUP BY user_id HAVING count(*) = 5
+)
+SELECT f.user_id,
+       row_number() OVER (
+           PARTITION BY f.user_id ORDER BY {_EVENTS_PRIORITY_SQL}
+       ) AS position,
+       f.event_id, f.event_type, f.ts, f.value
+FROM first1 f
+JOIN complete c USING (user_id)
+""",
+)
+def unify_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return unify_events_flat(
+        events,
+        id_col="user_id",
+        type_col="event_type",
+        arrival_cols=["ts", "event_id"],
+        payload_cols=["event_id", "event_type", "ts", "value"],
+        priorities=EVENTS_PRIORITIES,
+        aliases=EVENTS_ALIASES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P6 — type canonicalization: alias map, case-insensitive, topic fallback
+# ---------------------------------------------------------------------------
+
+_CANON_ALIASES = {
+    **{t: t for t in EVENTS_PRIORITIES},
+    **{f"evt-{t}": t for t in EVENTS_PRIORITIES},
+}
+
+_CANON_TOPICS = {f"topic-{t}": t for t in EVENTS_PRIORITIES}
+
+_CANON_CASE_SQL = " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _CANON_ALIASES.items()
+)
+_TOPIC_CASE_SQL = " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _CANON_TOPICS.items()
+)
+
+
+@query(
+    "canonicalize_types",
+    f"""
+WITH raw AS (
+    SELECT event_id,
+           CASE CAST(event_id % 3 AS INTEGER)
+               WHEN 0 THEN upper(event_type)
+               WHEN 1 THEN 'evt-' || event_type
+               ELSE 'junk-' || CAST(event_id % 7 AS VARCHAR)
+           END AS raw_type,
+           'topic-' || event_type AS topic
+    FROM events
+)
+SELECT event_id, raw_type,
+       coalesce(
+           CASE lower(raw_type) {_CANON_CASE_SQL} END,
+           CASE topic {_TOPIC_CASE_SQL} END,
+           raw_type
+       ) AS canonical_type
+FROM raw
+""",
+)
+def canonicalize_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+        .when(F.col("event_id") % 3 == 1, F.concat(F.lit("evt-"), "event_type"))
+        .otherwise(F.concat(F.lit("junk-"), (F.col("event_id") % 7).cast("string")))
+        .alias("raw_type"),
+        F.concat(F.lit("topic-"), "event_type").alias("topic"),
+    )
+    topic_map = F.create_map(
+        *[F.lit(x) for kv in _CANON_TOPICS.items() for x in kv]
+    )
+    return raw.select(
+        "event_id",
+        "raw_type",
+        canonicalize_type(
+            F.col("raw_type"),
+            fallback=F.element_at(topic_map, F.col("topic")),
+            aliases=_CANON_ALIASES,
+        ).alias("canonical_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — null/invalid filter (drop records with null id)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_filter",
+    """
+WITH tagged AS (
+    SELECT event_id, nullif(user_id, 3) AS user_id, event_type
+    FROM events
+)
+SELECT event_id, user_id, event_type
+FROM tagged
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+""",
+)
+def null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_id",
+        F.expr("nullif(user_id, 3)").alias("user_id"),
+        "event_type",
+    )
+    return tagged.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5 — first-wins dedup per (id, type) by arrival order
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "first_wins_dedup",
+    """
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, ts, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+)
+SELECT user_id, event_type, event_id, ts, value
+FROM ranked WHERE rn = 1
+""",
+)
+def first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id", "event_type").agg(
+        F.min_by(
+            F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+        ).alias("e")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.ts").alias("ts"),
+        F.col("e.value").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7 — completeness gate (all distinct types present)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "completeness_gate",
+    """
+SELECT user_id, count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+HAVING count(DISTINCT event_type) = 5
+""",
+)
+def completeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .filter(F.col("n_types") == 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8 — priority-ordered collect (sorted list aggregation, CSV-flattened)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_collect",
+    """
+SELECT user_id, event_type,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+           AS event_ids
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def priority_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
+                lambda s: s["event_id"].cast("string"),
+            ),
+            ",",
+        ).alias("event_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — stream union (three tagged slices re-merged)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_streams",
+    """
+SELECT event_id, 'clicks' AS stream FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, 'purchases' AS stream FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, 'errors' AS stream FROM events WHERE event_type = 'error'
+""",
+)
+def union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def slice_(t: str, tag: str) -> DataFrame:
+        return events.filter(F.col("event_type") == t).select(
+            "event_id", F.lit(tag).alias("stream")
+        )
+
+    return (
+        slice_("click", "clicks")
+        .unionByName(slice_("purchase", "purchases"))
+        .unionByName(slice_("error", "errors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — ISO-8601 timestamp format/parse round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timestamp_roundtrip",
+    """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso,
+       strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                '%Y-%m-%dT%H:%M:%S.%f') AS reparsed
+FROM events
+""",
+)
+def timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    iso = F.date_format("ts", fmt)
+    return events.select(
+        "event_id",
+        iso.alias("iso"),
+        F.to_timestamp(iso, fmt).cast("timestamp_ntz").alias("reparsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — regex filter (the Wasm transform analogue: forward iff value matches)
+# ---------------------------------------------------------------------------
+
+_REGEX = "(spark|stream)[ ]+(join|window|scan)"
+
+
+@query(
+    "regex_filter",
+    f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE regexp_matches(text, '{_REGEX}')
+""",
+)
+def regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike(_REGEX)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — strict JSON field extraction + validation (schema-registry analogue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_validate",
+    """
+SELECT event_id,
+       CAST(props ->> '$.k' AS BIGINT) AS k
+FROM events
+WHERE props IS NOT NULL
+  AND CAST(props ->> '$.k' AS BIGINT) BETWEEN 0 AND 99
+""",
+)
+def json_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select("event_id", k.alias("k"))
+        .filter(F.col("k").between(0, 99))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1/R2 — deterministic 1→N fan-out via explode(sequence)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fanout_explode",
+    """
+SELECT event_id,
+       unnest(generate_series(1, 1 + CAST(event_id % 3 AS BIGINT)))
+           AS copy_idx
+FROM events
+""",
+)
+def fanout_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(1) + F.col("event_id") % 3)
+        ).alias("copy_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3/R4 — conditional multi-topic routing as a derived column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topic_routing",
+    """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN event_type = 'purchase' THEN 'transactions'
+            ELSE 'activity' END AS topic
+FROM events
+""",
+)
+def topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "errors")
+        .when(F.col("event_type") == "purchase", "transactions")
+        .otherwise("activity")
+        .alias("topic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: TPC-H-style Q1 (scan-heavy aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

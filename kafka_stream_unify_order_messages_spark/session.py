@@ -1,0 +1,67 @@
+"""Tuned SparkSession builder.
+
+Defaults are chosen for the 100 TB design point (AQE on, skew-join handling,
+partition coalescing) while remaining correct on local[N] test runs:
+
+- ``spark.sql.session.timeZone=UTC`` so timestamp semantics are stable and
+  match DuckDB's naive-timestamp reading of the same parquet.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` because the driver testdata
+  stores ``events.ts`` as TIMESTAMP(NANOS), which Spark's vectorized reader
+  refuses; sources.files.load_table converts the raw nanos back to
+  timestamp_ntz with DuckDB-identical truncation.
+- Arrow enabled for every pandas interchange (Pandas UDFs, toPandas).
+- AQE + coalescePartitions + skewJoin: at scale, runtime re-planning fixes
+  skewed shuffles and over-partitioned stages without manual tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "kafka_stream_unify_order_messages_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a real cluster pass ``master=None`` with ``MASTER`` preset in the
+    environment, or an explicit URL.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("MASTER", f"local[{cpus}]")
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+
+    conf: dict[str, str] = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

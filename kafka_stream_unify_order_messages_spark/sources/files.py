@@ -1,0 +1,87 @@
+"""Parquet table loaders for the driver testdata.
+
+The testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS), which Spark's
+reader rejects outright (PARQUET_TYPE_ILLEGAL). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.get_spark) the
+column arrives as a raw nanosecond LongType; we convert it back to
+``timestamp_ntz`` by integer-dividing to microseconds — the same truncation
+DuckDB applies when it narrows ns→us — so oracle comparisons agree exactly.
+
+Only the parquet *footer* is inspected (driver-side, O(1)) to find ns
+columns; the data path stays fully vectorized and column-pruned.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pyarrow.types as patypes
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns, from the parquet footer only."""
+    schema = pq.ParquetFile(_first_parquet_file(path)).schema_arrow
+    return [
+        field.name
+        for field in schema
+        if patypes.is_timestamp(field.type) and field.type.unit == "ns"
+    ]
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                return os.path.join(path, name)
+    return path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing ns-timestamps to timestamp_ntz.
+
+    Sets the runtime SQL confs this read path depends on, so it works on any
+    caller-provided session (the driver builds its own vanilla session), not
+    just one from session.get_spark().
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        # `div` = integer division: ns→us truncation without double-precision
+        # loss (epoch-ns ≈ 1.7e18 does not fit in a double mantissa).
+        df = df.withColumn(
+            col,
+            F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names or TABLE_NAMES}
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register each table as a temp view so spark.sql can reference it."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,98 @@
+"""Local proxy for the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB at the given
+scale factor, then compares row count, sorted column names, and values
+(order-insensitive, float-tolerant). Usage:
+
+    python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kafka_stream_unify_order_messages_spark import get_spark, registry
+from kafka_stream_unify_order_messages_spark.sources.files import TABLE_NAMES
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_df = normalize(fn(spark, sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        oracle = registry.ORACLES.get(name)
+        if oracle is None:
+            print(f"skip  {name}: rows-only ({len(spark_df)} rows)")
+            continue
+        try:
+            duck_df = normalize(con.sql(oracle).df())
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        dt = time.time() - t0
+        if list(spark_df.columns) != list(duck_df.columns):
+            failures.append(name)
+            print(
+                f"FAIL  {name}: columns {list(spark_df.columns)} != "
+                f"{list(duck_df.columns)}"
+            )
+        elif len(spark_df) != len(duck_df):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(spark_df)} != {len(duck_df)}")
+        else:
+            try:
+                pd.testing.assert_frame_equal(
+                    spark_df, duck_df, check_dtype=False, rtol=1e-6, atol=1e-9
+                )
+                print(f"ok    {name}: {len(spark_df)} rows  ({dt:.1f}s)")
+            except AssertionError as e:
+                failures.append(name)
+                msg = str(e).splitlines()
+                print(f"FAIL  {name}: values differ: {' | '.join(msg[:3])}")
+
+    print(
+        f"\n{len(registry.QUERIES) - len(failures)}/{len(registry.QUERIES)} ok"
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
