@@ -1,0 +1,136 @@
+"""Text-analysis Column expressions for training-data pipelines.
+
+All JVM-side built-ins (split / regexp / md5 / aggregate) — no Python UDFs
+anywhere, so these run inside whole-stage codegen over arbitrarily large
+document scans. Hashes use an md5-hex convention that DuckDB reproduces
+exactly (``CAST('0x'||substr(md5(x),1,N) AS BIGINT)``), so every operator
+built on them is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# A BPE-ish pretokenizer: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny per-language stopword sets for the n-gram/stopword lang-id heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(_c(text))), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pretokens (letters / digits / single symbols)."""
+    return F.regexp_count(_c(text), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text)).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty text)."""
+    t = _c(text)
+    n = F.length(t)
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, F.round(punct / n, 6)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n = F.size(toks)
+    return F.when(n > 0, F.round(n_stop / n, 6)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, F.round(total / F.size(toks), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards moderate length,
+    penalizes punctuation soup and one-char tokens. Deterministic and
+    SQL-portable; tune weights per corpus.
+    """
+    t = _c(text)
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(t) * 4, F.lit(1.0))
+    short_tok = F.size(F.filter(tokens(t), lambda x: F.length(x) <= 1))
+    short_penalty = F.least(
+        short_tok / F.greatest(token_count(t), F.lit(1)), F.lit(1.0)
+    )
+    return F.round(
+        len_score * (1 - 0.5 * punct_penalty) * (1 - 0.5 * short_penalty), 6
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-vote language ID over LANG_STOPWORDS; 'und' when no vote.
+
+    Ties break by language code order (deterministic). Heuristic by design —
+    the real discriminator at scale is the same shape with bigger tables.
+    """
+    toks = tokens(text)
+    scored = []
+    for i, (lang, words) in enumerate(sorted(LANG_STOPWORDS.items())):
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # negative index makes struct-max prefer the *earliest* code on ties
+        scored.append(
+            F.struct(
+                score.alias("score"),
+                F.lit(-i).alias("nr"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token bag.
+
+    Invariant to token order and duplication — a cheap canonical-content
+    hash for near-identical permuted documents.
+    """
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return F.md5(bag)
+
+
+def hex_hash64(col: Column | str, bits_hex: int = 15) -> Column:
+    """Deterministic 60-bit integer hash, portable to DuckDB:
+    Spark  : conv(substr(md5(x),1,15),16,10)::long
+    DuckDB : CAST('0x'||substr(md5(x),1,15) AS BIGINT)
+    """
+    return F.conv(F.substring(F.md5(_c(col)), 1, bits_hex), 16, 10).cast("long")
+
+
+def hex_hash32(col: Column | str) -> Column:
+    """32-bit variant (first 8 md5 hex digits)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")

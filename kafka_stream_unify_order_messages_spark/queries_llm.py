@@ -1,0 +1,396 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis,
+embeddings — registered with DuckDB oracles.
+
+Everything hash-based uses the portable md5 convention (functions.text), so
+even minhash/simhash/LSH are value-checked against DuckDB, not just
+row-counted. Vector math is strict left-to-right double precision on both
+engines, rounded to 6 decimals before any ranking.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_unify_order_messages_spark.registry import query
+from kafka_stream_unify_order_messages_spark.sources.files import load_table
+from kafka_stream_unify_order_messages_spark.functions import text as T
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+from kafka_stream_unify_order_messages_spark.operators import similarity as S
+
+# DuckDB fragment equivalents of functions.text tokenization.
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+           AS n_bpe_tokens,
+       length(text) AS n_chars,
+       CASE WHEN len({_TOKS}) > 0
+            THEN round(list_sum(list_transform({_TOKS}, t -> len(t)))
+                       / CAST(len({_TOKS}) AS DOUBLE), 6)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN length(text) > 0
+            THEN round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                       / CAST(length(text) AS DOUBLE), 6)
+            ELSE 0.0 END AS punct_ratio
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.char_count("text").alias("n_chars"),
+        T.mean_token_length("text").alias("mean_token_len"),
+        T.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"len(list_filter({_TOKS}, t -> list_contains({words!r}, t))) AS s_{lang}"
+    for lang, words in sorted(T.LANG_STOPWORDS.items())
+).replace("'", "'")
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(T.LANG_STOPWORDS)
+    branches = []
+    for lang in langs:
+        conds = [f"s_{lang} >= s_{other}" for other in langs if other != lang]
+        conds.append(f"s_{lang} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {', '.join(
+               "len(list_filter(" + _TOKS + ", t -> list_contains("
+               + str(words) + ", t))) AS s_" + lang
+               for lang, words in sorted(T.LANG_STOPWORDS.items())
+           )}
+    FROM documents
+)
+SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred
+FROM scored
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+           AS fingerprint,
+       len(list_distinct({_TOKS})) AS n_distinct_tokens
+FROM documents
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.doc_fingerprint("text").alias("fingerprint"),
+        F.size(F.array_distinct(T.tokens("text"))).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+    )
+
+
+@query(
+    "quality_scores",
+    f"""
+WITH parts AS (
+    SELECT doc_id,
+           least(length(text) / 500.0, 1.0) AS len_score,
+           CASE WHEN length(text) > 0
+                THEN round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                           / CAST(length(text) AS DOUBLE), 6)
+                ELSE 0.0 END AS praw,
+           len(list_filter({_TOKS}, t -> len(t) <= 1)) AS short_tok,
+           len({_TOKS}) AS n_toks
+    FROM documents
+)
+SELECT doc_id,
+       round(len_score
+             * (1 - 0.5 * least(praw * 4, 1.0))
+             * (1 - 0.5 * least(short_tok / CAST(greatest(n_toks, 1) AS DOUBLE),
+                                1.0)), 6) AS quality
+FROM parts
+""",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup — exact (on a corpus with synthesized duplicates so the operator has
+# something to find; the augmentation is part of the query on both sides)
+# ---------------------------------------------------------------------------
+
+_AUG_DOCS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, upper(text) AS text
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@query(
+    "dedup_exact",
+    f"""
+WITH aug AS ({_AUG_DOCS}),
+hashed AS (
+    SELECT doc_id, md5({_NORM}) AS content_hash FROM aug
+)
+SELECT content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS dup_ids_csv
+FROM hashed
+GROUP BY content_hash
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    return D.dedup_exact(aug)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — minhash signatures, LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_SHINGLES = f"""
+CASE WHEN len({_TOKS}) >= 3
+     THEN list_distinct(list_transform(
+              generate_series(1, len({_TOKS}) - 2),
+              i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))
+     ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+_SIGNATURE_SQL = f"""
+WITH shingled AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), seeded AS (
+    SELECT doc_id, unnest(generate_series(0, 15)) AS seed, shingle
+    FROM shingled
+)
+SELECT doc_id, seed,
+       min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+FROM seeded
+GROUP BY doc_id, seed
+"""
+
+
+@query("minhash_signatures", _SIGNATURE_SQL)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, num_hashes=16, shingle_n=3)
+
+
+@query(
+    "minhash_dedup_pairs",
+    f"""
+WITH sig AS ({_SIGNATURE_SQL}),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+    FROM sig
+    GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""",
+)
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — exact n-gram Jaccard on a bounded subset (postings join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_subset",
+    f"""
+WITH subset AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+), sh AS (
+    SELECT doc_id, unnest({_SHINGLES.replace('documents', 'subset')}) AS shingle
+    FROM subset
+), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE),
+             6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+""",
+)
+def ngram_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return D.ngram_jaccard_pairs(docs, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — simhash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h = "CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)"
+    votes = ", ".join(
+        f"sum((({h} >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits)
+    )
+    val = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), agg AS (
+    SELECT doc_id, {votes} FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {val} AS simhash FROM agg
+"""
+
+
+@query("simhash_fingerprints", _simhash_sql(32))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — exact brute-force cosine top-k (baseline)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS} AS score
+    FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, score, rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.brute_force_topk(queries, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — hyperplane-LSH bucket assignment (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    terms = []
+    for i in range(n_planes):
+        plane = S.hyperplane(i, dim)
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        )
+    return f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM embeddings"
+
+
+@query("ann_lsh_buckets", _lsh_bucket_sql(8, 64))
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_buckets(emb, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Embedding stats: per-label norm aggregates (array math + groupBy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_stats",
+    """
+WITH norms AS (
+    SELECT label,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+    FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(avg(nrm), 4) AS avg_norm,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM norms
+GROUP BY label
+""",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )

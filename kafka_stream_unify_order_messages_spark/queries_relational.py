@@ -1,0 +1,404 @@
+"""Relational engine surface: TPC-H-style joins/aggregations, window
+functions, grouping sets, sessionization, set operations.
+
+The reference implements none of these (SURVEY.md §2.6) — they come "for
+free" from the DataFrame/SQL surface; this module pins their semantics with
+DuckDB oracles and encodes the scale decisions (broadcast the dimension
+tables, keep aggregates partial-aggregatable, derive deterministic top-k via
+rank-over-rounded rather than LIMIT so float summation order can't flip the
+cut line).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kafka_stream_unify_order_messages_spark.registry import query
+from kafka_stream_unify_order_messages_spark.sources.files import load_table
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join with broadcast dimensions (TPC-H Q5 flavor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "region_revenue",
+    """
+SELECT r.r_name AS region_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # dimension tables are tiny at every sf -> broadcast, no shuffle join
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join + deterministic top-k (TPC-H Q3 flavor, rank instead of LIMIT)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_by_revenue",
+    """
+WITH order_rev AS (
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY revenue DESC, o_orderkey
+    ) AS rnk
+    FROM order_rev
+)
+WHERE rnk <= 20
+""",
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+    )
+    order_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    # rank over the *rounded* revenue so the cut line is float-drift-proof
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        order_rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simple predicate aggregation (TPC-H Q6 flavor: forecast revenue change)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filtered_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: lag/lead/rank/running aggregate per key
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_functions",
+    """
+SELECT event_id, user_id, ts, value,
+       lag(event_id)  OVER w AS prev_event_id,
+       lead(event_id) OVER w AS next_event_id,
+       row_number()   OVER w AS seq_no,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.row_number().over(w).alias("seq_no"),
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (batch analogue of streaming windowed aggs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_window_agg",
+    """
+SELECT date_trunc('day', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_agg",
+    """
+SELECT event_type, user_id,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, user_id)
+""",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.rollup("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands, 30-minute inactivity gap) — the batch
+# analogue of streaming session windows, and a core training-data op
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize",
+    """
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) > INTERVAL 30 MINUTE
+                OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sessions AS (
+    SELECT user_id, event_id, ts,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM gaps
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ has no direct long cast; go through LTZ (session tz = UTC) seconds
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session).over(wsum).alias("session_no"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    """
+(SELECT DISTINCT user_id FROM events
+ WHERE event_type = 'click' AND value > 150
+ INTERSECT
+ SELECT DISTINCT user_id FROM events
+ WHERE event_type = 'purchase' AND value > 150)
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND value > 195
+""",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def users(t: str, threshold: float) -> DataFrame:
+        return (
+            events.filter((F.col("event_type") == t) & (F.col("value") > threshold))
+            .select("user_id")
+            .distinct()
+        )
+
+    return (
+        users("click", 150.0)
+        .intersect(users("purchase", 150.0))
+        .exceptAll(users("error", 195.0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (window rank) — classic per-partition selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_per_group",
+    """
+SELECT user_id, event_id, value, rnk
+FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+           ) AS rnk
+    FROM events
+)
+WHERE rnk <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        events.select(
+            "user_id", "event_id", "value", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti/semi joins (orders without any lineitem shipped after a date, etc.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_anti_join",
+    """
+SELECT o.o_orderkey, 'has_late_ship' AS tag
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+)
+UNION ALL
+SELECT o.o_orderkey, 'no_lineitems' AS tag
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+)
+""",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    has_late = (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .select("o_orderkey", F.lit("has_late_ship").alias("tag"))
+    )
+    no_items = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", F.lit("no_lineitems").alias("tag"))
+    )
+    return has_late.unionByName(no_items)

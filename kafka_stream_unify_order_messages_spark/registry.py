@@ -471,3 +471,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# Register the extended query families (import side effect populates
+# QUERIES/ORACLES; placed at module end so the decorator exists first).
+import kafka_stream_unify_order_messages_spark.queries_relational  # noqa: E402,F401
+import kafka_stream_unify_order_messages_spark.queries_llm  # noqa: E402,F401

@@ -1,0 +1,114 @@
+"""Dedup / similarity / text-analysis operator semantics on tiny fixtures."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_stream_unify_order_messages_spark.functions import text as T
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+from kafka_stream_unify_order_messages_spark.operators import similarity as S
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick brown FOX jumps over the lazy dog"),  # exact dup (norm)
+        (3, "The quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups_normalized_copies(docs):
+    out = {r["keep_id"]: r for r in D.dedup_exact(docs).collect()}
+    assert out[1]["n_copies"] == 2
+    assert out[1]["dup_ids_csv"] == "1,2"
+    assert out[3]["n_copies"] == 1
+
+
+def test_minhash_candidates_find_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(
+            docs, num_hashes=16, bands=8, shingle_n=2
+        ).collect()
+    }
+    assert (1, 2) in pairs  # identical after normalization
+    assert (1, 3) in pairs  # one-word change
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_values(docs):
+    sim = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, shingle_n=2).collect()
+    }
+    assert sim[(1, 2)] == 1.0
+    assert 0.3 < sim[(1, 3)] < 1.0
+    assert (1, 4) not in sim  # no shared shingles
+
+
+def test_simhash_close_for_near_dups(docs):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert out[1] == out[2]  # same normalized tokens
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_lang_id_votes(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),
+        (2, "el perro y la casa de que si"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred"] for r in df.select(
+        "doc_id", T.lang_id("text").alias("pred")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_score_bounds(docs):
+    vals = [
+        r["q"]
+        for r in docs.select(T.quality_score("text").alias("q")).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(vectors):
+    out = S.brute_force_topk(
+        vectors.filter(F.col("vec_id") == 1), vectors, k=2
+    ).collect()
+    ranked = sorted((r["rnk"], r["neighbor_id"]) for r in out)
+    assert ranked[0] == (1, 2)  # closest is the nearly-parallel vector
+    assert len(ranked) == 2
+    assert all(r["neighbor_id"] != 1 for r in out)
+
+
+def test_lsh_buckets_group_similar_vectors(vectors):
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in S.lsh_buckets(vectors, n_planes=6, dim=4).collect()
+    }
+    assert buckets[1] == buckets[2]  # nearly parallel -> same signature
+    assert buckets[1] != buckets[4]  # antipodal -> different signature
