@@ -1,0 +1,7 @@
+from kafka_stream_unify_order_messages_spark.sinks.kafka import (
+    kafka_stream_writer,
+    to_kafka_records,
+    route_topics,
+)
+
+__all__ = ["kafka_stream_writer", "to_kafka_records", "route_topics"]
