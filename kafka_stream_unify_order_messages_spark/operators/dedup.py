@@ -69,6 +69,59 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; a*h + b stays < 2^59, no overflow
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) universal-hash coefficients, md5-derived so
+    any engine (DuckDB included) can embed the same literals.
+    """
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        ha = hashlib.md5(f"mh-a:{j}".encode()).hexdigest()[:8]
+        hb = hashlib.md5(f"mh-b:{j}".encode()).hexdigest()[:8]
+        a = int(ha, 16) % (MINHASH_PRIME - 1) + 1  # a != 0
+        b = int(hb, 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def _shingle_hash() -> Column:
+    """28-bit base hash of a shingle: first 7 md5 hex digits as an integer.
+
+    Kept small so ``a * h + b`` fits in int64 on every engine; per-seed
+    hashes are derived arithmetically instead of re-hashing the shingle
+    ``num_hashes`` times (one md5 per shingle total, not one per seed —
+    the classic universal-hashing minhash construction).
+    """
+    return F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0 .. mh_{n-1}) — one row per document, one shuffle total:
+    explode shingles -> hash once -> groupBy(id) with ``num_hashes`` min
+    aggregates (map-side combined).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    hashed = shingled.select(id_col, _shingle_hash().alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -76,51 +129,47 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, seed, minhash) — the minhash signature, exploded by seed.
-
-    The per-seed hash is ``md5(seed || ':' || shingle)`` and the signature
-    element is its lexicographic minimum — a valid minhash family over the
-    md5 hex string ordering, and byte-identical in DuckDB.
-    """
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    """(id, seed, minhash) — the signature in long form (oracle-friendly)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("seed"), F.col(f"mh_{j}").alias("minhash")
+            )
+            for j in range(num_hashes)
+        ]
     )
-    seeded = shingled.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    return seeded.groupBy(id_col, "seed").agg(
-        F.min(
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
-        ).alias("minhash")
-    )
+    return wide.select(
+        id_col, F.explode(pairs).alias("sm")
+    ).select(id_col, F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash"))
 
 
 def minhash_band_keys(
-    signatures: DataFrame,
+    signatures_wide: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, band, band_key): md5 over the band's signature slice in seed
+    """(id, band, band_key) from WIDE signatures — a pure projection, no
+    extra shuffle: band_key = md5 of the band's signature slice in seed
     order. Documents sharing any (band, band_key) are near-dup candidates.
     """
     rows_per_band = num_hashes // bands
-    banded = signatures.withColumn(
-        "band", F.floor(F.col("seed") / rows_per_band).cast("long")
-    )
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"],
-                ),
-                ",",
+    band_structs = []
+    for band in range(bands):
+        cols = [
+            F.col(f"mh_{j}").cast("string")
+            for j in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(band).cast("long").alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
             )
-        ).alias("band_key")
-    )
+        )
+    return signatures_wide.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_candidate_pairs(
@@ -133,12 +182,14 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-duplicate pairs (id_a < id_b) via LSH.
 
-    Scale shape: the self-join is on (band, band_key) — an equi-join on a
-    high-cardinality key, shuffle-partitioned, never all-pairs. AQE's skew
-    handling covers pathological buckets (e.g. many empty documents).
+    Scale shape: shingle hashing costs one md5 per shingle; signatures and
+    band keys take ONE shuffle (groupBy id); the self-join is an equi-join
+    on (band, band_key) — high-cardinality, shuffle-partitioned, never
+    all-pairs. AQE's skew handling covers pathological buckets (e.g. many
+    near-empty documents).
     """
     bands_df = minhash_band_keys(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n),
         id_col,
         bands,
         num_hashes,

@@ -1,32 +1,54 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths:
+Three paths:
 
 - brute-force top-k — exact cosine between a (small) query set and the full
-  corpus. The query side is broadcast; the corpus is scanned once, scores
-  computed JVM-side (functions.vectors), top-k selected per query with a
-  window over the rounded score (float-drift-proof ordering). Exact and
-  oracle-checkable; cost O(|Q|·|corpus|) — the baseline.
+  corpus. The query matrix is broadcast as numpy; each corpus partition is
+  scored with one Arrow-batched matmul inside ``mapInPandas`` and pruned to
+  its batch-local top-k (with a rounding-quantum safety margin) before the
+  single global shuffle ranks the survivors. Cost per partition is one
+  (|Q| x dim) @ (dim x |batch|) GEMM; shuffled rows are O(|Q| * k) per
+  partition, never O(|Q| * |corpus|). This is the 100 TB shape: corpus
+  stays partitioned, queries ride along like a broadcast hash join's build
+  side.
 
-- random-hyperplane LSH buckets — the scale path: each vector maps to a
-  ``n_planes``-bit signature (sign of dot with deterministic pseudo-random
-  hyperplanes derived from md5, so DuckDB can replicate). Same-bucket
-  vectors are ANN candidates; search cost drops to O(|Q|·bucket) with the
-  usual recall trade-off. A multi-probe variant simply unions signatures
-  with one bit flipped.
+- random-hyperplane LSH buckets — each vector maps to an ``n_planes``-bit
+  signature (sign of dot with deterministic md5-derived hyperplanes, so
+  DuckDB can replicate). Same-bucket vectors are ANN candidates; search
+  cost drops to O(|Q|·bucket) with the usual recall trade-off.
 
-There is also a Pandas-UDF matmul variant of brute force (numpy dot over
-Arrow batches) for when the corpus fits per-executor memory as a broadcast;
-at 64 dims the JVM expression path is fast enough that the default stays
-UDF-free.
+- LSH top-k / near-dup — exact cosine ranking (JVM expressions) restricted
+  to same-bucket candidate pairs: the equi-join on the bucket key replaces
+  the cross join, and the candidate set is small enough that interpreted
+  higher-order functions are no longer the bottleneck.
+
+Scoring fidelity: scores are rounded to 6 decimals before any ranking or
+thresholding so the k-th boundary cannot flip on float summation order
+(numpy pairwise sums vs DuckDB's fold). Ranking ties break on neighbor id.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
+from pyspark.sql.types import StructType
 
 from kafka_stream_unify_order_messages_spark.functions.vectors import cosine, dot
+
+# one rounding quantum: batch-local pruning keeps anything within this of
+# the k-th best raw score, so no row that could round-tie into the global
+# top-k is ever dropped before the final exact ranking
+_ROUND_MARGIN = 1.5e-6
+
+
+def _normalized_matrix(vecs: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf  # zero vectors score 0 against everything
+    return vecs / norms
 
 
 def brute_force_topk(
@@ -39,33 +61,67 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, score, rnk).
 
-    Scores are rounded to 6 decimals *before* ranking so the k-th boundary
-    cannot flip on float summation differences across engines/partitions.
+    ``queries`` must be broadcast-sized (it is collected into a numpy
+    matrix, like the build side of a broadcast join); ``corpus`` can be
+    arbitrarily large and is never shuffled at full width.
     """
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    fn = cosine if metric == "cosine" else dot
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(fn(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
-        )
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    if metric == "cosine":
+        q_mat = _normalized_matrix(q_mat)
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field.__class__("query_id", id_field.dataType, True),
+            id_field.__class__("neighbor_id", id_field.dataType, True),
+        ]
+    ).add("score", "double")
+
+    use_cosine = metric == "cosine"
+
+    def score_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_id_arr = np.asarray(q_ids)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if use_cosine:
+                c_mat = _normalized_matrix(c_mat)
+            scores = q_mat @ c_mat.T  # (n_queries, n_batch)
+            n_ids = pdf[id_col].to_numpy()
+            # mask self-pairs before pruning
+            self_mask = q_id_arr[:, None] == n_ids[None, :]
+            scores = np.where(self_mask, -np.inf, scores)
+            keep = min(k, scores.shape[1])
+            kth = np.partition(scores, -keep, axis=1)[:, -keep] if keep else None
+            out_q, out_n, out_s = [], [], []
+            for qi in range(scores.shape[0]):
+                row = scores[qi]
+                sel = (row >= (kth[qi] - _ROUND_MARGIN)) & np.isfinite(row)
+                out_q.append(np.full(sel.sum(), q_id_arr[qi]))
+                out_n.append(n_ids[sel])
+                out_s.append(row[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    pruned = corpus.select(id_col, vec_col).mapInPandas(
+        score_partition, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        pruned.withColumn("score", F.round("score", 6))
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
 
@@ -124,20 +180,24 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* shared LSH buckets.
 
-    At scale the bucket join replaces the cross join: cost goes from
+    At scale the bucket equi-join replaces the cross join: cost goes from
     |Q|·|corpus| to sum over buckets of |Q_b|·|C_b|.
     """
     from pyspark.sql import Window
 
-    q = lsh_buckets(queries, id_col, vec_col, n_planes, dim).join(
-        queries.select(F.col(id_col), F.col(vec_col).alias("q_vec")), id_col
-    ).select(F.col(id_col).alias("query_id"), "bucket", "q_vec")
-    c = lsh_buckets(corpus, id_col, vec_col, n_planes, dim).join(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")), id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "bucket", "c_vec")
-
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
+        F.col(vec_col).alias("c_vec"),
+    )
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q)
+        .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -151,4 +211,46 @@ def lsh_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidates
+    with cosine >= threshold. Returns (id_a, id_b, score), id_a < id_b.
+
+    The bucket key blocks the self-join (equi-join, AQE-skew-safe); only
+    candidate pairs pay the exact cosine. With n_planes=8 a corpus of N
+    vectors in ~2^8 buckets costs ~N^2/256 comparisons instead of N^2.
+    """
+    tagged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
+    )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "bucket",
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
     )

@@ -16,6 +16,7 @@ from kafka_stream_unify_order_messages_spark.registry import query
 from kafka_stream_unify_order_messages_spark.sources.files import load_table
 from kafka_stream_unify_order_messages_spark.functions import text as T
 from kafka_stream_unify_order_messages_spark.operators import dedup as D
+from kafka_stream_unify_order_messages_spark.operators import multimodal as M
 from kafka_stream_unify_order_messages_spark.operators import similarity as S
 
 # DuckDB fragment equivalents of functions.text tokenization.
@@ -195,16 +196,26 @@ CASE WHEN len({_TOKS}) >= 3
      ELSE [array_to_string({_TOKS}, ' ')] END
 """
 
+def _seed_values_sql(num_hashes: int = 16) -> str:
+    coeffs = D.minhash_coefficients(num_hashes)
+    return ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(coeffs)
+    )
+
+
 _SIGNATURE_SQL = f"""
 WITH shingled AS (
     SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-), seeded AS (
-    SELECT doc_id, unnest(generate_series(0, 15)) AS seed, shingle
+), hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
     FROM shingled
+), seeds(seed, a, b) AS (
+    VALUES {_seed_values_sql(16)}
 )
-SELECT doc_id, seed,
-       min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-FROM seeded
+SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+       min((a * h + b) % {D.MINHASH_PRIME}) AS minhash
+FROM hashed CROSS JOIN seeds
 GROUP BY doc_id, seed
 """
 
@@ -221,7 +232,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sig AS ({_SIGNATURE_SQL}),
 bands AS (
     SELECT doc_id, seed // 4 AS band,
-           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
     FROM sig
     GROUP BY doc_id, seed // 4
 )
@@ -356,6 +368,170 @@ def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_buckets(emb, n_planes=8, dim=64)
+
+
+def _bucket_expr_sql(alias: str, n_planes: int = 8, dim: int = 64) -> str:
+    terms = []
+    for i in range(n_planes):
+        plane = S.hyperplane(i, dim)
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({alias}.embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+WITH tagged AS (
+    SELECT vec_id, embedding, {_bucket_expr_sql('embeddings')} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, embedding, bucket
+    FROM tagged WHERE vec_id % 20 = 0
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                 6) AS score
+    FROM q JOIN tagged c ON q.bucket = c.bucket AND q.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, score, rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.lsh_topk(queries, emb, k=5, n_planes=8, dim=64)
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+WITH tagged AS (
+    SELECT vec_id, embedding, {_bucket_expr_sql('embeddings')} AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS score
+FROM tagged a
+JOIN tagged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            6) >= 0.35
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.35, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload + typed metadata, decode / feature /
+# frame-sample plumbing (operators.multimodal). The synthetic corpus is
+# utf-8 payload bytes of `documents.text`; the corpus is pure ASCII, so
+# DuckDB character functions replicate the byte-level ops exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.media_metadata(M.synthetic_media(docs))
+
+
+@query(
+    "multimodal_decode",
+    """
+SELECT doc_id,
+       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS width,
+       CAST(length(text) % 64 + 1 AS INTEGER) AS height,
+       CASE WHEN length(text) % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media(M.synthetic_media(docs), fake_decode=True)
+
+
+@query(
+    "multimodal_byte_histogram",
+    """
+WITH bytes AS (
+    SELECT doc_id, length(text) AS n,
+           ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
+    FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+), counts AS (
+    SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY doc_id, bin
+)
+SELECT d.doc_id, CAST(b.bin AS INTEGER) AS bin,
+       round(coalesce(c.c, 0) / CAST(greatest(length(d.text), 1) AS DOUBLE),
+             6) AS share
+FROM documents d
+CROSS JOIN unnest(generate_series(0, 15)) AS b(bin)
+LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.bin
+""",
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.byte_histogram_features(M.synthetic_media(docs), bins=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "share")
+    ).select("doc_id", "bin", F.round("share", 6).alias("share"))
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+WITH framed AS (
+    SELECT doc_id, text,
+           CAST(greatest((length(text) + 63) // 64, 1) AS BIGINT) AS n_frames
+    FROM documents
+)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       CAST(octet_length(encode(substr(text, CAST(fi * 64 + 1 AS INTEGER), 64)))
+            AS BIGINT) AS n_frame_bytes,
+       md5(substr(text, CAST(fi * 64 + 1 AS INTEGER), 64)) AS frame_digest
+FROM framed, unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) AS t(fi)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = M.frame_sample(
+        M.synthetic_media(docs), frame_size=64, every_nth=2
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
+        "frame_digest",
+    )
 
 
 # ---------------------------------------------------------------------------
