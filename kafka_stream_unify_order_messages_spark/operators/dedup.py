@@ -20,7 +20,7 @@ the hot path in whole-stage codegen and lets AQE coalesce the bucket join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from kafka_stream_unify_order_messages_spark.functions.text import tokens
@@ -254,6 +254,64 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold else out
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (rolling character k-gram hashes).
+
+    Every position's k-gram hashes to a 28-bit value (first 7 md5 hex
+    digits); each window of ``window`` consecutive gram-hashes contributes
+    its minimum; the distinct minima are the document's fingerprint set —
+    robust to insertions/reordering in a way whole-document hashing is not.
+
+    Returns (id, fingerprint) distinct rows. Scale shape: explode to one
+    row per gram position, a windowed min over (id ORDER BY pos) — one
+    shuffle, sort-based, no quadratic blowup; output is O(n_grams/window)
+    per document in expectation.
+    """
+    n_grams = F.greatest(
+        F.length(F.col(text_col)) - (k - 1), F.lit(1)
+    )
+    grams = df.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        id_col,
+        "n_grams",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))), 1, 7
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    wmins = grams.withColumn("fingerprint", F.min("h").over(w))
+    return (
+        wmins.filter(
+            F.col("pos") <= F.greatest(
+                F.col("n_grams") - (window - 1), F.lit(1)
+            )
+        )
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
 
 
 def simhash(

@@ -312,6 +312,40 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup — winnowing (rolling k-gram hash) fingerprints
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winnowing_fingerprints",
+    """
+WITH grams AS (
+    SELECT doc_id,
+           greatest(length(text) - 7, 1) AS n_grams,
+           CAST(i AS BIGINT) AS pos,
+           CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 7)
+                AS BIGINT) AS h
+    FROM documents,
+         unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+), wmins AS (
+    SELECT doc_id, n_grams, pos,
+           min(h) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+           ) AS fingerprint
+    FROM grams
+)
+SELECT DISTINCT doc_id, fingerprint
+FROM wmins
+WHERE pos <= greatest(n_grams - 3, 1)
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnowing_fingerprints(docs, k=8, window=4)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search — exact brute-force cosine top-k (baseline)
 # ---------------------------------------------------------------------------
 

@@ -402,3 +402,90 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.lit("no_lineitems").alias("tag"))
     )
     return has_late.unionByName(no_items)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators.temporal): for each purchase, the latest prior (or
+# simultaneous) click of the same user. Spark shape: tagged union + running
+# last-ignorenulls — one shuffle, no row multiplication (vs DuckDB's native
+# ASOF JOIN / inequality join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_events",
+    """
+WITH l AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+), r AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'click'
+), ranked AS (
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.event_id AS event_id_r, r.ts AS ts_r, r.value AS value_r,
+           row_number() OVER (
+               PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC
+           ) AS rn
+    FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT event_id, user_id, ts, value, event_id_r, ts_r, value_r
+FROM ranked WHERE rn = 1
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts", "value"],
+        tiebreak="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join via interval bucketing: clicks within 2 h after each
+# purchase, same user. The bucket trick turns the band predicate into an
+# equi-join on (key, bucket) — the only shape that scales on a cluster.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "range_join_events",
+    """
+SELECT a.event_id AS l_event_id, a.user_id AS l_user_id, a.ts AS l_ts,
+       b.event_id AS r_event_id, b.ts AS r_ts
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+  AND epoch_us(b.ts) >= epoch_us(a.ts)
+  AND epoch_us(b.ts) < epoch_us(a.ts) + 7200000000
+""",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.temporal import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = range_join(
+        purchases, clicks, on="user_id", lower_s=0.0, upper_s=7200.0
+    )
+    return joined.select(
+        "l_event_id", "l_user_id", "l_ts", "r_event_id", "r_ts"
+    )
