@@ -1,0 +1,68 @@
+"""End-to-end training-data corpus cleaning: the composition a real LLM
+data pipeline runs, as one declarative DataFrame graph —
+
+    quality filter -> exact dedup (keep min id) -> minhash-LSH near-dup
+    removal (keep the smaller id of each candidate pair) -> per-doc stats
+
+Shuffle budget at 100 TB: quality scoring is scan-local; exact dedup is
+one shuffle on a 32-byte digest; near-dup is the minhash path (one shuffle
+to signatures + the band equi-join); the final anti-join shuffles only
+(id) pairs. Nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.functions import text as T
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Returns the cleaned corpus: (id, n_tokens, quality) for documents
+    that pass the quality gate, are the canonical copy of their exact-
+    duplicate group, and are not the larger id of any near-dup pair.
+    """
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        T.quality_score(text_col).alias("quality"),
+    ).filter(F.col("quality") >= quality_threshold)
+
+    # exact dedup: one shuffle on the digest, min id is canonical
+    exact = (
+        scored.groupBy(F.md5(D.normalized_text(text_col)).alias("_ch"))
+        .agg(
+            F.min_by(
+                F.struct(id_col, text_col, "quality"), F.col(id_col)
+            ).alias("_e")
+        )
+        .select(
+            F.col(f"_e.{id_col}").alias(id_col),
+            F.col(f"_e.{text_col}").alias(text_col),
+            F.col("_e.quality").alias("quality"),
+        )
+    )
+
+    pairs = D.minhash_candidate_pairs(
+        exact, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+    return (
+        exact.join(losers, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            T.token_count(text_col).alias("n_tokens"),
+            "quality",
+        )
+    )

@@ -11,17 +11,18 @@ Semantics (parity with /root/reference):
   (OrderProjection.java:94-96)
 - events ordered by type priority (OrderProjection.java:74-84)
 
-Scale design: expressed as two hash aggregations rather than window
-functions —
+Scale design: ONE hash aggregation (not a window, not two groupBys) —
 
-    groupBy(id, type).agg(min_by(event, arrival))   # first-wins
-    groupBy(id).agg(sorted collect_list, count)     # assemble + gate
+    groupBy(id).agg(min(when(type==t, struct(arrival, event))) per type)
 
-both enjoy map-side partial aggregation (a window over (id, type) would
-shuffle the full input with no combine), and AQE handles skewed ids. State
-per id is O(#types) — safe at any scale. The batch window approximation
-treats each id as a single group regardless of time; the 5 s processing-time
-window lives in streaming/unify_stream.py.
+The closed type set turns first-wins dedup + assembly + the completeness
+gate into per-type conditional min aggregates with map-side partial
+aggregation: each input partition compacts to <= #types rows per id before
+the single exchange (a window over (id, type) would shuffle the full input
+with no combine), and AQE handles skewed ids. State per id is O(#types) —
+safe at any scale. The batch approximation treats each id as one group
+regardless of time; the 5 s processing-time window lives in
+streaming/unify_stream.py.
 """
 
 from __future__ import annotations
@@ -86,24 +87,35 @@ def unify_events(
     event_struct = F.struct(*[F.col(c) for c in payload_cols])
     arrival_key = F.struct(*[F.col(c) for c in arrival_cols])
 
-    # first-wins per (id, type): keep the earliest-arriving event of each type
-    firsts = prepared.groupBy(id_col, type_col).agg(
-        F.min_by(event_struct, arrival_key).alias("event")
-    )
+    # ONE shuffle: per-type conditional min aggregates. For each known type
+    # t, min(struct(arrival, event)) over only the rows of that type picks
+    # the first-arriving event (first-wins dedup); min ignores the nulls
+    # contributed by other types. Map-side partial aggregation compacts
+    # every partition to <= #types rows per id before the exchange — at
+    # 100 TB this halves shuffle count vs groupBy(id, type) + groupBy(id).
+    by_priority = sorted(priorities, key=priorities.get)
+    per_type = [
+        F.min(
+            F.when(F.col(type_col) == t, F.struct(arrival_key.alias("a"), event_struct.alias("e")))
+        ).alias(f"_t{i}")
+        for i, t in enumerate(by_priority)
+    ]
+    assembled = prepared.groupBy(id_col).agg(*per_type)
 
-    prio = type_priority(F.col(type_col), priorities)
-    assembled = firsts.groupBy(id_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct(prio.alias("priority"), F.col("event")))
-        ).alias("_pe"),
-        F.count(type_col).alias("_n_types"),  # types already distinct here
+    n_types = sum(
+        F.col(f"_t{i}").isNotNull().cast("int") for i in range(len(by_priority))
     )
-
+    # completeness gate; events already in priority order by construction
+    # (nulls filtered for the required_count < #types configurations)
+    present = F.filter(
+        F.array(*[F.col(f"_t{i}") for i in range(len(by_priority))]),
+        lambda x: x.isNotNull(),
+    )
     return (
-        assembled.filter(F.col("_n_types") == required_count)
+        assembled.filter(n_types == required_count)
         .select(
             F.col(id_col),
-            F.transform(F.col("_pe"), lambda pe: pe["event"]).alias("events"),
+            F.transform(present, lambda x: x["e"]).alias("events"),
         )
     )
 

@@ -475,6 +475,69 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus cleaning: quality gate -> exact dedup -> minhash-LSH
+# near-dup removal -> stats. The composition an LLM training-data pipeline
+# actually runs, checked as one oracle query.
+# ---------------------------------------------------------------------------
+
+
+def _clean_corpus_sql(threshold: float = 0.4) -> str:
+    from kafka_stream_unify_order_messages_spark.registry import ORACLES
+
+    quality_sql = ORACLES["quality_scores"]
+    return f"""
+WITH q AS (
+    SELECT d.doc_id, d.text, qq.quality
+    FROM documents d JOIN ({quality_sql}) qq USING (doc_id)
+    WHERE qq.quality >= {threshold}
+), hashed AS (
+    SELECT doc_id, text, quality, md5({_NORM}) AS ch FROM q
+), exact AS (
+    SELECT doc_id, text, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+        FROM hashed
+    ) WHERE rn = 1
+), shingled AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM exact
+), gram_hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+    FROM shingled
+), seeds(seed, a, b) AS (
+    VALUES {_seed_values_sql(16)}
+), sig AS (
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+           min((a * h + b) % {D.MINHASH_PRIME}) AS minhash
+    FROM gram_hashed CROSS JOIN seeds
+    GROUP BY doc_id, seed
+), bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
+    FROM sig GROUP BY doc_id, seed // 4
+), losers AS (
+    SELECT DISTINCT b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+)
+SELECT e.doc_id, len({_TOKS}) AS n_tokens, e.quality
+FROM exact e
+WHERE e.doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
+@query("clean_corpus", _clean_corpus_sql(0.4))
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        clean_corpus as _clean,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _clean(docs, quality_threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal columns: binary payload + typed metadata, decode / feature /
 # frame-sample plumbing (operators.multimodal). The synthetic corpus is
 # utf-8 payload bytes of `documents.text`; the corpus is pure ASCII, so

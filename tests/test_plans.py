@@ -1,0 +1,82 @@
+"""Physical-plan discipline tests: the properties that make the engine
+viable at 100 TB are asserted here so they cannot silently regress —
+shuffle counts, broadcast choices, parquet filter/column pushdown.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_stream_unify_order_messages_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_unify_projection_single_shuffle(spark):
+    # the flagship: first-wins + completeness + ordering in ONE exchange
+    # (conditional per-type aggregates with map-side combine), plus the
+    # window for `position` (no extra exchange: same partitioning)
+    plan = plan_of(spark, "unify_projection")
+    assert plan.count("Exchange") <= 2
+    assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_unify_projection_pushes_null_filter(spark):
+    plan = plan_of(spark, "unify_projection")
+    assert "PushedFilters: [IsNotNull(user_id)" in plan
+
+
+def test_region_revenue_broadcasts_dimensions(spark):
+    # nation/region/customer/supplier are broadcast; only the fact tables
+    # shuffle — no shuffle-hash or sort-merge join on a dimension
+    plan = plan_of(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q1_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reaches parquet
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    # only the 6 needed columns are read, not all 11 (column pruning)
+    assert len(read_cols) <= 6, read_cols
+
+
+def test_regex_filter_no_shuffle(spark):
+    # pure filter+project: must be a single scan stage, zero exchanges
+    plan = plan_of(spark, "regex_filter")
+    assert plan.count("Exchange") == 0
+
+
+def test_brute_force_topk_prunes_before_shuffle(spark):
+    # the numpy GEMM stage must emit pruned candidates (mapInPandas) and
+    # only then shuffle for the global ranking window
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") > plan.index("Window")  # pandas below window
+
+
+def test_minhash_one_shuffle_to_bands(spark):
+    # signatures+bands = explode -> ONE hash aggregate -> projection;
+    # the band self-join adds its own exchanges, but there must be exactly
+    # one aggregate-side exchange pair feeding it
+    plan = plan_of(spark, "minhash_signatures")
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan
+
+
+def test_metadata_ops_prune_payload_column(spark):
+    plan = plan_of(spark, "multimodal_meta")
+    # binary payload is derived in-flight from text; the scan reads only
+    # what the query needs
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert "text" in read_cols and "lang" not in read_cols
