@@ -75,6 +75,21 @@ def topic_fallback(topic_col: Column | str) -> Column:
     return F.element_at(_map_literal(TOPIC_FALLBACK_TYPES), col)
 
 
+def observe_counts(df, name: str = "source"):
+    """P1 parity (the reference's peek/log at OrderProjectionTopology.java:
+    75-78): attach named observation metrics — record count and null-id
+    count — without touching the data. Works on batch and streaming
+    DataFrames; read back via ``df.observedMetrics`` /
+    ``StreamingQueryProgress.observedMetrics`` (vs the reference's
+    printf-per-record, which no 100 TB pipeline can afford).
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("order_id").isNull().cast("long")).alias("n_null_ids"),
+    )
+
+
 def type_priority(
     type_col: Column | str, priorities: dict[str, int] | None = None
 ) -> Column:

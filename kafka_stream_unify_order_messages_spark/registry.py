@@ -410,6 +410,40 @@ def fanout_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# R2 — array unarchive: one JSON-array message -> one row per element
+# (the Redpanda-Connect `unarchive: json_array` stage,
+# docker-compose.yml:249-250) as explode(from_json(.., array<struct>))
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_unarchive",
+    """
+SELECT event_id, CAST(i AS INTEGER) AS idx,
+       CAST(props ->> '$.k' AS BIGINT) AS k
+FROM events, unnest(generate_series(0, 1)) AS t(i)
+WHERE props IS NOT NULL
+""",
+)
+def json_unarchive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    events = load_table(spark, sf_dir, "events")
+    # build a 2-element JSON array message from each props payload, then
+    # split it back into one row per element — the R2 shape end-to-end
+    arr = F.concat(F.lit("["), "props", F.lit(","), "props", F.lit("]"))
+    elem = StructType([StructField("k", LongType())])
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.posexplode(F.from_json(arr, ArrayType(elem))).alias("idx", "e"),
+        )
+        .select("event_id", "idx", F.col("e.k").alias("k"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # R3/R4 — conditional multi-topic routing as a derived column
 # ---------------------------------------------------------------------------
 

@@ -1,7 +1,15 @@
 from kafka_stream_unify_order_messages_spark.streaming.unify_stream import (
     UNIFY_OUTPUT_SCHEMA,
     make_unify_fn,
+    make_unify_fn_event_time,
     unify_stream,
+    unify_stream_event_time,
 )
 
-__all__ = ["unify_stream", "make_unify_fn", "UNIFY_OUTPUT_SCHEMA"]
+__all__ = [
+    "unify_stream",
+    "unify_stream_event_time",
+    "make_unify_fn",
+    "make_unify_fn_event_time",
+    "UNIFY_OUTPUT_SCHEMA",
+]

@@ -175,6 +175,107 @@ def make_unify_fn(buffer_ms: int = 5000, clock=None):
     return fn
 
 
+def make_unify_fn_event_time(buffer_ms: int = 5000):
+    """Event-time variant of the state function: the buffer's deadline is
+    ``first event's timestamp + buffer_ms`` and expiry is driven by the
+    WATERMARK, not the wall clock. Replaying the same input yields the
+    same projections — the deterministic-reprocessing mode the reference
+    (wall-clock punctuation, OrderProjectionTransformer.java:35,43) cannot
+    offer. Requires ``withWatermark`` on the event-time column and rows
+    carrying ``event_ms`` (epoch millis).
+    """
+
+    def fn(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        order_id = key[0]
+        emissions: list[tuple[str, int, str]] = []
+
+        def emit_if_complete(events: dict[str, dict[str, Any]]) -> None:
+            if all(t in events for t in REQUIRED):
+                emissions.append(
+                    (order_id, len(events), _payload_json(order_id, events))
+                )
+
+        if state.hasTimedOut:
+            _, events = _load_state(state)
+            emit_if_complete(events)
+            state.remove()
+        else:
+            if state.exists:
+                deadline, events = _load_state(state)
+            else:
+                deadline, events = 0, {}
+            watermark = state.getCurrentWatermarkMs()
+            # watermark passed the deadline before this event arrived:
+            # the old buffer is stale — flush it, then seed a fresh one
+            if events and watermark >= deadline > 0:
+                emit_if_complete(events)
+                deadline, events = 0, {}
+
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    ev = row._asdict()
+                    ev_ms = ev.pop("event_ms", None)
+                    ev.pop("_event_time", None)
+                    if ev.get("type") not in REQUIRED:
+                        continue
+                    if not events:
+                        deadline = int(ev_ms) + buffer_ms
+                    if ev["type"] in events:
+                        continue
+                    events[ev["type"]] = ev
+
+            if events:
+                state.update(_state_tuple(deadline, events))
+                state.setTimeoutTimestamp(deadline)
+            elif state.exists:
+                state.remove()
+
+        if emissions:
+            yield pd.DataFrame(
+                emissions, columns=["order_id", "n_events", "payload"]
+            )
+
+    return fn
+
+
+def unify_stream_event_time(
+    events: DataFrame,
+    buffer_ms: int = 5000,
+    ts_col: str = "timestamp",
+    watermark_delay: str = "2 seconds",
+) -> DataFrame:
+    """Event-time unification: same semantics as ``unify_stream`` but the
+    5 s window is measured in EVENT time and closed by the watermark —
+    deterministic under replay (same input files => same output), which
+    the reference's wall-clock design cannot do. ``ts_col`` must be an
+    ISO-8601 string or timestamp column.
+    """
+    from pyspark.sql import functions as F
+
+    with_ts = events.withColumn(
+        "_event_time", F.to_timestamp(ts_col)
+    ).withColumn("event_ms", F.unix_millis(F.col("_event_time")))
+    # the watermark column rides through the stateful op (dropping it would
+    # detach the watermark EventTimeTimeout requires); the state fn ignores
+    # fields outside the state schema
+    watermarked = with_ts.withWatermark("_event_time", watermark_delay)
+    return (
+        watermarked
+        .groupBy("order_id")
+        .applyInPandasWithState(
+            make_unify_fn_event_time(buffer_ms),
+            outputStructType=UNIFY_OUTPUT_SCHEMA,
+            stateStructType=PENDING_ORDER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def unify_stream(
     events: DataFrame,
     buffer_ms: int = 5000,
