@@ -53,6 +53,13 @@ def clean_corpus(
         )
     )
 
+    # `exact` feeds two DAG branches (candidate generation + the anti-join
+    # probe); persist it so quality scoring + dedup run once, not twice —
+    # the same materialization point a production pipeline would keep
+    from pyspark import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+
     pairs = D.minhash_candidate_pairs(
         exact, id_col, text_col, num_hashes, bands, shingle_n
     )

@@ -489,3 +489,123 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "l_event_id", "l_user_id", "l_ts", "r_event_id", "r_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient two-phase salted aggregation (operators.skew): result is
+# identical to a direct groupBy — the salt only reshapes the shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_user_totals",
+    """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       min(event_id) AS first_event
+FROM events
+GROUP BY user_id
+""",
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["user_id"],
+        {
+            "n_events": ("event_id", "count"),
+            "total_value": ("value", "sum"),
+            "first_event": ("event_id", "min"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        "first_event",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-style correlated aggregate: lineitems below 20% of their
+# part's average quantity (broadcast the per-part averages).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "small_quantity_revenue",
+    """
+WITH part_avg AS (
+    SELECT l_partkey, avg(l_quantity) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n_items,
+       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part_avg p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.2 * p.avg_qty
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    joined = li.join(F.broadcast(part_avg), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15-style: top suppliers by quarterly revenue (agg + global max
+# via a broadcast single-row join, not a driver collect).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_supplier_revenue",
+    """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT r.supplier_no, s.s_name, r.total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("mx"))
+        .join(
+            F.broadcast(supplier),
+            revenue.supplier_no == F.col("s_suppkey"),
+        )
+        .select("supplier_no", "s_name", "total_revenue")
+    )

@@ -5,6 +5,10 @@ from kafka_stream_unify_order_messages_spark.streaming.unify_stream import (
     unify_stream,
     unify_stream_event_time,
 )
+from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+    session_windows,
+    tumbling_counts,
+)
 
 __all__ = [
     "unify_stream",
@@ -12,4 +16,6 @@ __all__ = [
     "make_unify_fn",
     "make_unify_fn_event_time",
     "UNIFY_OUTPUT_SCHEMA",
+    "tumbling_counts",
+    "session_windows",
 ]

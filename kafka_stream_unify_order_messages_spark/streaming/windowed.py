@@ -1,0 +1,70 @@
+"""Event-time windowed streaming aggregations with watermark-managed
+state — the capability family the reference lacks entirely (SURVEY.md
+§2.6: no TimeWindows/SessionWindows anywhere) but any general engine
+needs: tumbling/sliding counts and session windows over late-arriving
+data.
+
+State per window is the aggregate only (Spark drops it once the watermark
+passes window end + delay); late rows inside the delay merge into their
+window, later ones are discarded — standard Structured Streaming
+semantics, appropriate for the 100 TB design point because state size is
+O(active windows), not O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str | None = "type",
+    window: str = "10 seconds",
+    watermark_delay: str = "5 seconds",
+) -> DataFrame:
+    """Append-mode tumbling-window counts per key: (window_start,
+    window_end, key?, n). Works on batch DataFrames too (same code path,
+    no watermark needed there — pass it anyway for streaming).
+    """
+    with_ts = events.withColumn("_event_time", F.to_timestamp(ts_col))
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark_delay)
+    group_cols = [F.window("_event_time", window)]
+    if key_col:
+        group_cols.append(F.col(key_col))
+    out = with_ts.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    cols = [
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+    ]
+    if key_col:
+        cols.append(F.col(key_col))
+    return out.select(*cols, "n")
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "order_id",
+    gap: str = "30 seconds",
+    watermark_delay: str = "5 seconds",
+) -> DataFrame:
+    """Session-window aggregation (gap-based): one row per (key, session)
+    with the session bounds and event count. The dynamic-gap session is
+    what the reference's hand-rolled 5 s buffer approximates; here it is
+    the built-in ``session_window`` — state managed by the watermark.
+    """
+    with_ts = events.withColumn("_event_time", F.to_timestamp(ts_col))
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark_delay)
+    out = with_ts.groupBy(
+        F.session_window("_event_time", gap), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.col(key_col),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,106 @@
+"""Streaming event-time windowed aggregations: watermark advance, late-row
+merging, session windows — file source -> append-mode memory sink."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+    session_windows,
+    tumbling_counts,
+)
+
+SCHEMA = "order_id string, type string, timestamp string"
+COLS = ["order_id", "type", "timestamp"]
+
+
+def write_batch(src_dir, rows, batch_no):
+    table = pa.table({k: [r[i] for r in rows] for i, k in enumerate(COLS)})
+    pq.write_table(table, f"{src_dir}/batch-{batch_no:04d}.parquet")
+
+
+def ev(order_id, etype, second):
+    minute, sec = divmod(second, 60)
+    return (order_id, etype, f"2026-01-01T00:{minute:02d}:{sec:02d}.000Z")
+
+
+def drain(spark, query, name, min_rows=1, timeout_s=60):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if query.exception():
+            raise query.exception()
+        if spark.table(name).count() >= min_rows:
+            return True
+        time.sleep(0.3)
+    return False
+
+
+def test_tumbling_counts_with_late_data(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"tw_{uuid.uuid4().hex[:8]}"
+    events = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        tumbling_counts(events, window="10 seconds", watermark_delay="5 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        write_batch(src, [ev("a", "click", 1), ev("a", "click", 3)], 0)
+        q.processAllAvailable()
+        # late row for the same window, inside the watermark delay: merges
+        write_batch(src, [ev("b", "click", 4)], 1)
+        q.processAllAvailable()
+        # watermark push far past window 0-10 + delay: window finalizes
+        write_batch(src, [ev("c", "click", 120)], 2)
+        q.processAllAvailable()
+        assert drain(spark, q, name)
+        rows = {
+            (r.window_start.second, r.type): r.n
+            for r in spark.table(name).collect()
+        }
+        assert rows[(0, "click")] == 3  # 2 on-time + 1 late, one output row
+    finally:
+        q.stop()
+
+
+def test_session_windows_gap_split(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    events = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        session_windows(events, gap="10 seconds", watermark_delay="2 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # two bursts for o1 separated by > gap: two sessions
+        write_batch(
+            src,
+            [ev("o1", "e", 0), ev("o1", "e", 5), ev("o1", "e", 8),
+             ev("o1", "e", 40), ev("o1", "e", 45)],
+            0,
+        )
+        q.processAllAvailable()
+        write_batch(src, [ev("hb", "e", 300)], 1)  # close both sessions
+        q.processAllAvailable()
+        assert drain(spark, q, name, min_rows=2)
+        sessions = sorted(
+            (r.session_start.second, r.n_events)
+            for r in spark.table(name).collect()
+            if r.order_id == "o1"
+        )
+        assert sessions == [(0, 3), (40, 2)]
+    finally:
+        q.stop()
