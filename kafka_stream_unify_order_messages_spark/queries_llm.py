@@ -449,6 +449,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(queries, emb, k=5, n_planes=8, dim=64)
 
 
+@query("ann_ivf_topk")  # rows-only check: centroids are data-trained, so a
+# static SQL oracle cannot replicate them; exactness is pinned instead by
+# tests/test_ivf.py::test_ivf_full_probe_equals_brute_force (nprobe=all ==
+# brute force) and the recall floor test
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.ivf_topk(queries, emb, k=5, n_centroids=16, nprobe=4)
+
+
 @query(
     "embedding_near_dup",
     f"""

@@ -1,0 +1,71 @@
+"""IVF ANN correctness: full probing == brute force exactly; partial
+probing trades recall for scan fraction; assignment partitions the corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_unify_order_messages_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    train_ivf_centroids,
+)
+from kafka_stream_unify_order_messages_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter("vec_id % 50 = 0")
+
+
+def topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb, queries):
+    n_cent = 8
+    exact = topk_map(brute_force_topk(queries, emb, k=5))
+    full = topk_map(
+        ivf_topk(queries, emb, k=5, n_centroids=n_cent, nprobe=n_cent)
+    )
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, emb, queries):
+    exact = topk_map(brute_force_topk(queries, emb, k=5))
+    approx = topk_map(ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=3))
+    hits = total = 0
+    for q, nbrs in exact.items():
+        got = approx.get(q, set())
+        hits += len(nbrs & got)
+        total += len(nbrs)
+    recall = hits / total
+    assert recall >= 0.5, f"recall@5 = {recall:.2f}"
+    # and the approximate path returns at most k per query
+    assert all(len(v) <= 5 for v in approx.values())
+
+
+def test_ivf_assignment_covers_corpus(spark, emb):
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cells = [r.centroid_id for r in assigned.select("centroid_id").distinct().collect()]
+    assert len(cells) >= 2  # corpus actually spreads over cells
+    assert all(0 <= c < 8 for c in cells)
+
+
+def test_ivf_deterministic_centroids(spark, emb):
+    a = train_ivf_centroids(emb, n_centroids=8)
+    b = train_ivf_centroids(emb, n_centroids=8)
+    assert (a == b).all()

@@ -1,0 +1,58 @@
+"""File sink layout: partition directories, row-group clustering, and
+Kafka record shaping / topic routing expressions."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.sinks import (
+    route_topics,
+    to_kafka_records,
+    write_partitioned_parquet,
+)
+
+
+def test_partitioned_write_layout_and_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(300)],
+        "id long, cat string, v double",
+    )
+    path = str(tmp_path / "out")
+    write_partitioned_parquet(
+        df, path, partition_cols=["cat"], sort_cols=["id"]
+    )
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("cat="))
+    assert dirs == ["cat=a", "cat=b", "cat=c"]
+    # one data file per partition directory (repartition before write)
+    for d in dirs:
+        files = [f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # partition pruning: reading one category scans one directory
+    plan = (
+        back.filter(F.col("cat") == "b")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(cat" in plan
+
+
+def test_kafka_record_shaping_and_routing(spark):
+    df = spark.createDataFrame(
+        [("o1", '{"a":1}', "error"), ("o2", '{"b":2}', "click")],
+        "order_id string, payload string, event_type string",
+    )
+    topic = route_topics(
+        df,
+        [(F.col("event_type") == "error", "errors")],
+        default="projections",
+    )
+    recs = to_kafka_records(df, topic=topic).collect()
+    by_key = {r.key: (r.value, r.topic) for r in recs}
+    assert by_key["o1"] == ('{"a":1}', "errors")
+    assert by_key["o2"] == ('{"b":2}', "projections")
+    assert [f.name for f in to_kafka_records(df, topic=topic).schema] == [
+        "key", "value", "topic",
+    ]
