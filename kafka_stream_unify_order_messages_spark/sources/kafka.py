@@ -16,6 +16,8 @@ rejects to a column instead (strict=False) or fail the query (strict=True).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
@@ -65,19 +67,43 @@ def parse_order_events(
     """Kafka (key, value, topic) -> typed order-event columns.
 
     Output: (order_id, type, timestamp, order_details, topic, corrupt).
-    ``order_details`` is re-extracted from the raw bytes with
-    ``get_json_object`` so the nested JSON passes through byte-faithfully
-    instead of being re-encoded through from_json/to_json.
+
+    ``order_details`` is extracted as the RAW byte substring, not through
+    get_json_object (which re-serializes and would turn ``12.30`` into
+    ``12.3`` — SURVEY.md §7.3.3 requires byte fidelity). The extraction
+    relies on ``order_details`` being the last field, which the reference
+    wire format pins (@JsonPropertyOrder, OrderEvent.java:12).
+
+    ``corrupt`` marks deserialization failures exactly where the
+    reference's Jackson would throw (JsonDeserializer.java:27-31): either
+    unparseable JSON or a missing required field (all four fields are
+    required=true, OrderEvent.java:21-24). Spark's PERMISSIVE from_json
+    yields an all-null struct for malformed input, never a null struct —
+    so malformation is detected with try_parse_json, not a struct null
+    check. ``strict=True`` turns corrupt rows into query failure
+    (reference parity: the stream thread dies); default keeps them
+    flagged for a rejects sink.
     """
     value_str = F.col(value_col).cast("string")
     parsed = F.from_json(value_str, ORDER_EVENT_JSON_SCHEMA)
+    malformed = value_str.isNotNull() & F.try_parse_json(value_str).isNull()
+    details_raw = F.regexp_extract(
+        value_str, r'"order_details"\s*:\s*(.*)\}\s*$', 1
+    )
+    fields = {
+        "order_id": parsed.getField("order-id"),
+        "type": parsed.getField("type"),
+        "timestamp": parsed.getField("timestamp"),
+        "order_details": F.when(details_raw != "", details_raw),
+    }
+    missing_required = reduce(
+        lambda a, b: a | b, (c.isNull() for c in fields.values())
+    )
+    corrupt = value_str.isNotNull() & (malformed | missing_required)
     out = raw.select(
-        parsed.getField("order-id").alias("order_id"),
-        parsed.getField("type").alias("type"),
-        parsed.getField("timestamp").alias("timestamp"),
-        F.get_json_object(value_str, "$.order_details").alias("order_details"),
+        *[c.alias(name) for name, c in fields.items()],
         F.col(topic_col).alias("topic"),
-        (parsed.isNull() & value_str.isNotNull()).alias("corrupt"),
+        corrupt.alias("corrupt"),
     )
     if strict:
         # reference parity: malformed record -> fail (JsonDeserializer throws)
