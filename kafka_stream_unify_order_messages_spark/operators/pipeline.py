@@ -63,7 +63,11 @@ def clean_corpus(
     pairs = D.minhash_candidate_pairs(
         exact, id_col, text_col, num_hashes, bands, shingle_n
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # near-dup losers are a tiny fraction of the corpus: broadcast the
+    # anti-join instead of sort-merging the full corpus against them
+    losers = F.broadcast(
+        pairs.select(F.col("id_b").alias(id_col)).distinct()
+    )
 
     return (
         exact.join(losers, id_col, "left_anti")

@@ -609,3 +609,67 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("supplier_no", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (all grouping-set combinations) — completes the
+# grouping-sets family next to rollup_agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_agg",
+    """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(user_id % 10 AS VARCHAR), '<all>') AS user_bucket,
+       count(*) AS n,
+       round(sum(value), 4) AS total
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 10 AS VARCHAR))
+""",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).cast("string")
+    return (
+        events.cube(F.col("event_type"), bucket.alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("<all>")).alias("user_bucket"),
+            "n",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (the sketch path for 100 TB percentile queries).
+# Sketch outputs are engine-specific, so the oracle checks EXACT quantiles
+# and the pytest suite bounds the sketch's rank error against them; the
+# registry query returns the exact-interpolated percentile on both engines
+# (Spark percentile == DuckDB quantile_cont).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
