@@ -54,8 +54,38 @@ def dedup_exact(
     )
 
 
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a BOUND token-array column.
+
+    ``toks`` must be an attribute reference (a materialized column), not a
+    computed expression: interpreted higher-order functions re-evaluate
+    free expressions on every access (no common-subexpression
+    elimination), so passing ``tokens(text)`` directly would re-run the
+    regexp split n times per shingle. With a bound column, ``element_at``
+    per gram position is O(1) — vs ``slice``, which allocates an
+    n-element array per shingle.
+    """
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the tokenized text (empty-safe)."""
+    """Distinct word n-gram shingles of the tokenized text (empty-safe).
+
+    Self-contained variant (tokenizes inline); pipelines that explode
+    shingles should materialize tokens first and use
+    ``shingles_from_tokens`` — see ``_exploded_shingles``.
+    """
     toks = tokens(text)
     k = F.size(toks) - (n - 1)
     return F.array_distinct(
@@ -66,6 +96,17 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
                 lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows: tokens materialized once, then shingled from
+    the bound array (the fast path for every shingle consumer)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(
+        id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
     )
 
 
@@ -110,10 +151,7 @@ def minhash_signatures_wide(
     explode shingles -> hash once -> groupBy(id) with ``num_hashes`` min
     aggregates (map-side combined).
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+    shingled = _exploded_shingles(df, id_col, text_col, shingle_n)
     hashed = shingled.select(id_col, _shingle_hash().alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
@@ -221,9 +259,7 @@ def ngram_jaccard_pairs(
     explicit subset). Implemented as shingle-postings self-join (documents
     sharing no shingle never meet), not a cross join.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
-    )
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

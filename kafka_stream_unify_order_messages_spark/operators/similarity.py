@@ -169,6 +169,31 @@ def lsh_buckets(
     )
 
 
+def _hyperplane_matrix(n_planes: int, dim: int) -> np.ndarray:
+    return np.asarray(
+        [hyperplane(i, dim) for i in range(n_planes)], dtype=np.float64
+    )
+
+
+def _lsh_bits_np(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bucket ids for a (n, dim) matrix — numpy GEMM with an exact-fold
+    guard: any |dot| small enough that numpy's pairwise summation could
+    disagree with a strict left-to-right fold (the JVM/DuckDB order) is
+    recomputed exactly, so bucket bits are bit-identical to the Column-
+    expression path regardless of BLAS summation order.
+    """
+    import math
+
+    dots = mat @ planes.T  # (n, n_planes)
+    near = np.argwhere(np.abs(dots) < 1e-9)
+    for r, p in near:
+        dots[r, p] = math.fsum(mat[r] * planes[p])
+    bits = (dots > 0).astype(np.int64)
+    return (bits << np.arange(planes.shape[0], dtype=np.int64)[None, :]).sum(
+        axis=1
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -178,38 +203,69 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking *within* shared LSH buckets.
-
-    At scale the bucket equi-join replaces the cross join: cost goes from
-    |Q|·|corpus| to sum over buckets of |Q_b|·|C_b|.
+    """Approximate top-k: exact cosine ranking restricted to shared LSH
+    buckets. Same probe-masked GEMM shape as ``ivf_topk`` (queries ride
+    broadcast with their bucket ids; each corpus partition computes its
+    own buckets and scores only bucket-matching pairs, pruned to batch
+    top-k before the single ranking shuffle). At scale the mask replaces
+    the cross join: cost is sum over buckets of |Q_b|·|C_b|.
     """
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
-        F.col(vec_col).alias("q_vec"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
-        F.col(vec_col).alias("c_vec"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
-        )
+    planes = _hyperplane_matrix(n_planes, dim)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = _normalized_matrix(q_raw)
+    q_buckets = _lsh_bits_np(q_raw, planes)
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field.__class__("query_id", id_field.dataType, True),
+            id_field.__class__("neighbor_id", id_field.dataType, True),
+        ]
+    ).add("score", "double")
+
+    def score_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_id_arr = np.asarray(q_ids)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            c_raw = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_buckets = _lsh_bits_np(c_raw, planes)
+            c_mat = _normalized_matrix(c_raw)
+            n_ids = pdf[id_col].to_numpy()
+            scores = q_mat @ c_mat.T
+            visible = q_buckets[:, None] == c_buckets[None, :]
+            visible &= q_id_arr[:, None] != n_ids[None, :]
+            scores = np.where(visible, scores, -np.inf)
+            keep = min(k, scores.shape[1])
+            kth = np.partition(scores, -keep, axis=1)[:, -keep]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(scores.shape[0]):
+                row = scores[qi]
+                sel = (row >= (kth[qi] - _ROUND_MARGIN)) & np.isfinite(row)
+                out_q.append(np.full(sel.sum(), q_id_arr[qi]))
+                out_n.append(n_ids[sel])
+                out_s.append(row[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    pruned = corpus.select(id_col, vec_col).mapInPandas(
+        score_partition, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        pruned.withColumn("score", F.round("score", 6))
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
 
@@ -392,12 +448,33 @@ def embedding_near_dup_pairs(
     The bucket key blocks the self-join (equi-join, AQE-skew-safe); only
     candidate pairs pay the exact cosine. With n_planes=8 a corpus of N
     vectors in ~2^8 buckets costs ~N^2/256 comparisons instead of N^2.
+    Bucket assignment runs as a numpy GEMM per Arrow batch (bit-exact
+    with the Column-expression path via the exact-fold guard).
     """
-    tagged = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
-    )
+    planes = _hyperplane_matrix(n_planes, dim)
+    id_field = df.schema[id_col]
+    vec_field = df.schema[vec_col]
+    tag_schema = StructType(
+        [
+            id_field.__class__(id_col, id_field.dataType, True),
+            vec_field.__class__(vec_col, vec_field.dataType, True),
+        ]
+    ).add("bucket", "long")
+
+    def tag(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "bucket": _lsh_bits_np(mat, planes),
+                }
+            )
+
+    tagged = df.select(id_col, vec_col).mapInPandas(tag, tag_schema)
     a = tagged.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
