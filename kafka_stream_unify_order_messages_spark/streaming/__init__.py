@@ -5,6 +5,10 @@ from kafka_stream_unify_order_messages_spark.streaming.unify_stream import (
     unify_stream,
     unify_stream_event_time,
 )
+from kafka_stream_unify_order_messages_spark.streaming.joins import (
+    dedup_within_watermark,
+    stream_stream_join,
+)
 from kafka_stream_unify_order_messages_spark.streaming.windowed import (
     session_windows,
     tumbling_counts,
@@ -18,4 +22,6 @@ __all__ = [
     "UNIFY_OUTPUT_SCHEMA",
     "tumbling_counts",
     "session_windows",
+    "stream_stream_join",
+    "dedup_within_watermark",
 ]
