@@ -1,0 +1,96 @@
+"""Full-topology assembly test: raw JSON (value, topic) rows through
+deserialization, topic-fallback canonicalization, corrupt filtering, and
+the stateful unify — the whole reference app minus the Kafka broker."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_stream_unify_order_messages_spark.app import (
+    UnifyConfig,
+    unify_topology,
+)
+
+
+def msg(order_id, etype, second, details=None, drop_field=None):
+    body = {
+        "order-id": order_id,
+        "type": etype,
+        "timestamp": f"2026-01-01T00:00:{second:02d}.000Z",
+        "order_details": details or {"s": second},
+    }
+    if drop_field:
+        del body[drop_field]
+    return json.dumps(body)
+
+
+def write_batch(src_dir, rows, batch_no):
+    table = pa.table(
+        {
+            "value": [r[0] for r in rows],
+            "topic": [r[1] for r in rows],
+        }
+    )
+    pq.write_table(table, f"{src_dir}/batch-{batch_no:04d}.parquet")
+
+
+def test_full_topology_from_raw_json(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"app_{uuid.uuid4().hex[:8]}"
+    raw = spark.readStream.schema("value string, topic string").parquet(str(src))
+    cfg = UnifyConfig(buffer_ms=5000, event_time_mode=True)
+    q = (
+        unify_topology(raw, cfg)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        write_batch(
+            src,
+            [
+                # o1: junk type on the created topic -> topic fallback
+                (msg("o1", "BOGUS", 0), "order-created"),
+                (msg("o1", "Placed", 1), "order-placed"),  # case-insensitive
+                (msg("o1", "order-cancelled", 2), "order-cancelled"),  # alias
+                # corrupt JSON: flagged and filtered, not fatal
+                ('{"order-id": broken', "order-created"),
+                # missing required field: treated as corrupt too
+                (msg("o9", "created", 3, drop_field="timestamp"), "order-created"),
+                # watermark heartbeat closes o1's event-time window
+                (msg("hb", "created", 59), "order-created"),
+            ],
+            0,
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.exception():
+                raise q.exception()
+            if spark.table(name).count() >= 1:
+                break
+            time.sleep(0.3)
+        out = {r.order_id: json.loads(r.payload) for r in spark.table(name).collect()}
+        assert set(out) == {"o1"}
+        events = out["o1"]["events"]
+        assert [e["type"] for e in events] == ["created", "placed", "cancelled"]
+        assert events[0]["order_details"] == {"s": 0}
+    finally:
+        q.stop()
+
+
+def test_config_env_overrides(monkeypatch):
+    monkeypatch.setenv("SPARK_UNIFY_BOOTSTRAP", "broker:9092")
+    monkeypatch.setenv("SPARK_UNIFY_BUFFER_MS", "2500")
+    cfg = UnifyConfig.from_env(strict_serde=True)
+    assert cfg.bootstrap_servers == "broker:9092"
+    assert cfg.buffer_ms == 2500
+    assert cfg.strict_serde is True
+    assert cfg.output_topic == "order-projection"
