@@ -202,6 +202,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to shared LSH
     buckets. Same probe-masked GEMM shape as ``ivf_topk`` (queries ride
@@ -209,6 +210,11 @@ def lsh_topk(
     own buckets and scores only bucket-matching pairs, pruned to batch
     top-k before the single ranking shuffle). At scale the mask replaces
     the cross join: cost is sum over buckets of |Q_b|·|C_b|.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (one hyperplane sign flipped) — the
+    standard recall lever: ~(1 + n_planes)x the candidates without
+    touching the index.
     """
     from pyspark.sql import Window
 
@@ -218,6 +224,13 @@ def lsh_topk(
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     q_mat = _normalized_matrix(q_raw)
     q_buckets = _lsh_bits_np(q_raw, planes)
+    if multi_probe:
+        flips = 1 << np.arange(n_planes, dtype=np.int64)
+        q_probes = np.concatenate(
+            [q_buckets[:, None], q_buckets[:, None] ^ flips[None, :]], axis=1
+        )  # (n_queries, 1 + n_planes)
+    else:
+        q_probes = q_buckets[:, None]
 
     id_field = corpus.schema[id_col]
     out_schema = StructType(
@@ -237,7 +250,9 @@ def lsh_topk(
             c_mat = _normalized_matrix(c_raw)
             n_ids = pdf[id_col].to_numpy()
             scores = q_mat @ c_mat.T
-            visible = q_buckets[:, None] == c_buckets[None, :]
+            visible = (
+                c_buckets[None, :, None] == q_probes[:, None, :]
+            ).any(axis=2)
             visible &= q_id_arr[:, None] != n_ids[None, :]
             scores = np.where(visible, scores, -np.inf)
             keep = min(k, scores.shape[1])

@@ -69,3 +69,27 @@ def test_ivf_deterministic_centroids(spark, emb):
     a = train_ivf_centroids(emb, n_centroids=8)
     b = train_ivf_centroids(emb, n_centroids=8)
     assert (a == b).all()
+
+
+def test_lsh_multi_probe_improves_recall(spark, emb, queries):
+    from kafka_stream_unify_order_messages_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    exact = topk_map(brute_force_topk(queries, emb, k=5))
+
+    def recall(approx):
+        hits = total = 0
+        for q, nbrs in exact.items():
+            hits += len(nbrs & approx.get(q, set()))
+            total += len(nbrs)
+        return hits / total
+
+    # 4 planes -> 16 buckets: sized to this corpus (8 planes = 256
+    # buckets fragments 400 vectors too finely for any recall)
+    single = recall(topk_map(lsh_topk(queries, emb, k=5, n_planes=4)))
+    multi = recall(
+        topk_map(lsh_topk(queries, emb, k=5, n_planes=4, multi_probe=True))
+    )
+    assert multi >= single
+    assert multi >= 0.3, f"multi-probe recall@5 = {multi:.2f} (single {single:.2f})"
