@@ -113,6 +113,69 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_trigram_profiles() -> dict[str, list[str]]:
+    """Deterministic per-language char-trigram profiles derived from the
+    stopword lists (each word padded with spaces, all trigrams taken) —
+    embedded as literals on both engines, so fully oracle-checkable.
+    """
+    profiles = {}
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        grams: list[str] = []
+        for w in words:
+            padded = f" {w} "
+            for i in range(len(padded) - 2):
+                g = padded[i : i + 3]
+                if g not in grams:
+                    grams.append(g)
+        profiles[lang] = grams
+    return profiles
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """All char trigrams of the space-padded lowercased text (with
+    multiplicity — occurrence counts matter for the language vote)."""
+    t = F.concat(F.lit(" "), F.lower(F.trim(_c(text))), F.lit(" "))
+    n = F.greatest(F.length(t) - 2, F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(t, i, 3)
+    )
+
+
+def lang_id_ngram(text: Column | str) -> Column:
+    """Character-n-gram language ID: vote = number of the document's char
+    trigrams found in each language's trigram profile; best vote wins,
+    'und' when nothing matches. More robust than the stopword vote for
+    text without clean token boundaries; same scan-local, no-UDF shape.
+
+    The trigram array is bound through a one-element-array transform
+    (expression let-binding) so it is built once per row, not once per
+    language.
+    """
+    profiles = lang_trigram_profiles()
+    grams_expr = char_trigrams(text)
+
+    def score_langs(grams):
+        scored = []
+        for i, (lang, prof) in enumerate(profiles.items()):
+            arr = F.array(*[F.lit(g) for g in prof])
+            score = F.size(
+                F.filter(grams, lambda g: F.array_contains(arr, g))
+            )
+            scored.append(
+                F.struct(
+                    score.alias("score"),
+                    F.lit(-i).alias("nr"),
+                    F.lit(lang).alias("lang"),
+                )
+            )
+        best = F.array_max(F.array(*scored))
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return F.element_at(
+        F.transform(F.array(grams_expr), score_langs), 1
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 over the sorted distinct token bag.
 
