@@ -736,3 +736,116 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: token frequency top-k (the vocab-building scan).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_tokens",
+    f"""
+WITH tok AS (
+    SELECT unnest({_TOKS}) AS token FROM documents
+), counts AS (
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+)
+SELECT token, n, rnk FROM (
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+    FROM counts
+) WHERE rnk <= 50
+""",
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (training-mix construction): per-source
+# rates via an md5 draw — reproducible on any engine/executor count, unlike
+# rand()-based sampleBy.
+# ---------------------------------------------------------------------------
+
+# rates per mille, keyed by the testdata source taxonomy (src0..src19);
+# unknown sources sample at 0 (drop) like a real mix allowlist
+_SAMPLE_RATES = {f"src{i}": r for i, r in enumerate([1000, 900, 800, 700, 600, 500, 400, 300, 200, 100] * 2)}
+_RATE_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(_SAMPLE_RATES.items())
+)
+
+
+@query(
+    "stratified_sample",
+    f"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7)
+           AS BIGINT) % 1000
+      < coalesce(CASE source {_RATE_CASE} END, 0)
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(_SAMPLE_RATES.items()) for x in kv]
+    )
+    rate = F.coalesce(F.element_at(rate_map, F.col("source")), F.lit(0))
+    return docs.filter(draw < rate).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: assign documents to fixed-token training
+# shards via a running token-count cumsum (deterministic id order).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shard_packing",
+    f"""
+WITH sized AS (
+    SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 5000.0) AS BIGINT) AS shard
+FROM sized
+""",
+)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / 5000.0).cast("long").alias("shard"),
+    )
