@@ -787,3 +787,70 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: event counts per user bucket x event type (wide reshaping).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_event_counts",
+    """
+SELECT user_bucket,
+       coalesce("click", 0) AS click,
+       coalesce("view", 0) AS view,
+       coalesce("signup", 0) AS signup,
+       coalesce("purchase", 0) AS purchase,
+       coalesce("error", 0) AS error
+FROM (
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, event_type
+    FROM events
+) PIVOT (count(*) FOR event_type IN
+         ('click', 'view', 'signup', 'purchase', 'error'))
+""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    out = (
+        events.select(
+            (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+        )
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide per-part metrics back to long form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_part_metrics",
+    """
+SELECT p_partkey, metric, value
+FROM (
+    SELECT p_partkey,
+           CAST(p_size AS DOUBLE) AS size,
+           p_retailprice AS retailprice
+    FROM part
+) UNPIVOT (value FOR metric IN (size, retailprice))
+""",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        "p_partkey", ["size", "retailprice"], "metric", "value"
+    )

@@ -15,6 +15,23 @@ def test_oracles_subset_of_queries():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
+# Queries allowed to run without a SQL oracle (rows-only driver check).
+# Every entry must have a reason and a stronger pytest pinning correctness.
+ROWS_ONLY_ALLOWED = {
+    # data-trained k-means centroids cannot be a static SQL literal;
+    # exactness pinned by test_ivf.py (nprobe=all == brute force)
+    "ann_ivf_topk",
+}
+
+
+def test_every_query_is_oracle_checked_or_documented():
+    missing = set(registry.QUERIES) - set(registry.ORACLES)
+    assert missing <= ROWS_ONLY_ALLOWED, (
+        f"queries without oracle or documented exemption: "
+        f"{missing - ROWS_ONLY_ALLOWED}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_query_runs(spark, name):
     df = registry.QUERIES[name](spark, SF_DIR)
