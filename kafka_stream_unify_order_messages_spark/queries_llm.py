@@ -838,14 +838,12 @@ FROM sized
 """,
 )
 def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Scalable two-phase cumsum (operators.packing) — NOT a global
+    Window.orderBy, which would single-partition-sort the corpus."""
+    from kafka_stream_unify_order_messages_spark.operators.packing import (
+        pack_shards,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return sized.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(start / 5000.0).cast("long").alias("shard"),
-    )
+    return pack_shards(sized, shard_budget=5000, bucket_width=100)
