@@ -49,6 +49,10 @@ class UnifyConfig:
     event_time_mode: bool = False  # replay-deterministic alternative
     strict_serde: bool = False  # reference parity: die on malformed input
     sasl_jaas: str | None = None
+    # RocksDB state store: the at-scale choice (SURVEY.md §4.3) matching
+    # the reference's RocksDB-backed pending-order store; False keeps the
+    # HDFS-backed default (fine for tests/small state)
+    rocksdb_state: bool = False
 
     @classmethod
     def from_env(cls, **overrides) -> "UnifyConfig":
@@ -85,9 +89,19 @@ def unify_topology(raw: DataFrame, cfg: UnifyConfig) -> DataFrame:
     return unify_stream(slim, buffer_ms=cfg.buffer_ms)
 
 
+def apply_state_store_config(spark: SparkSession, cfg: UnifyConfig) -> None:
+    if cfg.rocksdb_state:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+
+
 def build_projection_query(spark: SparkSession, cfg: UnifyConfig):
     """Kafka-to-Kafka deployment entry point: returns the started
     StreamingQuery (the analogue of KafkaStreams.start())."""
+    apply_state_store_config(spark, cfg)
     raw = kafka_stream_reader(
         spark, cfg.bootstrap_servers, cfg.topics, sasl_jaas=cfg.sasl_jaas
     ).load()

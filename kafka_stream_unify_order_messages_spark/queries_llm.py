@@ -766,11 +766,12 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # orderBy+limit plans as TakeOrderedAndProject (distributed top-k,
+    # per-partition heaps + driver merge) — no global single-partition
+    # sort; the rank window then runs over only the 50 survivors
+    top = counts.orderBy(F.col("n").desc(), "token").limit(50)
     w = Window.orderBy(F.col("n").desc(), "token")
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,57 @@ def test_config_env_overrides(monkeypatch):
     assert cfg.buffer_ms == 2500
     assert cfg.strict_serde is True
     assert cfg.output_topic == "order-projection"
+
+
+def test_rocksdb_state_store_end_to_end(spark, tmp_path):
+    # the at-scale state store must work with the stateful unify; run one
+    # complete lifecycle through it, then restore the default provider
+    from kafka_stream_unify_order_messages_spark.app import (
+        apply_state_store_config,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    apply_state_store_config(spark, UnifyConfig(rocksdb_state=True))
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        name = f"rdb_{uuid.uuid4().hex[:8]}"
+        raw = spark.readStream.schema("value string, topic string").parquet(
+            str(src)
+        )
+        cfg = UnifyConfig(buffer_ms=5000, event_time_mode=True)
+        q = (
+            unify_topology(raw, cfg)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            write_batch(
+                src,
+                [
+                    (msg("r1", "created", 0), "order-created"),
+                    (msg("r1", "placed", 1), "order-placed"),
+                    (msg("r1", "cancelled", 2), "order-cancelled"),
+                    (msg("hb", "created", 59), "order-created"),
+                ],
+                0,
+            )
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if q.exception():
+                    raise q.exception()
+                if spark.table(name).count() >= 1:
+                    break
+                time.sleep(0.3)
+            out = {r.order_id for r in spark.table(name).collect()}
+            assert "r1" in out
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
