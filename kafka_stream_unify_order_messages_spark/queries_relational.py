@@ -854,3 +854,47 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "p_partkey", ["size", "retailprice"], "metric", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function parity sweep: date arithmetic + string functions in one
+# deterministic projection (broad built-in coverage, oracle-checked).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_function_sweep",
+    """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+       upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+       replace(o_orderstatus, 'O', 'OPEN') AS status_word,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+       length(o_orderpriority) AS prio_len,
+       CAST(floor(o_totalprice / 100.0) AS BIGINT) AS price_hundreds
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+)
+def scalar_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+        F.replace(F.col("o_orderstatus"), F.lit("O"), F.lit("OPEN")).alias(
+            "status_word"
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.floor(F.col("o_totalprice") / 100.0).cast("long").alias("price_hundreds"),
+    )

@@ -247,9 +247,12 @@ HAVING count(DISTINCT event_type) = 5
 )
 def completeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # size(collect_set) instead of countDistinct: one exchange with
+    # map-side partial sets (countDistinct plans a two-phase expand);
+    # set cardinality is bounded by the closed type vocabulary
     return (
         events.groupBy("user_id")
-        .agg(F.countDistinct("event_type").alias("n_types"))
+        .agg(F.size(F.collect_set("event_type")).cast("long").alias("n_types"))
         .filter(F.col("n_types") == 5)
     )
 
