@@ -79,6 +79,14 @@ def unify_topology(raw: DataFrame, cfg: UnifyConfig) -> DataFrame:
     filter (P3) -> stateful unify (T3-T9). Works on any DataFrame with
     (value, topic) columns — Kafka, file, or fixture."""
     events = parse_order_events(raw, strict=cfg.strict_serde)
+    # P1 parity (the reference's per-record peek, OrderProjectionTopology.
+    # java:75-78): record/corrupt counts per micro-batch via observation
+    # metrics — read from StreamingQueryProgress.observedMetrics
+    events = events.observe(
+        "unify_source",
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("corrupt").cast("long")).alias("n_corrupt"),
+    )
     normalized = events.withColumn(
         "type",
         canonicalize_type(F.col("type"), fallback=topic_fallback("topic")),

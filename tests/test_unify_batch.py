@@ -154,3 +154,31 @@ def test_flat_positions(spark):
         (r["position"], r["type"], r["order_details"]) for r in flat.collect()
     )
     assert got == [(1, "created", "c1"), (2, "placed", "c2"), (3, "cancelled", "c3")]
+
+
+def test_partial_required_count_gate(spark):
+    # generalized gate: require any 2 distinct types instead of all 3;
+    # events stay priority-ordered and nulls never leak into the array
+    rows = [
+        ("o1", "created", "order-created", 1, "a"),   # 1 type -> dropped
+        ("o2", "placed", "order-placed", 2, "b"),
+        ("o2", "created", "order-created", 3, "c"),   # 2 types -> emitted
+        ("o3", "created", "order-created", 4, "d"),
+        ("o3", "placed", "order-placed", 5, "e"),
+        ("o3", "cancelled", "order-cancelled", 6, "f"),  # 3 types -> dropped (!= 2)
+    ]
+    df = make_events(spark, rows)
+    out = unify_events(
+        df,
+        id_col="order_id",
+        type_col="type",
+        arrival_cols=["arrival_seq"],
+        payload_cols=["type", "order_details"],
+        topic_col="topic",
+        required_count=2,
+    )
+    got = {
+        r["order_id"]: [(e["type"], e["order_details"]) for e in r["events"]]
+        for r in out.collect()
+    }
+    assert got == {"o2": [("created", "c"), ("placed", "b")]}
