@@ -848,3 +848,59 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
     return pack_shards(sized, shard_budget=5000, bucket_width=100)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (the classic corpus-weighting scan):
+# tf = in-doc count, idf = ln((N+1)/(df+1)) + 1, top-3 terms per doc.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rnk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+    ) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(
+        F.size(F.collect_set("doc_id")).alias("df")
+    )
+    n_docs = docs.count()  # one scalar; embedded as a literal like the CTE
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
