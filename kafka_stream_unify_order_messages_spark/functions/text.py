@@ -133,11 +133,24 @@ def lang_trigram_profiles() -> dict[str, list[str]]:
 
 def char_trigrams(text: Column | str) -> Column:
     """All char trigrams of the space-padded lowercased text (with
-    multiplicity — occurrence counts matter for the language vote)."""
-    t = F.concat(F.lit(" "), F.lower(F.trim(_c(text))), F.lit(" "))
-    n = F.greatest(F.length(t) - 2, F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substring(t, i, 3)
+    multiplicity — occurrence counts matter for the language vote).
+
+    The padded string is let-bound through a one-element-array transform:
+    interpreted HOF lambdas re-evaluate free expressions per element, so
+    referencing the concat/lower/trim chain directly inside the inner
+    lambda would recompute it per gram — O(len^2) per document."""
+    raw = F.concat(F.lit(" "), F.lower(F.trim(_c(text))), F.lit(" "))
+    return F.element_at(
+        F.transform(
+            F.array(raw),
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))
+                ),
+                lambda i: F.substring(t, i, F.lit(3)),
+            ),
+        ),
+        1,
     )
 
 
