@@ -24,6 +24,18 @@ _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Every query in this module does CPU-heavy per-row work (hashing,
+    tokenization, vector math), so a scan that yields fewer partitions
+    than cores serializes it. min_partitions only repartitions when the
+    scan is under-split (single-row-group local files); on a many-file
+    production dataset it is a no-op."""
+    return load_table(
+        spark, sf_dir, name,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -49,7 +61,7 @@ FROM documents
 """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -93,7 +105,7 @@ FROM scored
 """,
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
 
 
@@ -127,7 +139,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_contains per (gram, language); the broadcast hash join keeps
     the whole vote inside codegen — 6.5s -> <1s at sf0.1 and the only
     shape that scales to petabyte corpora."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     profiles = T.lang_trigram_profiles()
     prof_rows = [
         (g, lang, -i)
@@ -167,7 +179,7 @@ FROM documents
 """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         T.doc_fingerprint("text").alias("fingerprint"),
@@ -200,7 +212,7 @@ FROM parts
 """,
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", T.quality_score("text").alias("quality"))
 
 
@@ -233,7 +245,7 @@ GROUP BY content_hash
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     aug = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -281,7 +293,7 @@ GROUP BY doc_id, seed
 
 @query("minhash_signatures", _SIGNATURE_SQL)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return D.minhash_signatures(docs, num_hashes=16, shingle_n=3)
 
 
@@ -303,7 +315,7 @@ WHERE a.doc_id < b.doc_id
 """,
 )
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return D.minhash_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
 
 
@@ -336,7 +348,7 @@ JOIN sizes sb ON sb.doc_id = id_b
 """,
 )
 def ngram_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     return D.ngram_jaccard_pairs(docs, shingle_n=3)
 
 
@@ -366,7 +378,7 @@ SELECT doc_id, {val} AS simhash FROM agg
 
 @query("simhash_fingerprints", _simhash_sql(32))
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return D.simhash(docs, bits=32)
 
 
@@ -400,7 +412,7 @@ WHERE pos <= greatest(n_grams - 3, 1)
 """,
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return D.winnowing_fingerprints(docs, k=8, window=4)
 
 
@@ -435,7 +447,7 @@ WHERE rnk <= 5
 """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.brute_force_topk(queries, emb, k=5)
 
@@ -459,7 +471,7 @@ def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
 
 @query("ann_lsh_buckets", _lsh_bucket_sql(8, 64))
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings")
     return S.lsh_buckets(emb, n_planes=8, dim=64)
 
 
@@ -503,7 +515,7 @@ WHERE rnk <= 5
 """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.lsh_topk(queries, emb, k=5, n_planes=8, dim=64)
 
@@ -513,7 +525,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_ivf.py::test_ivf_full_probe_equals_brute_force (nprobe=all ==
 # brute force) and the recall floor test
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.ivf_topk(queries, emb, k=5, n_centroids=16, nprobe=4)
 
@@ -539,7 +551,7 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=0.35, n_planes=8, dim=64)
 
 
@@ -602,7 +614,7 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean_corpus as _clean,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return _clean(docs, quality_threshold=0.4)
 
 
@@ -627,7 +639,7 @@ FROM documents
 """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return M.media_metadata(M.synthetic_media(docs))
 
 
@@ -642,7 +654,7 @@ FROM documents
 """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     return M.decode_media(M.synthetic_media(docs), fake_decode=True)
 
 
@@ -665,7 +677,7 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.bin
 """,
 )
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     feats = M.byte_histogram_features(M.synthetic_media(docs), bins=16)
     return feats.select(
         "doc_id", F.posexplode("features").alias("bin", "share")
@@ -688,7 +700,7 @@ FROM framed, unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) AS t(fi
 """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     frames = M.frame_sample(
         M.synthetic_media(docs), frame_size=64, every_nth=2
     )
@@ -725,7 +737,7 @@ GROUP BY label
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_unify_order_messages_spark.functions.vectors import norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings")
     return (
         emb.select("label", norm("embedding").alias("nrm"))
         .groupBy("label")
@@ -760,7 +772,7 @@ SELECT token, n, rnk FROM (
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(T.tokens("text")).alias("token"))
         .groupBy("token")
@@ -799,7 +811,7 @@ WHERE CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7)
 """,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     draw = (
         F.conv(
             F.substring(
@@ -845,7 +857,7 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_shards,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
     return pack_shards(sized, shard_budget=5000, bucket_width=100)
 
@@ -884,7 +896,7 @@ SELECT doc_id, token, tfidf, rnk FROM (
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(

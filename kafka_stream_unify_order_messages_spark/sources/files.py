@@ -52,12 +52,25 @@ def _first_parquet_file(path: str) -> str:
     return path
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_partitions: int | None = None,
+) -> DataFrame:
     """Load one testdata table, normalizing ns-timestamps to timestamp_ntz.
 
     Sets the runtime SQL confs this read path depends on, so it works on any
     caller-provided session (the driver builds its own vanilla session), not
     just one from session.get_spark().
+
+    ``min_partitions``: parquet splits at ROW-GROUP granularity, so a small
+    single-row-group file always scans as one partition and serializes any
+    scan-heavy (CPU-bound per-row) downstream work on one core. Callers
+    doing heavy scan-local compute (winnowing, minhash, trigram votes)
+    pass ``spark.sparkContext.defaultParallelism``; the round-robin
+    repartition fires ONLY when the scan yields fewer partitions, so on a
+    real many-file dataset it is a no-op and costs no shuffle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -70,6 +83,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             col,
             F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
         )
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     return df
 
 

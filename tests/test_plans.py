@@ -66,9 +66,13 @@ def test_brute_force_topk_prunes_before_shuffle(spark):
 def test_minhash_one_shuffle_to_bands(spark):
     # signatures+bands = explode -> ONE hash aggregate -> projection;
     # the band self-join adds its own exchanges, but there must be exactly
-    # one aggregate-side exchange pair feeding it
+    # one aggregate-side exchange pair feeding it. A single round-robin
+    # exchange is tolerated: it is the scan-splitting repartition for
+    # under-split local files (load_table min_partitions), not a
+    # data-dependent shuffle — it disappears on many-file datasets.
     plan = plan_of(spark, "minhash_signatures")
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2
     assert "partial_min" in plan
 
 
