@@ -899,11 +899,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(
-        F.size(F.collect_set("doc_id")).alias("df")
-    )
+    # tf holds one row per distinct (doc, token), so document frequency
+    # is a windowed count over tf — ONE corpus scan/tokenize feeding the
+    # whole query (a df-by-separate-aggregate shape plans two scans:
+    # ReuseExchange does not fire across the join's build/probe
+    # subtrees), and no join. Shuffle budget: postings agg, window by
+    # token, window by doc_id — all on the deduplicated postings list,
+    # never on the raw corpus.
     n_docs = docs.count()  # one scalar; embedded as a literal like the CTE
-    scored = tf.join(df, "token").select(
+    from pyspark.sql import Window as W
+
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("token"))
+    ).select(
         "doc_id",
         "token",
         F.round(
