@@ -5,6 +5,10 @@ from kafka_stream_unify_order_messages_spark.streaming.unify_stream import (
     unify_stream,
     unify_stream_event_time,
 )
+from kafka_stream_unify_order_messages_spark.streaming.unify_tws import (
+    OrderUnifyProcessor,
+    unify_stream_tws,
+)
 from kafka_stream_unify_order_messages_spark.streaming.joins import (
     dedup_within_watermark,
     stream_stream_join,
@@ -17,6 +21,8 @@ from kafka_stream_unify_order_messages_spark.streaming.windowed import (
 __all__ = [
     "unify_stream",
     "unify_stream_event_time",
+    "unify_stream_tws",
+    "OrderUnifyProcessor",
     "make_unify_fn",
     "make_unify_fn_event_time",
     "UNIFY_OUTPUT_SCHEMA",

@@ -97,8 +97,9 @@ def _state_tuple(deadline_ms: int, events: dict[str, dict[str, Any]]):
     return (deadline_ms, ev_tuple("created"), ev_tuple("placed"), ev_tuple("cancelled"))
 
 
-def _load_state(state: GroupState) -> tuple[int, dict[str, dict[str, Any]]]:
-    deadline_ms, *evs = state.get
+def _decode_state(value: tuple) -> tuple[int, dict[str, dict[str, Any]]]:
+    """Inverse of ``_state_tuple``: state row -> (deadline_ms, events)."""
+    deadline_ms, *evs = value
     events: dict[str, dict[str, Any]] = {}
     for t, ev in zip(REQUIRED, evs):
         if ev is not None and ev[1] is not None:
@@ -109,6 +110,10 @@ def _load_state(state: GroupState) -> tuple[int, dict[str, dict[str, Any]]]:
                 "order_details": ev[3],
             }
     return int(deadline_ms or 0), events
+
+
+def _load_state(state: GroupState) -> tuple[int, dict[str, dict[str, Any]]]:
+    return _decode_state(state.get)
 
 
 def make_unify_fn(buffer_ms: int = 5000, clock=None):

@@ -1,0 +1,181 @@
+"""Order unification on the v2 arbitrary-stateful API
+(``transformWithStateInPandas``, Spark 4): the reference's punctuator as
+explicit per-key timers.
+
+Same semantics as ``unify_stream`` (see unify_stream.py for the full
+parity list into /root/reference):
+
+- 5 s processing-time buffer started on first event
+  (OrderProjectionTopology.java:29, OrderProjectionTransformer.java:60-68)
+- stale-flush-on-arrival (OrderProjectionTransformer.java:45-58)
+- first-wins per type (OrderProjection.java:55-58)
+- emit only at expiry; incomplete buffers dropped silently
+  (OrderProjectionTransformer.java:90-124)
+- output ordered created -> placed -> cancelled (OrderProjection.java:74-84)
+
+Why a second implementation: the v1 ``applyInPandasWithState`` timeout is
+a single implicit per-key deadline; TWS timers are explicit and
+addressable — ``registerTimer(deadline)`` IS the reference's
+``context.schedule`` + per-buffer deadline, and ``deleteTimer`` lets the
+stale-flush path cancel the superseded deadline instead of relying on an
+expiry-time guard alone. TWS also brings composable typed state
+(value/list/map), state TTL, and init-from-batch — the extension surface
+the reference's Transformer interface plays (SURVEY.md §2.6).
+
+Scale notes: timers live in the state store, fire per expired key at
+micro-batch boundaries (no O(all keys) sweep — the reference's known
+flaw, SURVEY.md §4.2); state per key is O(1). TWS requires the RocksDB
+state store provider (``spark.sql.streaming.stateStore.providerClass =
+...RocksDBStateStoreProvider``) — the at-scale choice anyway, and the
+same engine the reference's store runs on.
+
+Runtime dependency note: Spark's TWS Python runner speaks a
+protobuf-based state-server protocol, so running the query end-to-end
+needs the ``protobuf`` package (``pip install pyspark[connect]`` pulls
+it). The processor itself is plain pandas/python — its semantics are
+covered deterministically in tests/test_unify_tws.py without protobuf.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+from kafka_stream_unify_order_messages_spark.schemas import (
+    PENDING_ORDER_STATE_SCHEMA,
+)
+from kafka_stream_unify_order_messages_spark.streaming.unify_stream import (
+    REQUIRED,
+    UNIFY_OUTPUT_SCHEMA,
+    _decode_state,
+    _payload_json,
+    _state_tuple,
+)
+
+
+class OrderUnifyProcessor(StatefulProcessor):
+    """Per-order buffering processor. One ValueState row (same schema as
+    the v1 operator) + one timer per live buffer."""
+
+    def __init__(self, buffer_ms: int = 5000):
+        self.buffer_ms = buffer_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState("pending", PENDING_ORDER_STATE_SCHEMA)
+
+    def close(self) -> None:
+        pass
+
+    # -- emission ----------------------------------------------------------
+
+    def _emit_if_complete(
+        self, order_id: str, events: dict[str, dict[str, Any]]
+    ) -> list[tuple[str, int, str]]:
+        # completeness gate: silently drop incomplete buffers
+        if all(t in events for t in REQUIRED):
+            return [(order_id, len(events), _payload_json(order_id, events))]
+        return []
+
+    # -- data arrival ------------------------------------------------------
+
+    def handleInputRows(
+        self,
+        key: tuple,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        order_id = key[0]
+        now = timerValues.getCurrentProcessingTimeInMs()
+        emissions: list[tuple[str, int, str]] = []
+
+        if self.state.exists():
+            deadline, events = _decode_state(self.state.get())
+            # stale-flush-on-arrival: an expired-or-corrupt buffer is
+            # flushed BEFORE the new event is considered, and its timer is
+            # CANCELLED — otherwise the superseded deadline would fire
+            # later and expire the fresh buffer early. (The v1 operator
+            # cannot cancel; this is the TWS-native expression of
+            # OrderProjectionTransformer.java:45-58.)
+            if not events or deadline <= 0 or now >= deadline:
+                emissions.extend(self._emit_if_complete(order_id, events))
+                if deadline > 0:
+                    self.handle.deleteTimer(deadline)
+                deadline, events = 0, {}
+        else:
+            deadline, events = 0, {}
+
+        for pdf in rows:
+            for row in pdf.itertuples(index=False):
+                ev = row._asdict()
+                if ev.get("type") not in REQUIRED:
+                    continue  # unknown type: ignored (addEvent parity)
+                if not events:
+                    # new buffer: deadline = first event arrival + window
+                    deadline = now + self.buffer_ms
+                    self.handle.registerTimer(deadline)
+                if ev["type"] in events:
+                    continue  # first-wins duplicate suppression
+                events[ev["type"]] = ev
+
+        if events:
+            self.state.update(_state_tuple(deadline, events))
+        elif self.state.exists():
+            self.state.clear()
+
+        if emissions:
+            yield pd.DataFrame(
+                emissions, columns=["order_id", "n_events", "payload"]
+            )
+
+    # -- timer expiry (the punctuator path) --------------------------------
+
+    def handleExpiredTimer(
+        self,
+        key: tuple,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        order_id = key[0]
+        if not self.state.exists():
+            return
+        deadline, events = _decode_state(self.state.get())
+        # a timer the stale-flush path re-registered can race one already
+        # queued for this batch: only the CURRENT buffer's deadline expires
+        # it (defensive guard; deleteTimer makes this near-unreachable)
+        if deadline > expiredTimerInfo.getExpiryTimeInMs():
+            return
+        emissions = self._emit_if_complete(order_id, events)
+        self.state.clear()
+        if emissions:
+            yield pd.DataFrame(
+                emissions, columns=["order_id", "n_events", "payload"]
+            )
+
+
+def unify_stream_tws(
+    events: DataFrame,
+    buffer_ms: int = 5000,
+) -> DataFrame:
+    """v2-API equivalent of ``unify_stream``: input columns
+    (order_id, type, timestamp, order_details), type already canonicalized,
+    null ids filtered. Returns append-mode (order_id, n_events, payload).
+
+    Requires the RocksDB state store provider (see module docstring);
+    ``app.apply_state_store_config`` sets it.
+    """
+    return events.groupBy("order_id").transformWithStateInPandas(
+        statefulProcessor=OrderUnifyProcessor(buffer_ms),
+        outputStructType=UNIFY_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )

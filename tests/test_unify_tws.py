@@ -1,0 +1,346 @@
+"""transformWithStateInPandas unification (streaming/unify_tws.py): same
+two-layer strategy as test_unify_stream.py —
+
+1. Processor-level tests with fake handle/state/timer objects: fully
+   deterministic, covering the wall-clock-racy paths (stale-flush +
+   timer cancellation) that can't be pinned end-to-end.
+2. One end-to-end run (file source -> TWS -> memory sink) under the
+   RocksDB state store provider TWS requires, polling the sink with a
+   deadline (processing-time mode never quiesces).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import time
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_stream_unify_order_messages_spark.streaming.unify_tws import (
+    OrderUnifyProcessor,
+    unify_stream_tws,
+)
+
+COLS = ["order_id", "type", "timestamp", "order_details"]
+SCHEMA = "order_id string, type string, timestamp string, order_details string"
+BUFFER_MS = 1500
+
+
+def ev(order_id, etype, seq=0, details=None):
+    return (
+        order_id,
+        etype,
+        f"2026-01-01T00:00:{seq:02d}.000Z",
+        details or json.dumps({"seq": seq}),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layer 1: deterministic processor-level tests
+# ---------------------------------------------------------------------------
+
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class FakeHandle:
+    def __init__(self):
+        self.state = FakeValueState()
+        self.timers: list[int] = []
+        self.deleted: list[int] = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def registerTimer(self, ms):
+        self.timers.append(ms)
+
+    def deleteTimer(self, ms):
+        self.deleted.append(ms)
+        if ms in self.timers:
+            self.timers.remove(ms)
+
+
+class FakeTimerValues:
+    def __init__(self, now_ms):
+        self.now_ms = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self.now_ms
+
+    def getCurrentWatermarkInMs(self):
+        return -1
+
+
+class FakeExpiredTimer:
+    def __init__(self, expiry_ms):
+        self.expiry_ms = expiry_ms
+
+    def getExpiryTimeInMs(self):
+        return self.expiry_ms
+
+
+def make_proc(buffer_ms=5000):
+    proc = OrderUnifyProcessor(buffer_ms=buffer_ms)
+    handle = FakeHandle()
+    proc.init(handle)
+    return proc, handle
+
+
+def feed(proc, order_id, rows, now_ms):
+    pdfs = iter([pd.DataFrame(rows, columns=COLS)]) if rows else iter([])
+    out = list(proc.handleInputRows((order_id,), pdfs, FakeTimerValues(now_ms)))
+    return (
+        pd.concat(out)
+        if out
+        else pd.DataFrame(columns=["order_id", "n_events", "payload"])
+    )
+
+
+def expire(proc, order_id, expiry_ms, now_ms=None):
+    out = list(
+        proc.handleExpiredTimer(
+            (order_id,),
+            FakeTimerValues(now_ms if now_ms is not None else expiry_ms),
+            FakeExpiredTimer(expiry_ms),
+        )
+    )
+    return (
+        pd.concat(out)
+        if out
+        else pd.DataFrame(columns=["order_id", "n_events", "payload"])
+    )
+
+
+def payloads(df):
+    return {r.order_id: json.loads(r.payload) for r in df.itertuples()}
+
+
+def test_proc_first_event_registers_timer_at_deadline():
+    proc, handle = make_proc(buffer_ms=5000)
+    out = feed(proc, "o1", [ev("o1", "created", 0)], now_ms=10_000)
+    assert out.empty  # data arrival never emits
+    assert handle.state.exists()
+    assert handle.state.get()[0] == 15_000
+    assert handle.timers == [15_000]
+
+
+def test_proc_later_events_do_not_extend_deadline_or_add_timers():
+    proc, handle = make_proc(buffer_ms=5000)
+    feed(proc, "o1", [ev("o1", "created", 0)], now_ms=10_000)
+    feed(proc, "o1", [ev("o1", "placed", 1)], now_ms=13_000)
+    assert handle.state.get()[0] == 15_000  # unchanged
+    assert handle.timers == [15_000]  # exactly one timer for the buffer
+
+
+def test_proc_expiry_complete_emits_ordered_and_clears():
+    proc, handle = make_proc(buffer_ms=5000)
+    feed(
+        proc,
+        "o1",
+        [ev("o1", "cancelled", 2), ev("o1", "created", 0)],
+        now_ms=10_000,
+    )
+    feed(proc, "o1", [ev("o1", "placed", 1)], now_ms=11_000)
+    out = expire(proc, "o1", 15_000)
+    assert not handle.state.exists()
+    p = payloads(out)["o1"]
+    assert [e["type"] for e in p["events"]] == [
+        "created",
+        "placed",
+        "cancelled",
+    ]
+    assert p["events"][0]["order_details"] == {"seq": 0}
+
+
+def test_proc_expiry_incomplete_drops_silently():
+    proc, handle = make_proc(buffer_ms=5000)
+    feed(proc, "o2", [ev("o2", "created", 0)], now_ms=10_000)
+    out = expire(proc, "o2", 15_000)
+    assert out.empty
+    assert not handle.state.exists()
+
+
+def test_proc_first_wins_across_batches():
+    proc, handle = make_proc(buffer_ms=5000)
+    first = json.dumps({"which": "first"})
+    late = json.dumps({"which": "late"})
+    feed(
+        proc,
+        "o3",
+        [ev("o3", "created", 0, first), ev("o3", "created", 1, late)],
+        now_ms=10_000,
+    )
+    feed(proc, "o3", [ev("o3", "created", 2, late)], now_ms=11_000)
+    feed(
+        proc,
+        "o3",
+        [ev("o3", "placed", 3), ev("o3", "cancelled", 4)],
+        now_ms=12_000,
+    )
+    p = payloads(expire(proc, "o3", 15_000))["o3"]
+    assert p["events"][0]["order_details"] == {"which": "first"}
+
+
+def test_proc_stale_flush_emits_old_buffer_and_cancels_its_timer():
+    # the TWS-native edge: the superseded buffer's timer must be DELETED,
+    # or it fires at 15 000 and expires the fresh buffer 5 s early
+    proc, handle = make_proc(buffer_ms=5000)
+    feed(
+        proc,
+        "o4",
+        [
+            ev("o4", "created", 0),
+            ev("o4", "placed", 1),
+            ev("o4", "cancelled", 2),
+        ],
+        now_ms=10_000,
+    )
+    out = feed(
+        proc,
+        "o4",
+        [ev("o4", "created", 9, json.dumps({"late": True}))],
+        now_ms=16_000,  # past the 15 000 deadline, timer not yet fired
+    )
+    p = payloads(out)["o4"]
+    assert p["events"][0]["order_details"] == {"seq": 0}  # ORIGINAL buffer
+    assert handle.deleted == [15_000]
+    assert handle.timers == [21_000]  # only the fresh buffer's timer
+    assert handle.state.get()[0] == 21_000
+    assert json.loads(handle.state.get()[1][3]) == {"late": True}
+
+
+def test_proc_stale_flush_incomplete_old_buffer_drops():
+    proc, handle = make_proc(buffer_ms=5000)
+    feed(proc, "o5", [ev("o5", "created", 0)], now_ms=10_000)
+    out = feed(proc, "o5", [ev("o5", "placed", 1)], now_ms=20_000)
+    assert out.empty  # incomplete old buffer dropped silently
+    assert handle.state.get()[0] == 25_000
+    created = handle.state.get()[1]
+    assert created is None or created[1] is None  # no created in new buffer
+    assert handle.state.get()[2][1] == "placed"
+
+
+def test_proc_stale_timer_guard_keeps_fresh_buffer():
+    # defensive: an expiry older than the live buffer's deadline is a
+    # superseded timer — it must not emit or clear the fresh buffer
+    proc, handle = make_proc(buffer_ms=5000)
+    feed(proc, "o6", [ev("o6", "created", 0)], now_ms=20_000)  # deadline 25s
+    out = expire(proc, "o6", 15_000, now_ms=20_500)
+    assert out.empty
+    assert handle.state.exists()
+    assert handle.state.get()[0] == 25_000
+
+
+def test_proc_unknown_types_ignored():
+    proc, handle = make_proc(buffer_ms=5000)
+    feed(proc, "o7", [ev("o7", "bogus", 0)], now_ms=10_000)
+    assert not handle.state.exists()
+    assert handle.timers == []  # unknown type alone never starts a buffer
+
+
+# ---------------------------------------------------------------------------
+# Layer 2: end-to-end under the RocksDB provider TWS requires
+# ---------------------------------------------------------------------------
+
+
+def write_batch(src_dir, rows, batch_no):
+    table = pa.table({k: [r[i] for r in rows] for i, k in enumerate(COLS)})
+    pq.write_table(table, f"{src_dir}/batch-{batch_no:04d}.parquet")
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("google") is None
+    or importlib.util.find_spec("google.protobuf") is None,
+    reason="TWS state-server protocol needs the protobuf runtime "
+    "(pyspark[connect] extra); processor semantics are covered by the "
+    "deterministic layer-1 tests above",
+)
+def test_e2e_tws_complete_emits_incomplete_drops(spark, tmp_path):
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        events = spark.readStream.schema(SCHEMA).parquet(str(src))
+        query = (
+            unify_stream_tws(events, buffer_ms=BUFFER_MS)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            first = json.dumps({"which": "first"})
+            late = json.dumps({"which": "late"})
+            write_batch(
+                src,
+                [
+                    # w1: complete, shuffled, with duplicate created
+                    ev("w1", "cancelled", 2),
+                    ev("w1", "created", 0, first),
+                    ev("w1", "created", 1, late),
+                    ev("w1", "placed", 1),
+                    # w2: incomplete — must never emit
+                    ev("w2", "created", 0),
+                ],
+                0,
+            )
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if query.exception():
+                    raise query.exception()
+                if spark.table(name).count() >= 1:
+                    break
+                time.sleep(0.3)
+            out = {
+                r.order_id: json.loads(r.payload)
+                for r in spark.table(name).collect()
+            }
+            assert "w1" in out
+            assert [e["type"] for e in out["w1"]["events"]] == [
+                "created",
+                "placed",
+                "cancelled",
+            ]
+            assert out["w1"]["events"][0]["order_details"] == {
+                "which": "first"
+            }
+            # settle two more buffer windows: w2 stays dropped
+            time.sleep(2 * BUFFER_MS / 1000)
+            assert "w2" not in {
+                r.order_id for r in spark.table(name).collect()
+            }
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
