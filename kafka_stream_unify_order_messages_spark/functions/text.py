@@ -210,3 +210,62 @@ def hex_hash64(col: Column | str, bits_hex: int = 15) -> Column:
 def hex_hash32(col: Column | str) -> Column:
     """32-bit variant (first 8 md5 hex digits)."""
     return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+
+
+# PII scrubbing patterns: deliberately simple, deterministic, and shared
+# verbatim with the DuckDB oracle. Real pipelines extend the pattern set;
+# the operator shape (chained regexp_replace + regexp_count, all codegen)
+# is what matters at scale.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b555-[0-9]{4}\b"
+
+
+def pii_counts(text: Column | str) -> Column:
+    """(n_emails, n_phones) struct — counts BEFORE scrubbing."""
+    t = _c(text)
+    return F.struct(
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+    )
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Mask emails/phones with typed placeholder tokens. Pure
+    regexp_replace (global), so the scrub stays inside codegen on a
+    full-corpus scan."""
+    t = _c(text)
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+
+
+def bigram_repetition(text: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of word-bigram instances
+    that are repeats of an earlier bigram in the same document
+    (1 - distinct/total; 0.0 for docs with < 2 tokens).
+
+    Scan-local. The token array is let-bound through a lambda variable so
+    the regexp split runs once per document, not once per bigram
+    (interpreted higher-order functions do no CSE — see
+    operators/dedup.py:shingles_from_tokens).
+    """
+
+    def rep(tk: Column) -> Column:
+        n_bi = F.size(tk) - 1
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+            ),
+        )
+        return F.when(
+            n_bi > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(bigrams)) / n_bi.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(tokens(text)), rep), 1)

@@ -77,3 +77,39 @@ def clean_corpus(
             "quality",
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a benchmark/eval set (the standard pretraining hygiene
+    step; n=8..13 in practice).
+
+    Returns (id, n_hits) for contaminated docs, n_hits = number of
+    distinct overlapping n-grams.
+
+    Scale shape: the benchmark gram set is the SMALL side — distinct'd
+    and broadcast, so the 100 TB corpus side is one scan + one explode
+    with no shuffle until the per-doc count (grouped on id). The corpus
+    is never self-joined.
+    """
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        _exploded_shingles,
+    )
+
+    corpus_grams = _exploded_shingles(docs, id_col, text_col, ngram_n)
+    bench_grams = F.broadcast(
+        _exploded_shingles(benchmark, id_col, text_col, ngram_n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_grams.join(bench_grams, "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )

@@ -924,3 +924,139 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality signal (Gopher-style): fraction of word-bigram
+# instances that repeat an earlier bigram — scan-local, zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_ratio",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS tk FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(tk) - 1 > 0
+            THEN round(1.0 - len(list_distinct(list_transform(
+                     generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1])))
+                 / CAST(len(tk) - 1 AS DOUBLE), 6)
+            ELSE 0.0 END AS repetition
+FROM toks
+""",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.bigram_repetition("text").alias("repetition")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: mask emails/phones with typed placeholders. The corpus is
+# synthetic word-salad, so deterministic PII spans are injected first
+# (keyed on doc_id) — the scrub itself is the operator under test.
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com now'
+            WHEN doc_id % 11 = 0
+            THEN text || ' call 555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+@query(
+    "pii_scrub",
+    f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(text, '\\b555-[0-9]{{4}}\\b')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
+           'g'), '\\b555-[0-9]{{4}}\\b', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = T.pii_counts("text")
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(T.scrub_pii("text")).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing any word 4-gram with the
+# (deterministic) benchmark subset. Benchmark gram set broadcasts; the
+# corpus side is one scan + explode, shuffled only for the per-doc count.
+# ---------------------------------------------------------------------------
+
+_GRAMS4 = f"""
+CASE WHEN len({_TOKS}) >= 4
+     THEN list_distinct(list_transform(
+              generate_series(1, len({_TOKS}) - 3),
+              i -> array_to_string(list_slice({_TOKS}, i, i + 3), ' ')))
+     ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+@query(
+    "decontaminate",
+    f"""
+WITH grams AS (
+    SELECT doc_id, unnest({_GRAMS4}) AS shingle FROM documents
+), bench AS (
+    SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0
+)
+SELECT doc_id, count(DISTINCT shingle) AS n_hits
+FROM grams JOIN bench USING (shingle)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+""",
+)
+def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        decontaminate,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, ngram_n=4)

@@ -898,3 +898,129 @@ def scalar_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("o_orderpriority").cast("long").alias("prio_len"),
         F.floor(F.col("o_totalprice") / 100.0).cast("long").alias("price_hundreds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count-per-customer distribution (left outer join
+# preserving zero-order customers, then a histogram of the counts).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cust_order_distribution",
+    """
+WITH c_orders AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+)
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders — orders whose total quantity
+# exceeds a threshold, joined back to customer. The IN-subquery form
+# becomes aggregate -> filter -> two broadcast-able joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "big_orders",
+    """
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    # `big` is the post-aggregate, post-filter side — tiny; broadcasting
+    # it turns both probe joins into broadcast hash joins over one
+    # orders/customer scan each (no shuffle of the fact tables)
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: "idle rich customers" — above-average account balance
+# (scalar subquery) with no URGENT order (anti join on a filtered fact
+# side; in this synthetic data every customer has *some* order), grouped
+# by segment.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "idle_rich_customers",
+    """
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    # scalar subquery -> a literal computed by a 1-row aggregate; Spark
+    # supports correlated scalar subqueries in SQL, but expressing it as
+    # a cross-joined 1-row frame keeps the whole plan in one DataFrame
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    idle_rich = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return idle_rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

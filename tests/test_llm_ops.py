@@ -112,3 +112,72 @@ def test_lsh_buckets_group_similar_vectors(vectors):
     }
     assert buckets[1] == buckets[2]  # nearly parallel -> same signature
     assert buckets[1] != buckets[4]  # antipodal -> different signature
+
+
+def test_bigram_repetition_values(spark):
+    rows = [
+        (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> 2 distinct of 5
+        (2, "w x y z"),            # all distinct -> 0.0
+        (3, "solo"),               # < 2 tokens -> 0.0
+        (4, ""),                   # empty -> 0.0
+        (5, "r r r r r"),          # all same bigram -> 3/4 repeated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", T.bigram_repetition("text").alias("rep")
+        ).collect()
+    }
+    assert out[1] == 0.6  # 1 - 2/5
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    assert out[4] == 0.0
+    assert out[5] == 0.75  # 1 - 1/4
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    rows = [
+        (1, "mail me at a.user+x@site.co or b@x.io thanks"),
+        (2, "call 555-0199 or 555-1234 now"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.scrub_pii("text").alias("scrubbed"),
+            T.pii_counts("text").alias("c"),
+        ).collect()
+    }
+    assert out[1]["scrubbed"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[1]["c"]["n_emails"] == 2 and out[1]["c"]["n_phones"] == 0
+    assert out[2]["scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert out[2]["c"]["n_phones"] == 2
+    assert out[3]["scrubbed"] == "nothing sensitive here"
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 4-gram "alpha beta gamma delta"
+            (1, "intro alpha beta gamma delta outro"),
+            # shares words but no 4-gram
+            (2, "alpha beta something gamma delta"),
+            (3, "totally unrelated text right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, bench, ngram_n=4).collect()
+    }
+    assert out == {1: 1}
