@@ -108,8 +108,11 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
+    # shingles are distinct per doc by construction (array_distinct in
+    # shingles_from_tokens), so a plain count is the distinct-gram count —
+    # count_distinct would add a second corpus-side exchange for nothing
     return (
         corpus_grams.join(bench_grams, "shingle")
         .groupBy(id_col)
-        .agg(F.count_distinct("shingle").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -1024,3 +1024,45 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the general form rollup/cube specialize):
+# per-(type,bucket) cells plus per-type and per-bucket margins — but NOT
+# the grand total, which neither rollup nor cube can omit. Uses the SQL
+# surface directly; grouping_id() disambiguates margin rows from real
+# NULL-valued groups on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_agg",
+    """
+SELECT coalesce(event_type, '<margin>') AS event_type,
+       coalesce(CAST(user_id % 7 AS VARCHAR), '<margin>') AS user_bucket,
+       CAST(grouping(event_type) * 2 + grouping(user_id % 7) AS BIGINT)
+           AS gid,
+       count(*) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY GROUPING SETS ((event_type, user_id % 7), (event_type),
+                        (user_id % 7))
+""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<margin>') AS event_type,
+               coalesce(CAST(user_id % 7 AS STRING), '<margin>')
+                   AS user_bucket,
+               CAST(grouping(event_type) * 2 + grouping(user_id % 7)
+                   AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type, user_id % 7), (event_type),
+                                (user_id % 7))
+        """
+    )

@@ -84,3 +84,37 @@ def test_metadata_ops_prune_payload_column(spark):
     assert m
     read_cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
     assert "text" in read_cols and "lang" not in read_cols
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    # the benchmark gram set is the small side — it must broadcast so the
+    # corpus side never shuffles before the per-doc count
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # two hash exchanges total: the per-doc count on the corpus side and
+    # the distinct on the (small) benchmark side before its broadcast;
+    # round-robin scan splits tolerated as in minhash
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_big_orders_broadcasts_filtered_aggregate(spark):
+    # IN-subquery shape: the post-aggregate, post-HAVING side broadcasts
+    # into both probe joins — the orders/customer scans never shuffle
+    plan = plan_of(spark, "big_orders")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_ratio_scan_local(spark):
+    # pure per-row expression work: no exchange at all
+    plan = plan_of(spark, "repetition_ratio")
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_idle_rich_anti_join_broadcasts(spark):
+    # scalar subquery (1-row aggregate) and the anti join's build side are
+    # both broadcast; the only hash exchange feeds the final segment agg
+    plan = plan_of(spark, "idle_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
