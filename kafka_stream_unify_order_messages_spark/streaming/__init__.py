@@ -13,6 +13,9 @@ from kafka_stream_unify_order_messages_spark.streaming.joins import (
     dedup_within_watermark,
     stream_stream_join,
 )
+from kafka_stream_unify_order_messages_spark.streaming.ingest import (
+    clean_corpus_stream,
+)
 from kafka_stream_unify_order_messages_spark.streaming.windowed import (
     session_windows,
     tumbling_counts,
@@ -30,4 +33,5 @@ __all__ = [
     "session_windows",
     "stream_stream_join",
     "dedup_within_watermark",
+    "clean_corpus_stream",
 ]

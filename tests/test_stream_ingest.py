@@ -1,0 +1,73 @@
+"""Streaming corpus ingest (streaming/ingest.py): quality gate + bounded
+content-hash dedup, end-to-end through a file source and memory sink.
+Event-time based (watermark dedup), so processAllAvailable settles.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_stream_unify_order_messages_spark.streaming import (
+    clean_corpus_stream,
+)
+
+COLS = ["doc_id", "text", "ingest_ts"]
+SCHEMA = "doc_id long, text string, ingest_ts string"
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and keeps running through "
+    "the quiet field while the morning light slowly fills the open sky with "
+    "warm color and the day begins to take its familiar shape once more "
+) * 3  # comfortably past the length-score knee
+
+
+def write_batch(src_dir, rows, batch_no):
+    table = pa.table({k: [r[i] for r in rows] for i, k in enumerate(COLS)})
+    pq.write_table(table, f"{src_dir}/batch-{batch_no:04d}.parquet")
+
+
+def test_stream_ingest_quality_gate_and_dedup(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"ingest_{uuid.uuid4().hex[:8]}"
+    docs = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        clean_corpus_stream(docs, quality_threshold=0.4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        write_batch(
+            src,
+            [
+                (1, GOOD, "2026-01-01T00:00:00Z"),
+                # exact duplicate modulo case/whitespace: dropped
+                (2, GOOD.upper() + "  ", "2026-01-01T00:00:01Z"),
+                # junk: too short, fails the quality gate
+                (3, "x", "2026-01-01T00:00:02Z"),
+                # distinct good doc: kept
+                (4, GOOD + " with an extra distinct tail sentence here",
+                 "2026-01-01T00:00:03Z"),
+            ],
+            0,
+        )
+        query.processAllAvailable()
+        rows = {r["doc_id"]: r for r in spark.table(name).collect()}
+        assert set(rows) == {1, 4}
+        assert rows[1]["n_tokens"] > 50
+        assert rows[1]["quality"] >= 0.4
+        assert rows[1]["content_hash"] is not None
+
+        # a re-send of doc 1's content within the watermark window is
+        # still a duplicate (state not yet expired)
+        write_batch(src, [(5, GOOD, "2026-01-01T00:00:04Z")], 1)
+        query.processAllAvailable()
+        assert 5 not in {r["doc_id"] for r in spark.table(name).collect()}
+    finally:
+        query.stop()
