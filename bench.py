@@ -53,11 +53,18 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
+    # best-of-N (default 2): a single-shot timing is hostage to transient
+    # machine load / GC pauses; the minimum is the reproducible cost of
+    # the plan. Same plan both runs — only execution is repeated.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, fn in registry.QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
