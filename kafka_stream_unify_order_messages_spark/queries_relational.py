@@ -1066,3 +1066,95 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (user_id % 7))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated min — for each part, the supplier(s) whose
+# mean unit price is the part's minimum. The correlated subquery becomes
+# a window min over the per-(part,supplier) aggregate: one shuffle, no
+# join back to the fact table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "min_cost_supplier",
+    """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           round(sum(l_extendedprice) / sum(l_quantity), 4) AS unit_price
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT p.l_partkey AS partkey, p.l_suppkey AS suppkey, p.unit_price,
+       s.s_name
+FROM ps p
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.unit_price = (SELECT min(unit_price) FROM ps p2
+                      WHERE p2.l_partkey = p.l_partkey)
+  AND p.l_partkey % 50 = 0
+""",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    ps = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum("l_extendedprice") / F.sum("l_quantity"), 4
+            ).alias("unit_price")
+        )
+    )
+    # correlated `= (SELECT min ... WHERE p2.partkey = p.partkey)` as a
+    # window min — evaluated on the already-aggregated frame, so the
+    # second pass over lineitem the subquery implies never happens
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("_min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("_min_price"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "unit_price",
+            "s_name",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: groups whose share of a global total exceeds a
+# threshold — scalar subquery in HAVING, evaluated as a broadcast 1-row
+# cross join against the per-group aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "significant_parts",
+    """
+SELECT l_partkey AS partkey,
+       round(sum(l_extendedprice), 2) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice) > (
+    SELECT 0.0005 * sum(l_extendedprice) FROM lineitem
+)
+""",
+)
+def significant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("_raw_value")
+    )
+    total = li.agg(
+        (F.sum("l_extendedprice") * 0.0005).alias("_threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_raw_value") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("_raw_value", 2).alias("part_value"),
+        )
+    )
