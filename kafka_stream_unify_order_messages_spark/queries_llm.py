@@ -1060,3 +1060,47 @@ def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(corpus, bench, ngram_n=4)
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: symmetric per-vector scale, half-up
+# rounding (floor(x/s + 0.5) — engine-portable, unlike round()'s x.5
+# behavior on doubles). Output flattened to (vec_id, scale, pos, qv) for
+# hash-stable oracle comparison. Scan-local; 4x byte reduction before
+# embeddings ship to trainers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize",
+    """
+WITH scaled AS (
+    SELECT vec_id,
+           round(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0, 9) AS scale,
+           list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS raw_scale,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id, scale,
+       CAST(i AS INTEGER) AS pos,
+       CASE WHEN raw_scale > 0
+            THEN CAST(floor(CAST(embedding[i] AS DOUBLE) / raw_scale + 0.5)
+                 AS INTEGER)
+            ELSE 0 END AS qv
+FROM scaled, unnest(generate_series(1, len(embedding))) AS t(i)
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions.vectors import (
+        quantize_int8,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qz = emb.select("vec_id", quantize_int8("embedding").alias("_qz"))
+    return qz.select(
+        "vec_id",
+        F.col("_qz.scale").alias("scale"),
+        F.posexplode(F.col("_qz.q")).alias("pos", "qv"),
+    ).withColumn("pos", F.col("pos") + 1)

@@ -181,3 +181,40 @@ def test_decontaminate_flags_overlapping_docs(spark):
         for r in decontaminate(corpus, bench, ngram_n=4).collect()
     }
     assert out == {1: 1}
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from kafka_stream_unify_order_messages_spark.functions.vectors import (
+        dequantize,
+        quantize_int8,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero codes
+        (3, [127.0, -127.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qz = df.select(
+        "vec_id",
+        "embedding",
+        quantize_int8("embedding").alias("qz"),
+    )
+    out = {r["vec_id"]: r for r in qz.collect()}
+    assert out[2]["qz"]["scale"] == 0.0
+    assert out[2]["qz"]["q"] == [0, 0, 0, 0]
+    assert out[3]["qz"]["q"] == [127, -127, 1, -1]
+    assert max(abs(q) for q in out[1]["qz"]["q"]) == 127  # max|x| -> ±127
+
+    # dequantized error is bounded by scale/2 per element (plus the slack
+    # from the stored scale being rounded to 9 decimals: up to 127*5e-10
+    # per code, and the half-up rounding itself sits exactly on the bound)
+    deq = qz.select(
+        "vec_id",
+        "embedding",
+        F.col("qz.scale").alias("s"),
+        dequantize(F.col("qz.scale"), F.col("qz.q")).alias("xhat"),
+    )
+    for r in deq.collect():
+        for x, xh in zip(r["embedding"], r["xhat"]):
+            assert abs(x - xh) <= (r["s"] / 2) + 1e-6
