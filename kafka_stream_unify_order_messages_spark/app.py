@@ -33,6 +33,7 @@ from kafka_stream_unify_order_messages_spark.sources.kafka import (
 from kafka_stream_unify_order_messages_spark.streaming import (
     unify_stream,
     unify_stream_event_time,
+    unify_stream_tws,
 )
 
 
@@ -47,6 +48,9 @@ class UnifyConfig:
     trigger_interval: str = "1 second"  # punctuation cadence parity
     checkpoint_location: str = "/tmp/spark-unify-checkpoint"
     event_time_mode: bool = False  # replay-deterministic alternative
+    # v2 stateful API (transformWithStateInPandas): explicit per-key
+    # timers; requires the RocksDB state store + protobuf runtime
+    use_tws: bool = False
     strict_serde: bool = False  # reference parity: die on malformed input
     sasl_jaas: str | None = None
     # RocksDB state store: the at-scale choice (SURVEY.md §4.3) matching
@@ -94,6 +98,8 @@ def unify_topology(raw: DataFrame, cfg: UnifyConfig) -> DataFrame:
     slim = normalized.select("order_id", "type", "timestamp", "order_details")
     if cfg.event_time_mode:
         return unify_stream_event_time(slim, buffer_ms=cfg.buffer_ms)
+    if cfg.use_tws:
+        return unify_stream_tws(slim, buffer_ms=cfg.buffer_ms)
     return unify_stream(slim, buffer_ms=cfg.buffer_ms)
 
 

@@ -344,3 +344,50 @@ def test_e2e_tws_complete_emits_incomplete_drops(spark, tmp_path):
             query.stop()
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_topology_builds_with_tws_mode(spark):
+    # plan construction (analysis) only — starting the query needs the
+    # protobuf runtime; schema and streaming-ness must match the v1 mode
+    from kafka_stream_unify_order_messages_spark.app import (
+        UnifyConfig,
+        unify_topology,
+    )
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            F_value(),
+            F_topic(),
+        )
+    )
+    out = unify_topology(raw, UnifyConfig(use_tws=True))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "order_id",
+        "n_events",
+        "payload",
+    ]
+
+
+def F_value():
+    import pyspark.sql.functions as F
+
+    return F.to_json(
+        F.struct(
+            F.expr("uuid()").alias("order-id"),
+            F.lit("created").alias("type"),
+            F.date_format(
+                F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+            ).alias("timestamp"),
+            F.lit("{}").alias("order_details"),
+        )
+    ).cast("binary").alias("value")
+
+
+def F_topic():
+    import pyspark.sql.functions as F
+
+    return F.lit("order-created").alias("topic")
