@@ -152,3 +152,70 @@ def test_generator_validation_parity():
         generate_order_events(1, missing_probability=0.5, duplicate_probability=0.5)
     with pytest.raises(ValueError):
         generate_order_events(1, missing_probability=1.5)
+
+
+# ---------------------------------------------------------------------------
+# 3. the SAME interleaving property over the v2 (TWS) processor — both
+# stateful implementations must satisfy identical semantics
+# ---------------------------------------------------------------------------
+
+
+def run_plan_tws(plan):
+    from tests.test_unify_tws import (
+        FakeExpiredTimer,
+        FakeHandle,
+        FakeTimerValues,
+    )
+    from kafka_stream_unify_order_messages_spark.streaming.unify_tws import (
+        OrderUnifyProcessor,
+    )
+
+    proc = OrderUnifyProcessor(buffer_ms=5000)
+    handle = FakeHandle()
+    proc.init(handle)
+    now = 50_000
+
+    batches: list[list[tuple]] = [[]]
+    for i, (etype, new_batch) in enumerate(plan):
+        if new_batch and batches[-1]:
+            batches.append([])
+        batches[-1].append(("o", etype, f"t{i}", json.dumps({"arrival": i})))
+
+    emissions = []
+    for batch in batches:
+        pdfs = iter([pd.DataFrame(batch, columns=COLS)])
+        emissions += list(
+            proc.handleInputRows(("o",), pdfs, FakeTimerValues(now))
+        )
+        now += 100  # well inside the window
+
+    for deadline in list(handle.timers):
+        emissions += list(
+            proc.handleExpiredTimer(
+                ("o",), FakeTimerValues(deadline), FakeExpiredTimer(deadline)
+            )
+        )
+
+    firsts = {}
+    for i, (etype, _) in enumerate(plan):
+        if etype in REQUIRED and etype not in firsts:
+            firsts[etype] = i
+    return emissions, firsts
+
+
+@settings(max_examples=60, deadline=None)
+@given(deliveries)
+def test_tws_processor_matches_v1_semantics(plan):
+    emissions, firsts = run_plan_tws(plan)
+    types_seen = set(firsts)
+
+    if types_seen == set(REQUIRED):
+        assert len(emissions) == 1
+        [payload] = [
+            json.loads(p) for df in emissions for p in df["payload"]
+        ]
+        assert [e["type"] for e in payload["events"]] == list(REQUIRED)
+        for e in payload["events"]:
+            assert e["order_details"] == {"arrival": firsts[e["type"]]}
+    else:
+        assert emissions == []
