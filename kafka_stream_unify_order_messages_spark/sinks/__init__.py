@@ -15,3 +15,7 @@ __all__ = [
     "write_partitioned_parquet",
     "parquet_stream_writer",
 ]
+from kafka_stream_unify_order_messages_spark.sinks.monitor import (
+    ProgressMonitor,
+    attach_monitor,
+)

@@ -69,3 +69,54 @@ def test_observed_metrics_batch(spark):
     # semantics identical, side-channel only — data unchanged
     assert observed.columns == df.columns
     assert observed.count() == 2
+
+
+def test_progress_monitor_collects_batches_and_state(spark, tmp_path):
+    from kafka_stream_unify_order_messages_spark.sinks.monitor import (
+        attach_monitor,
+    )
+    from kafka_stream_unify_order_messages_spark.streaming import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "k": ["a", "a", "b", "c"],
+                "timestamp": ["2026-01-01T00:00:0%d.000Z" % i for i in range(4)],
+            }
+        ),
+        f"{src}/batch-0000.parquet",
+    )
+    monitor = attach_monitor(spark)
+    name = f"mon_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema("k string, timestamp string").parquet(
+        str(src)
+    )
+    deduped = dedup_within_watermark(stream, ["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # listener delivery is async: poll until the batch shows up
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            t = monitor.totals()
+            if t["input_rows"] >= 4 and t["max_state_rows"]:
+                break
+            time.sleep(0.3)
+        t = monitor.totals()
+        assert t["batches"] >= 1
+        assert t["input_rows"] >= 4
+        # dedup state holds the 3 distinct keys
+        assert t["max_state_rows"] == 3
+    finally:
+        q.stop()
+        spark.streams.removeListener(monitor)
