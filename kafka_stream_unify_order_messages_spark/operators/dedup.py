@@ -379,3 +379,59 @@ def simhash(
         )
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over candidate pairs (id_a, id_b): returns
+    (doc_id, cluster_id) where cluster_id = min doc id in the component —
+    the canonical-copy rule real dedup pipelines apply per CLUSTER, not
+    per pair (A~B, B~C must keep only one of {A,B,C}).
+
+    Min-label propagation: each iteration every node adopts the minimum
+    label among itself and its neighbors; converges in O(component
+    diameter) iterations. Near-dup components are small and shallow
+    (diameter a few hops), so a handful of shuffle rounds suffice at any
+    corpus size — each round is one join + one aggregate on (id, label)
+    pairs, never document bodies. For adversarially deep graphs swap in
+    the large-star/small-star variant; ``max_iter`` bounds the work and
+    convergence is checked per round (one count() action each).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

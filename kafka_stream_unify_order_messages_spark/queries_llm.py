@@ -1104,3 +1104,54 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_qz.scale").alias("scale"),
         F.posexplode(F.col("_qz.q")).alias("pos", "qv"),
     ).withColumn("pos", F.col("pos") + 1)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the minhash candidate
+# pairs — the per-CLUSTER canonical-copy rule (A~B, B~C keeps one of
+# {A,B,C}, which pairwise dedup alone cannot express). Spark side is
+# min-label propagation (O(diameter) shuffle rounds); the oracle walks
+# the transitive closure with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = f"""
+WITH sig AS ({_SIGNATURE_SQL}),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
+    FROM sig
+    GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "dedup_cluster_labels",
+    f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach
+GROUP BY src
+""",
+)
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3
+    )
+    return D.dedup_clusters(pairs)

@@ -218,3 +218,27 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     for r in deq.collect():
         for x, xh in zip(r["embedding"], r["xhat"]):
             assert abs(x - xh) <= (r["s"] / 2) + 1e-6
+
+
+def test_dedup_clusters_transitive_components(spark):
+    # A~B, B~C, D~E: components {1,2,3} and {10,11}; labels = component min
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_chain_converges_within_diameter(spark):
+    # a 6-node path: min label must walk the whole chain
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs, max_iter=10).collect()
+    }
+    assert set(out.values()) == {0}
