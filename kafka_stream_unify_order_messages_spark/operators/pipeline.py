@@ -63,10 +63,17 @@ def clean_corpus(
     pairs = D.minhash_candidate_pairs(
         exact, id_col, text_col, num_hashes, bands, shingle_n
     )
+    # cluster-based removal: keep exactly ONE doc per connected component
+    # of the candidate graph — per-pair removal (drop every id_b) under-
+    # removes on transitive chains, e.g. pairs (2,3),(1,3) would keep
+    # both 1 and 2 though they share a component through 3
+    clusters = D.dedup_clusters(pairs)
     # near-dup losers are a tiny fraction of the corpus: broadcast the
     # anti-join instead of sort-merging the full corpus against them
     losers = F.broadcast(
-        pairs.select(F.col("id_b").alias(id_col)).distinct()
+        clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
     )
 
     return (

@@ -567,7 +567,7 @@ def _clean_corpus_sql(threshold: float = 0.4) -> str:
 
     quality_sql = ORACLES["quality_scores"]
     return f"""
-WITH q AS (
+WITH RECURSIVE q AS (
     SELECT d.doc_id, d.text, qq.quality
     FROM documents d JOIN ({quality_sql}) qq USING (doc_id)
     WHERE qq.quality >= {threshold}
@@ -596,11 +596,25 @@ WITH q AS (
            md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
                AS band_key
     FROM sig GROUP BY doc_id, seed // 4
-), losers AS (
-    SELECT DISTINCT b.doc_id AS id_b
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
     WHERE a.doc_id < b.doc_id
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), losers AS (
+    -- cluster-based: every non-minimum member of a connected component
+    -- (per-pair removal under-removes on transitive chains)
+    SELECT src AS id_b FROM reach
+    GROUP BY src
+    HAVING least(src, min(dst)) <> src
 )
 SELECT e.doc_id, len({_TOKS}) AS n_tokens, e.quality
 FROM exact e
