@@ -1158,3 +1158,483 @@ def significant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_raw_value", 2).alias("part_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral shipping volume between two nations, by the
+# supplier-nation x customer-nation pair and ship year. The nation pair
+# predicate is a disjunction across the two joined dimensions; both
+# nation lookups broadcast, so the only shuffles are the lineitem-orders
+# join and the final partial-aggregatable groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_volume_shipping",
+    """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — one nation's fraction of a
+# region's revenue for one part type, per order year. The per-year ratio
+# of two sums is computed in a single aggregate pass (conditional sum /
+# total sum), not two scans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "national_market_share",
+    """
+WITH all_n AS (
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM all_n
+GROUP BY o_year
+""",
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # customer-side nation restricted to the region BEFORE the join: the
+    # region filter prunes the broadcast build side, not the fact scan
+    cust_nation = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cust_nation, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and year. The
+# reference dataset has no partsupp table, so supply cost is proxied by
+# p_retailprice * l_quantity * 0.4 (same plan shape: 4-way join + LIKE
+# filter on part name + two-key aggregate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "product_profit",
+    """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.4 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — top 20 customers by revenue
+# lost to returns in one quarter. Deterministic top-k via row_number over
+# the rounded revenue (same discipline as top_orders_by_revenue).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "returned_item_customers",
+    """
+WITH rev AS (
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+SELECT c_custkey, c_name, c_acctbal, nation, revenue
+FROM (
+    SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+    FROM rev
+)
+WHERE rnk <= 20
+""",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier counts per part attribute bucket,
+# excluding a supplier blacklist (NOT IN -> broadcast left-anti join; the
+# dataset has no partsupp, so supplier-part pairs come from lineitem).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_supplier_counts",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#10'
+  AND p.p_size IN (5, 10, 15, 20, 25, 30)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#10")
+            & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+        )
+    )
+    bad_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity bands.
+# The part-side conjuncts (brand, size) reduce the broadcast build side;
+# the cross-side OR is evaluated post-join. Catalyst extracts the common
+# l_quantity <= 30 bound for scan-level pushdown.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "banded_discount_revenue",
+    """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def banded_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # only the three named brands can ever satisfy the OR: prune the
+    # broadcast build side to them before the join
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand").isin("Brand#2", "Brand#3", "Brand#4")
+        )
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with excess shipped volume of one part
+# family — a semi-join chain gated by a global scalar threshold (no
+# partsupp availqty in this dataset, so the threshold is half the mean
+# shipped quantity across (supplier, part) pairs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "excess_volume_suppliers",
+    """
+WITH shipped AS (
+    SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'small%'
+    GROUP BY l.l_suppkey, l.l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE qty > (SELECT 0.5 * avg(qty) FROM shipped)
+)
+""",
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    )
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = shipped.agg((0.5 * F.avg("qty")).alias("_thr"))
+    over = (
+        shipped.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("_thr"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        F.broadcast(over), supp.s_suppkey == over.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept finished orders waiting — the only
+# late shipper in a multi-supplier order. No commit/receipt dates in this
+# dataset: "late" = shipped > 60 days after the order date. EXISTS
+# (another supplier in the order) and NOT EXISTS (another LATE supplier)
+# become left-semi / left-anti self-joins of lineitem on the order key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "waiting_suppliers",
+    """
+WITH li AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+), sole_late AS (
+    SELECT DISTINCT a.l_orderkey, a.l_suppkey
+    FROM li a
+    WHERE a.late
+      AND EXISTS (SELECT 1 FROM li b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey AND c.late)
+)
+SELECT s.s_name, count(*) AS numwait
+FROM sole_late sl
+JOIN supplier s ON s.s_suppkey = sl.l_suppkey
+GROUP BY s.s_name
+""",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    # per-order supplier profile in ONE aggregate instead of two
+    # self-joins: a late supplier is "sole late in a multi-supplier
+    # order" iff the order has >1 distinct supplier and exactly one
+    # distinct late supplier — computed from a single shuffle of li.
+    profile = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("supps"),
+        F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supps"
+        ),
+    )
+    sole = profile.filter(
+        (F.size("supps") > 1) & (F.size("late_supps") == 1)
+    ).select(F.explode("late_supps").alias("l_suppkey"), "l_orderkey")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        sole.join(supp, sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
