@@ -12,7 +12,7 @@ to signatures + the band equi-join); the final anti-join shuffles only
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from kafka_stream_unify_order_messages_spark.functions import text as T
@@ -122,4 +122,71 @@ def decontaminate(
         corpus_grams.join(bench_grams, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+) -> DataFrame:
+    """Corpus-global line-level exact dedup (the C4/RefinedWeb "remove
+    repeated lines across documents" step). Documents are split into
+    deterministic ``chunk_words``-word windows (the corpus has no
+    newlines, so fixed word windows play the role of lines); each chunk
+    survives only at its globally-first occurrence — ordered by
+    (doc id, position) — and every document is reassembled from its
+    surviving chunks in original order.
+
+    Returns (id, clean_text, n_kept, n_dropped).
+
+    Scale: the first-occurrence choice partitions by a 128-bit digest of
+    the chunk (never the chunk text, which would skew on hot lines and
+    ship full strings through the exchange); reassembly shuffles (id,
+    position, chunk) — both shuffles are O(corpus tokens), nothing is
+    quadratic and no state lives on the driver.
+    """
+    w = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    # posexplode(transform(...)) evaluates the split once per row; slice
+    # inside the lambda copies O(chunk_words) per chunk, which is the
+    # output size anyway — no quadratic blowup (cf. verify recipe note)
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(w, i * chunk_words + 1, chunk_words), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(first))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
     )

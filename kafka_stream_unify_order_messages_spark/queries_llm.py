@@ -1169,3 +1169,46 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=16, bands=4, shingle_n=3
     )
     return D.dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (C4-style "remove repeated lines across docs"):
+# fixed 12-word windows stand in for lines; each chunk survives only at
+# its globally-first (doc_id, position) occurrence; docs reassembled.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "line_dedup",
+    """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(w, i * 12 + 1, i * 12 + 12), ' ')
+               AS chunk
+    FROM toks,
+         unnest(generate_series(
+             0, CAST(ceil(len(w) / 12.0) AS BIGINT) - 1)) AS t(i)
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+    ) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                           ' ' ORDER BY chunk_idx), '') AS clean_text,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       count(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        dedup_lines,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_lines(docs, "doc_id", "text", chunk_words=12)

@@ -242,3 +242,42 @@ def test_dedup_clusters_chain_converges_within_diameter(spark):
         for r in D.dedup_clusters(pairs, max_iter=10).collect()
     }
     assert set(out.values()) == {0}
+
+
+def test_dedup_lines_removes_cross_doc_repeats(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        dedup_lines,
+    )
+
+    # 4-word chunks: doc 1 owns both chunks; doc 2 repeats doc 1's first
+    # chunk (dropped) and adds a fresh one (kept); doc 3 is entirely a
+    # repeat of doc 1 -> empty clean_text
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z w"),
+        (3, "a b c d"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, chunk_words=4).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e f g h"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 0)
+    assert out[2]["clean_text"] == "x y z w"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+
+
+def test_dedup_lines_keeps_first_occurrence_within_doc(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        dedup_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "p q r s p q r s")], ["doc_id", "text"]
+    )
+    row = dedup_lines(docs, chunk_words=4).collect()[0]
+    assert row["clean_text"] == "p q r s"
+    assert (row["n_kept"], row["n_dropped"]) == (1, 1)
