@@ -125,6 +125,80 @@ def decontaminate(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Statistical LM quality scoring (the KenLM-style pretraining filter):
+    train an add-``alpha`` smoothed bigram model on the corpus itself,
+    then score every document by its average per-bigram negative log
+    likelihood — high ``avg_nll`` flags incoherent / boilerplate text.
+
+        p(w2 | w1) = (C(w1,w2) + alpha) / (C(w1,·) + alpha · V)
+
+    Returns (id, n_bigrams, avg_nll, ppl) for documents with at least one
+    bigram; ``ppl = exp(avg_nll)``. Scores are rounded to 6dp (ppl 4dp)
+    so cross-engine summation-order drift cannot flip a comparison.
+
+    Scale shape: the count tables are vocabulary-sized — O(distinct
+    bigrams), orders of magnitude below corpus size — so AQE turns both
+    scoring joins into broadcasts when they fit; V is a one-row cross
+    join. The corpus is scanned once for counts and once for scoring;
+    nothing is collected to the driver. To train on a sample but score
+    the full corpus, pass the sample through a separate counts build —
+    the joins are the same.
+    """
+    # let-bind tokens as a lambda variable (free tokens(text) inside the
+    # bigram lambda would re-run the regexp split per element — no CSE in
+    # interpreted HOFs; cf. shingles_from_tokens)
+    bigram_array = F.element_at(
+        F.transform(
+            F.array(T.tokens(text_col)),
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
+            ),
+        ),
+        1,
+    )
+    big = (
+        docs.filter(F.size(T.tokens(text_col)) >= 2)
+        .select(F.col(id_col), F.explode(bigram_array).alias("bg"))
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+
+    bigram_counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    context_counts = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = (
+        big.select(F.col("w1").alias("w"))
+        .unionAll(big.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+
+    nll = -F.log(
+        (F.col("c_bg") + F.lit(alpha))
+        / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        big.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )
+
+
 def dedup_lines(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -147,21 +221,29 @@ def dedup_lines(
     position, chunk) — both shuffles are O(corpus tokens), nothing is
     quadratic and no state lives on the driver.
     """
-    w = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
-    # posexplode(transform(...)) evaluates the split once per row; slice
-    # inside the lambda copies O(chunk_words) per chunk, which is the
-    # output size anyway — no quadratic blowup (cf. verify recipe note)
-    chunks = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
+    # let-bind the token array as a lambda variable: a free `split(text)`
+    # inside the chunk lambda would be re-evaluated per chunk (no CSE in
+    # interpreted HOFs), turning chunking O(len^2 / chunk_words) per doc;
+    # slice itself copies only its chunk_words-element output, so total
+    # work per doc stays O(len)
+    chunk_array = F.element_at(
+        F.transform(
+            F.array(F.split(F.col(text_col), " ")),
+            lambda w: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(w) / F.lit(chunk_words)).cast("int") - 1,
+                ),
                 lambda i: F.array_join(
                     F.slice(w, i * chunk_words + 1, chunk_words), " "
                 ),
-            )
-        ).alias("chunk_idx", "chunk"),
+            ),
+        ),
+        1,
+    )
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(chunk_array).alias("chunk_idx", "chunk"),
     )
     first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_idx")
     ranked = chunks.withColumn("rn", F.row_number().over(first))

@@ -1212,3 +1212,47 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return dedup_lines(docs, "doc_id", "text", chunk_words=12)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring (KenLM-style): train an add-0.5 smoothed
+# bigram model on the corpus, score each doc by avg per-bigram negative
+# log likelihood. Counts are vocabulary-sized -> broadcast-able joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lm_perplexity",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS w FROM documents
+    WHERE len({_TOKS}) >= 2
+), big AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+), cbg AS (
+    SELECT w1, w2, count(*) AS c_bg FROM big GROUP BY w1, w2
+), cctx AS (
+    SELECT w1, count(*) AS c_w1 FROM big GROUP BY w1
+), voc AS (
+    SELECT count(DISTINCT w) AS v
+    FROM (SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big)
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))), 6) AS avg_nll,
+       round(exp(avg(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v)))), 4) AS ppl
+FROM big
+JOIN cbg USING (w1, w2)
+JOIN cctx USING (w1)
+CROSS JOIN voc
+GROUP BY doc_id
+""",
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        bigram_lm_scores,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text", alpha=0.5)

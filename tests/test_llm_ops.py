@@ -281,3 +281,29 @@ def test_dedup_lines_keeps_first_occurrence_within_doc(spark):
     row = dedup_lines(docs, chunk_words=4).collect()[0]
     assert row["clean_text"] == "p q r s"
     assert (row["n_kept"], row["n_dropped"]) == (1, 1)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        bigram_lm_scores,
+    )
+
+    # bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b); doc3 excluded
+    # C(a,b)=3 C(b,a)=1 C(a,.)=3 C(b,.)=1 V=2 alpha=0.5
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r for r in bigram_lm_scores(docs, alpha=0.5).collect()
+    }
+    p_ab = 3.5 / 4.0
+    p_ba = 1.5 / 2.0
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 3
+    expected1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert abs(out[1]["avg_nll"] - round(expected1, 6)) < 1e-9
+    assert abs(out[1]["ppl"] - round(math.exp(expected1), 4)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_nll"] - round(-math.log(p_ab), 6)) < 1e-9
