@@ -420,6 +420,18 @@ def dedup_clusters(
         .select("id", F.col("id").alias("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    def _label_sum(lbls: DataFrame):
+        # join-free convergence check: labels only ever DECREASE under
+        # min propagation, so the multiset of (id, lbl) rows is unchanged
+        # iff an order-insensitive exact sum of per-row hashes is
+        # unchanged (decimal(38,0) — no overflow wraparound; works for
+        # string ids too). One aggregate per round instead of a
+        # shuffle join + limit + count.
+        return lbls.agg(
+            F.sum(F.xxhash64("id", "lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = None
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -437,17 +449,12 @@ def dedup_clusters(
                 )
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
+            cur_sum = _label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
     finally:
         edges.unpersist()
     # materialize the final labels into the return value's lineage root

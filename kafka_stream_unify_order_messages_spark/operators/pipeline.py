@@ -38,20 +38,23 @@ def clean_corpus(
         T.quality_score(text_col).alias("quality"),
     ).filter(F.col("quality") >= quality_threshold)
 
-    # exact dedup: one shuffle on the digest, min id is canonical
-    exact = (
-        scored.groupBy(F.md5(D.normalized_text(text_col)).alias("_ch"))
-        .agg(
-            F.min_by(
-                F.struct(id_col, text_col, "quality"), F.col(id_col)
-            ).alias("_e")
-        )
-        .select(
-            F.col(f"_e.{id_col}").alias(id_col),
-            F.col(f"_e.{text_col}").alias(text_col),
-            F.col("_e.quality").alias("quality"),
-        )
+    # exact dedup WITHOUT shuffling document bodies: only (digest, id)
+    # pairs go through the exchange — at the 100 TB design point a
+    # min_by(struct(id, text, ...)) groupBy would ship the entire corpus
+    # through one shuffle. Winners reuse the same hash partitioning
+    # (exchange reuse), losers are the duplicate ids only — a small
+    # fraction of the corpus — so the anti-join broadcasts and the
+    # corpus side never shuffles at all.
+    hashed = scored.select(
+        F.col(id_col), F.md5(D.normalized_text(text_col)).alias("_ch")
     )
+    winners = hashed.groupBy("_ch").agg(F.min(id_col).alias("_keep"))
+    exact_losers = (
+        hashed.join(winners, "_ch")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
+    exact = scored.join(F.broadcast(exact_losers), id_col, "left_anti")
 
     # `exact` feeds two DAG branches (candidate generation + the anti-join
     # probe); persist it so quality scoring + dedup run once, not twice —
