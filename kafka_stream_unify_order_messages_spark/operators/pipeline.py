@@ -202,6 +202,67 @@ def bigram_lm_scores(
     )
 
 
+def temperature_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    alpha: float = 0.7,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source re-balancing (the training-mix step):
+    sample group ``s`` with weight proportional to ``n_s ** alpha`` —
+    ``alpha < 1`` up-samples small sources relative to their natural
+    share — scaled so the expected kept total is ``budget_frac`` of the
+    corpus, capped at keeping a group entirely.
+
+        p_keep(s) = min(1, n_s^alpha / Z * budget_frac * N / n_s)
+
+    The per-document draw is a deterministic 28-bit md5 hash compared
+    against an integer threshold ``floor(p_keep * 2^28)`` — comparing
+    integers, not floats, so a last-ulp ``pow`` difference between
+    engines cannot flip a row across the boundary.
+
+    Scale shape: group counts are one map-side-combined aggregate; the
+    probability table is O(groups) rows and broadcasts; the corpus side
+    is a scan + broadcast-hash-join + filter — no corpus shuffle.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("double").alias("n_total"),
+        F.sum(F.pow(F.col("n_s").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    probs = counts.crossJoin(tot).select(
+        group_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("n_s").cast("double"), F.lit(alpha))
+                / F.col("z")
+                * F.lit(budget_frac)
+                * F.col("n_total")
+                / F.col("n_s").cast("double"),
+            )
+            * F.lit(float(1 << 28))
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("temp:"), F.col(id_col).cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(probs), group_col)
+        .filter(draw < F.col("thr"))
+        .select(id_col, group_col)
+    )
+
+
 def dedup_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1256,3 +1256,43 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, "doc_id", "text", alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling: re-balance sources with weight n_s^alpha (the
+# multilingual/domain training-mix step). Integer-threshold md5 draws so
+# the keep boundary is engine-stable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temperature_sample",
+    """
+WITH counts AS (
+    SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), tot AS (
+    SELECT CAST(sum(n_s) AS DOUBLE) AS n_total,
+           sum(pow(CAST(n_s AS DOUBLE), 0.7)) AS z
+    FROM counts
+), probs AS (
+    SELECT source,
+           CAST(floor(least(1.0,
+                    pow(CAST(n_s AS DOUBLE), 0.7) / z * 0.5 * n_total
+                        / CAST(n_s AS DOUBLE))
+                * 268435456.0) AS BIGINT) AS thr
+    FROM counts CROSS JOIN tot
+)
+SELECT doc_id, source
+FROM documents
+JOIN probs USING (source)
+WHERE CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 7)
+           AS BIGINT) < thr
+""",
+)
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        temperature_sample as _ts,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return _ts(docs, "doc_id", "source", alpha=0.7, budget_frac=0.5)

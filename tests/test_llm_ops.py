@@ -307,3 +307,28 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert abs(out[1]["ppl"] - round(math.exp(expected1), 4)) < 1e-9
     assert out[2]["n_bigrams"] == 1
     assert abs(out[2]["avg_nll"] - round(-math.log(p_ab), 6)) < 1e-9
+
+
+def test_temperature_sample_determinism_and_cap(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    # deterministic: same draws, same rows, twice
+    a = sorted(r["doc_id"] for r in temperature_sample(docs).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(docs).collect())
+    assert a == b and len(a) > 0
+
+    # alpha=0 -> equal group weights; small group's p hits the cap at 1
+    # (p_small = 0.5 * 0.5 * 450/50 = 2.25 -> 1), so ALL small docs kept
+    out = temperature_sample(docs, alpha=0.0, budget_frac=0.5).collect()
+    small_kept = [r for r in out if r["source"] == "small"]
+    assert len(small_kept) == 50
+    # big group keeps roughly p_big = 0.28 of 400 (binomial-ish via hash)
+    big_kept = [r for r in out if r["source"] == "big"]
+    assert 60 < len(big_kept) < 170
