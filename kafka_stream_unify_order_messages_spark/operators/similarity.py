@@ -510,3 +510,65 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.9,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    partition the corpus by nearest k-means centroid, then compare pairs
+    EXACTLY — full pairwise cosine — but only within a cluster. The
+    data-adapted complement to hyperplane LSH: recall follows cluster
+    structure instead of random projections.
+
+    Returns (id_a, id_b, score) with id_a < id_b and rounded score >=
+    ``threshold``.
+
+    Scale shape: one shuffle on centroid_id; each cluster is scored by a
+    single numpy GEMM inside ``applyInPandas``. Cluster size is the
+    quadratic (and per-task memory) bound — at larger corpora raise
+    ``n_centroids`` proportionally so E[cluster] stays fixed, exactly how
+    SemDeDup runs at web scale. Skewed clusters are the known failure
+    mode; AQE cannot split a single group, so pathological skew calls
+    for recursive re-clustering of oversized cells (not needed at the
+    test scales).
+    """
+    from pyspark.sql.types import DoubleType, StructField
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids
+        )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("id_a", id_field.dataType, True),
+            StructField("id_b", id_field.dataType, True),
+            StructField("score", DoubleType(), True),
+        ]
+    )
+    thr = threshold
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        m = _normalized_matrix(
+            np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        )
+        ia, ib = np.triu_indices(len(pdf), 1)
+        sc = np.round((m @ m.T)[ia, ib], 6)
+        keep = sc >= thr
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": sc[keep]}
+        )
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        cluster_pairs, out_schema
+    )

@@ -1296,3 +1296,23 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return _ts(docs, "doc_id", "source", alpha=0.7, budget_frac=0.5)
+
+
+@query("semantic_dedup")  # rows-only check: the k-means centroids are
+# data-trained (driver numpy on a deterministic sample), so a static SQL
+# oracle cannot replicate the cluster scoping; pair exactness within a
+# cluster is pinned by tests/test_llm_ops.py::test_semantic_dedup_*
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: cluster-scoped exact cosine pairs ->
+    connected components -> keep the min id of each component."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = S.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", n_centroids=16, threshold=0.35
+    )
+    clusters = D.dedup_clusters(pairs.select("id_a", "id_b"))
+    losers = F.broadcast(
+        clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("vec_id")
+        )
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id")

@@ -332,3 +332,64 @@ def test_temperature_sample_determinism_and_cap(spark):
     # big group keeps roughly p_big = 0.28 of 400 (binomial-ish via hash)
     big_kept = [r for r in out if r["source"] == "big"]
     assert 60 < len(big_kept) < 170
+
+
+def test_semantic_dedup_pairs_within_cluster_exact(spark):
+    import numpy as np
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    # two well-separated directions; near-dups only within a direction
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~dup of 1
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.01, 0.999, 0.0]),   # ~dup of 3
+        (5, [0.7, 0.0, 0.7, 0.0]),      # between, dup of nobody at 0.99
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in S.semantic_dedup_pairs(
+            df, threshold=0.99, centroids=cents
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2), (3, 4)}
+    assert all(s >= 0.99 for s in pairs.values())
+
+
+def test_semantic_dedup_keeps_one_per_component(spark):
+    import numpy as np
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        dedup as D,
+        similarity as S,
+    )
+    import pyspark.sql.functions as F
+
+    # chain 1~2, 2~3 inside one cluster: component {1,2,3} keeps only 1
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9999, 0.01]),
+        (3, [0.999, 0.02]),
+        (9, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    pairs = S.semantic_dedup_pairs(
+        df, n_centroids=2, threshold=0.999, centroids=cents
+    )
+    clusters = D.dedup_clusters(pairs.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+    kept = sorted(
+        r["vec_id"]
+        for r in df.join(
+            losers.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        ).collect()
+    )
+    assert kept == [1, 9]
