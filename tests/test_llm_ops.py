@@ -393,3 +393,61 @@ def test_semantic_dedup_keeps_one_per_component(spark):
         ).collect()
     )
     assert kept == [1, 9]
+
+
+def test_dedup_lines_matches_pure_python_oracle_random_corpora(spark):
+    import math
+    import random
+
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        dedup_lines,
+    )
+
+    def py_oracle(docs, cw):
+        chunks = []
+        for doc_id, text in docs:
+            words = text.split(" ")
+            for i in range(math.ceil(len(words) / cw)):
+                chunks.append(
+                    (doc_id, i, " ".join(words[i * cw:(i + 1) * cw]))
+                )
+        first = {}
+        for doc_id, i, c in sorted(chunks):
+            first.setdefault(c, (doc_id, i))
+        out = {}
+        for doc_id, _ in docs:
+            kept = [
+                c
+                for d, i, c in sorted(chunks)
+                if d == doc_id and first[c] == (d, i)
+            ]
+            dropped = sum(
+                1
+                for d, i, c in chunks
+                if d == doc_id and first[c] != (d, i)
+            )
+            out[doc_id] = (" ".join(kept), len(kept), dropped)
+        return out
+
+    for seed, cw in [(7, 3), (8, 4), (9, 5)]:
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(6)]  # tiny vocab -> many collisions
+        docs = [
+            (
+                doc_id,
+                " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randrange(1, 4 * cw + 2))
+                ),
+            )
+            for doc_id in range(20)
+        ]
+        expected = py_oracle(docs, cw)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+            for r in dedup_lines(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                chunk_words=cw,
+            ).collect()
+        }
+        assert got == expected, f"seed={seed} cw={cw}"
