@@ -185,6 +185,50 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window aggregation: each event lands in window/slide overlapping
+# windows (F.window with slide in Spark; explicit 2-window expansion in the
+# oracle). Epoch-second window keys dodge timestamp-type mismatches.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sliding_window_agg",
+    """
+WITH expanded AS (
+    SELECT (CAST(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200
+               AS window_start_epoch,
+           event_type, value
+    FROM events, unnest(generate_series(0, 1)) AS t(k)
+)
+SELECT window_start_epoch, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY window_start_epoch, event_type
+""",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("window"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp").cast("long")
+            .alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tumbling-window aggregation (batch analogue of streaming windowed aggs)
 # ---------------------------------------------------------------------------
 

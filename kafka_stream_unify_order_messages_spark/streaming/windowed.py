@@ -44,6 +44,37 @@ def tumbling_counts(
     return out.select(*cols, "n")
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str | None = "type",
+    window: str = "10 seconds",
+    slide: str = "5 seconds",
+    watermark_delay: str = "5 seconds",
+) -> DataFrame:
+    """Sliding-window counts per key: each event contributes to
+    window/slide overlapping windows — (window_start, window_end, key?,
+    n). State is O(active windows × keys); the watermark bounds how many
+    slides stay active, so overlap factor is the state/shuffle
+    multiplier to budget for (each input row expands into
+    window÷slide window assignments before the aggregation).
+    """
+    with_ts = events.withColumn("_event_time", F.to_timestamp(ts_col))
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark_delay)
+    group_cols = [F.window("_event_time", window, slide)]
+    if key_col:
+        group_cols.append(F.col(key_col))
+    out = with_ts.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    cols = [
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+    ]
+    if key_col:
+        cols.append(F.col(key_col))
+    return out.select(*cols, "n")
+
+
 def session_windows(
     events: DataFrame,
     ts_col: str = "timestamp",

@@ -21,6 +21,10 @@ ROWS_ONLY_ALLOWED = {
     # data-trained k-means centroids cannot be a static SQL literal;
     # exactness pinned by test_ivf.py (nprobe=all == brute force)
     "ann_ivf_topk",
+    # same centroid-training limitation; within-cluster pair exactness
+    # and keep-one-per-component pinned by
+    # test_llm_ops.py::test_semantic_dedup_*
+    "semantic_dedup",
 }
 
 

@@ -104,3 +104,44 @@ def test_session_windows_gap_split(spark, tmp_path):
         assert sessions == [(0, 3), (40, 2)]
     finally:
         q.stop()
+
+
+def test_sliding_counts_overlapping_windows(spark, tmp_path):
+    from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+        sliding_counts,
+    )
+
+    src = tmp_path / "in_slide"
+    src.mkdir()
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    events = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        sliding_counts(
+            events,
+            window="10 seconds",
+            slide="5 seconds",
+            watermark_delay="5 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .start()
+    )
+    try:
+        # second 7 lands in windows [0,10) and [5,15)
+        write_batch(src, [ev("a", "click", 7)], 0)
+        q.processAllAvailable()
+        # advance watermark far past both windows so they emit
+        write_batch(src, [ev("z", "click", 50)], 1)
+        q.processAllAvailable()
+        write_batch(src, [ev("z", "click", 80)], 2)
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].second + 60 * r["window_start"].minute, r["n"])
+            for r in spark.table(name).filter("type = 'click'").collect()
+            if r["window_start"].minute == 0 and r["window_start"].second < 20
+        }
+        assert (0, 1) in rows and (5, 1) in rows
+    finally:
+        q.stop()
