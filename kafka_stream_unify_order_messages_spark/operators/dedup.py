@@ -414,12 +414,17 @@ def dedup_clusters(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # initial labels fold the would-be first propagation round into one
+    # aggregate: lbl_0(v) = min(v, min neighbor) — identical to running
+    # one round from identity labels, but with no join (edges are
+    # symmetric, so every node appears as src)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
+        .select(F.col("src").alias("id"), "lbl")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
     def _label_sum(lbls: DataFrame):
         # join-free convergence check: labels only ever DECREASE under
         # min propagation, so the multiset of (id, lbl) rows is unchanged
@@ -431,7 +436,10 @@ def dedup_clusters(
             F.sum(F.xxhash64("id", "lbl").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = None
+    # seed the convergence baseline with the initial labels so an
+    # already-converged graph (all components diameter <= 1) exits after
+    # a single verification round
+    prev_sum = _label_sum(labels)
     try:
         for _ in range(max_iter):
             neighbor_min = (
