@@ -471,3 +471,38 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup (the re-crawl pattern): from a NEW batch,
+    keep only documents that are neither exact duplicates of the already-
+    ingested corpus nor later copies within the batch itself (first id
+    wins intra-batch).
+
+    Returns the kept (id) rows.
+
+    Scale shape: both sides reduce to 32-byte content digests before any
+    wide operation — the existing corpus contributes a distinct digest
+    set, the new batch (digest, id) pairs — so the shuffles are
+    O(rows · 40 bytes) regardless of document size, and Spark's runtime
+    bloom-filter injection can prune the probe side under AQE. Document
+    bodies never cross an exchange.
+    """
+    new_h = new_docs.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("_ch")
+    )
+    old_h = existing_docs.select(
+        F.md5(normalized_text(text_col)).alias("_ch")
+    ).distinct()
+    first = Window.partitionBy("_ch").orderBy(id_col)
+    fresh = (
+        new_h.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return fresh.join(old_h, "_ch", "left_anti").select(id_col)

@@ -1316,3 +1316,36 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return emb.join(losers, "vec_id", "left_anti").select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: a new batch (doc_id >= 250) deduped against
+# the already-ingested corpus (doc_id < 250) and against itself
+# (first-id-wins). Only 32-byte digests shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_dedup",
+    f"""
+WITH old_h AS (
+    SELECT DISTINCT md5({_NORM}) AS ch FROM documents WHERE doc_id < 250
+), new_h AS (
+    SELECT doc_id, md5({_NORM}) AS ch FROM documents WHERE doc_id >= 250
+), ranked AS (
+    SELECT doc_id, ch,
+           row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+    FROM new_h
+)
+SELECT doc_id
+FROM ranked r
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM old_h o WHERE o.ch = r.ch)
+""",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return D.dedup_incremental(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+    )

@@ -451,3 +451,26 @@ def test_dedup_lines_matches_pure_python_oracle_random_corpora(spark):
             ).collect()
         }
         assert got == expected, f"seed={seed} cw={cw}"
+
+
+def test_dedup_incremental_against_existing_and_intra_batch(spark):
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "already ingested"), (2, "old news")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Already   INGESTED"),  # dup of existing after normalize
+            (11, "fresh content"),
+            (12, "fresh content"),       # intra-batch dup of 11
+            (13, "another one"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_incremental(new, existing).collect()
+    )
+    assert kept == [11, 13]
