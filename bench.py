@@ -58,25 +58,31 @@ def main() -> None:
     # the plan. Same plan both runs — only execution is repeated.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, fn in registry.QUERIES.items():
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # wipe the whole benchmark artifact; surface it instead
+            failed.append(name)
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "registry_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        result["failed"] = failed
+    print(json.dumps(result))
     spark.stop()
 
 

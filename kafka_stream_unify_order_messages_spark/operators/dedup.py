@@ -397,22 +397,27 @@ def dedup_clusters(
     corpus size — each round is one join + one aggregate on (id, label)
     pairs, never document bodies. For adversarially deep graphs swap in
     the large-star/small-star variant; ``max_iter`` bounds the work and
-    convergence is checked per round (one count() action each).
+    convergence is checked per round with one join-free hash-sum
+    aggregate.
     """
-    from pyspark import StorageLevel
-
-    # The loop below runs one action per round; without a persist the
-    # whole upstream candidate-generation DAG (shingle -> minhash -> band
-    # join, the expensive part) would re-execute EVERY round, and the
-    # label lineage would deepen by two joins per iteration. Edges are a
-    # tiny fraction of the corpus (near-dup pairs only), so pinning them
-    # caps each round at one join + one aggregate over (id, label) rows.
+    # Iterative lineage discipline: each round references the previous
+    # labels plan TWICE (neighbor-min join + left join), so keeping the
+    # logical lineage would grow the plan tree EXPONENTIALLY in rounds —
+    # large enough upstream plans (e.g. semantic_dedup's k-means +
+    # mapInPandas candidate generation) OOM the driver merely
+    # STRINGIFYING the plan inside persist()'s cachedName. Eager
+    # localCheckpoint materializes each generation AND truncates the
+    # plan to the checkpointed RDD, keeping every round's plan O(1);
+    # it also stops the expensive candidate DAG from re-executing per
+    # round. (On a multi-node cluster prefer reliable checkpointing —
+    # sc.setCheckpointDir + .checkpoint() — since localCheckpoint state
+    # dies with an executor.)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # initial labels fold the would-be first propagation round into one
     # aggregate: lbl_0(v) = min(v, min neighbor) — identical to running
@@ -422,7 +427,7 @@ def dedup_clusters(
         edges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
         .select(F.col("src").alias("id"), "lbl")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     def _label_sum(lbls: DataFrame):
@@ -440,34 +445,30 @@ def dedup_clusters(
     # already-converged graph (all components diameter <= 1) exits after
     # a single verification round
     prev_sum = _label_sum(labels)
-    try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("lbl").alias("nlbl"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
             )
-            new_labels = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                    ).alias("lbl"),
-                )
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            cur_sum = _label_sum(new_labels)
-            labels.unpersist()
-            labels = new_labels
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-    finally:
-        edges.unpersist()
-    # materialize the final labels into the return value's lineage root
-    # (the persist above is released by the GC once downstream plans run;
-    # the result is small — one row per node in any candidate pair)
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = _label_sum(new_labels)
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # superseded generations' checkpoint blocks are released when their
+    # RDDs are GC'd; the returned plan is rooted at the final (small)
+    # checkpointed labels — one row per node in any candidate pair
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
