@@ -12,7 +12,7 @@ to signatures + the band equi-join); the final anti-join shuffles only
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from kafka_stream_unify_order_messages_spark.functions import text as T
@@ -287,11 +287,14 @@ def dedup_lines(
 
     Returns (id, clean_text, n_kept, n_dropped).
 
-    Scale: the first-occurrence choice partitions by a 128-bit digest of
-    the chunk (never the chunk text, which would skew on hot lines and
-    ship full strings through the exchange); reassembly shuffles (id,
-    position, chunk) — both shuffles are O(corpus tokens), nothing is
-    quadratic and no state lives on the driver.
+    Scale: the first-occurrence choice is a map-side-combinable
+    ``groupBy(digest).agg(min(struct(id, pos)))`` — a hot boilerplate
+    chunk repeated millions of times collapses to one row per input
+    partition BEFORE its exchange, and the verdict join on the digest is
+    AQE-skew-splittable (a row_number window over the digest would
+    instead sort one unsplittable partition per hot chunk). Reassembly
+    shuffles (id, position, chunk); everything is O(corpus tokens), no
+    state on the driver.
     """
     # let-bind the token array as a lambda variable: a free `split(text)`
     # inside the chunk lambda would be re-evaluated per chunk (no CSE in
@@ -317,17 +320,24 @@ def dedup_lines(
         F.col(id_col),
         F.posexplode(chunk_array).alias("chunk_idx", "chunk"),
     )
-    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_idx")
-    ranked = chunks.withColumn("rn", F.row_number().over(first))
+    hashed = chunks.withColumn("_ch", F.md5("chunk"))
+    first_owner = hashed.groupBy("_ch").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_f")
+    )
+    flagged = hashed.join(first_owner, "_ch").withColumn(
+        "is_first",
+        (F.col(f"_f.{id_col}") == F.col(id_col))
+        & (F.col("_f.chunk_idx") == F.col("chunk_idx")),
+    )
     return (
-        ranked.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("rn") == 1,
+                                F.col("is_first"),
                                 F.struct("chunk_idx", "chunk"),
                             )
                         )
@@ -336,10 +346,10 @@ def dedup_lines(
                 ),
                 " ",
             ).alias("clean_text"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
-            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
             .cast("long")
             .alias("n_dropped"),
         )
