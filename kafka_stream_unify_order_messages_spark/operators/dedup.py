@@ -500,10 +500,8 @@ def dedup_incremental(
     old_h = existing_docs.select(
         F.md5(normalized_text(text_col)).alias("_ch")
     ).distinct()
-    first = Window.partitionBy("_ch").orderBy(id_col)
-    fresh = (
-        new_h.withColumn("_rn", F.row_number().over(first))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # intra-batch first-wins as a map-side-combinable aggregate: the
+    # min-id row per digest IS the kept set — no row_number window
+    # (whose hot-digest partition AQE could never split) and no join
+    fresh = new_h.groupBy("_ch").agg(F.min(id_col).alias(id_col))
     return fresh.join(old_h, "_ch", "left_anti").select(id_col)
