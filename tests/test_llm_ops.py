@@ -474,3 +474,35 @@ def test_dedup_incremental_against_existing_and_intra_batch(spark):
         r["doc_id"] for r in dedup_incremental(new, existing).collect()
     )
     assert kept == [11, 13]
+
+
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(25)}
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        expected = {
+            v: min(u for u in touched if find(u) == find(v)) for v in touched
+        }
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.dedup_clusters(
+                spark.createDataFrame(edges, ["id_a", "id_b"]), max_iter=40
+            ).collect()
+        }
+        assert got == expected, f"seed={seed}"
