@@ -1,0 +1,121 @@
+"""Corpus-curation operators for training-data preparation: deterministic
+global shuffle + shard assignment, reproducible hash sampling, and
+fixed-token-window document chunking.
+
+These extend the engine beyond the reference's unification pipeline (the
+reference has no batch/corpus surface at all — SURVEY.md §2.6); they are the
+"make a training set out of a corpus" counterparts to the dedup/similarity
+operators. All hashing uses the portable md5 convention from
+``functions.text`` so every operator is value-checkable against DuckDB.
+
+Scale notes (100 TB):
+- ``training_shuffle`` is shuffle-by-shard + sort-within-shard — the
+  terasort shape. No global window, no single-partition stage: shard
+  assignment is a pure hash expression, the per-shard ordering is a local
+  sort after one hash exchange (w/ AQE handling shard-size variance).
+- ``hash_sample`` is a scan-local filter (0 shuffles) — reproducible
+  Bernoulli sampling by content-independent key hash, so re-runs and
+  incremental ingests sample consistently.
+- ``chunk_documents`` is scan-local (0 shuffles): tokens are materialized
+  once per row, chunk windows are array slices, and the output explodes
+  rows without any wide operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.functions.text import tokens
+
+
+def _shuffle_key(id_col: Column, seed: str) -> Column:
+    """md5 over seed:id — a uniform, deterministic, engine-portable rank."""
+    return F.md5(F.concat_ws(":", F.lit(seed), id_col.cast("string")))
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: str = "seed42",
+) -> DataFrame:
+    """Deterministic global shuffle of a corpus into ``n_shards`` shards.
+
+    Every row gets a pseudorandom-but-reproducible rank ``md5(seed:id)``;
+    its shard is a hash bucket of that rank and its position is the rank
+    order *within* the shard. Changing ``seed`` yields an independent
+    permutation — epochs reshuffle without rewriting data.
+
+    Returns (id, shard, pos) — the (shard, pos) pairs enumerate the corpus
+    in a uniformly shuffled order that any worker can reproduce.
+    """
+    rk = _shuffle_key(F.col(id_col), seed)
+    shard = (F.conv(F.substring(rk, 1, 7), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+    w = Window.partitionBy("shard").orderBy("rk")
+    return (
+        df.select(F.col(id_col), rk.alias("rk"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate_bp: int = 1500,
+    seed: str = "sample42",
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep rows whose hashed id falls in
+    the first ``rate_bp``/10000 of the hash space.
+
+    Unlike ``df.sample()`` the decision is a pure function of (seed, id):
+    stable across retries, partitionings, and incremental batches — the
+    property a 100 TB pipeline needs so re-processing a partition never
+    changes which rows were sampled.
+    """
+    rk = _shuffle_key(F.col(id_col), seed)
+    bucket = F.conv(F.substring(rk, 1, 7), 16, 10).cast("long") % 10000
+    return df.filter(bucket < rate_bp)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-token-budget overlapping chunks.
+
+    Standard context-window preparation for embedding / pretraining
+    pipelines: chunk ``i`` covers tokens ``[1 + i*stride, 1 + i*stride +
+    chunk_size)`` (1-based), so consecutive chunks overlap by
+    ``chunk_size - stride`` tokens and every token is covered. The final
+    chunk may be short.
+
+    Scan-local: tokens are bound once (no re-tokenization per chunk — see
+    dedup.shingles_from_tokens for why binding matters), chunk windows are
+    ``slice`` calls on the bound array, and rows explode without a
+    shuffle. Emits the chunk's md5 rather than re-materializing text for
+    downstream ops that only need identity (dedup, routing).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    starts = F.sequence(F.lit(1), F.size("_toks"), F.lit(stride))
+    chunked = toked.select(
+        id_col,
+        F.explode(starts).alias("start_pos"),
+        F.col("_toks"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("start_pos"), chunk_size)
+    return chunked.select(
+        id_col,
+        ((F.col("start_pos") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.col("start_pos").cast("long"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )

@@ -505,3 +505,71 @@ def dedup_incremental(
     # (whose hot-digest partition AQE could never split) and no join
     fresh = new_h.groupBy("_ch").agg(F.min(id_col).alias(id_col))
     return fresh.join(old_h, "_ch", "left_anti").select(id_col)
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Substring-level duplication profile (the "Deduplicating Training
+    Data Makes Language Models Better" shape): for each document, how much
+    of its token stream lies on an n-gram that occurs more than once in
+    the whole corpus (counting within-document repeats).
+
+    Unlike whole/near-doc dedup this catches boilerplate buried inside
+    otherwise-unique pages — the usual trigger for span-level removal. A
+    full suffix-array dedup is O(corpus) suffixes; the n-gram profile is
+    its bounded, shuffle-friendly approximation.
+
+    Returns (id, n_grams, n_dup, dup_frac) for documents with >= n tokens.
+
+    Scale shape: grams never leave the scan as strings — each position's
+    gram is reduced to a 60-bit portable hash immediately, per-(doc, gram)
+    multiplicities are combined map-side, and the corpus-wide occurrence
+    count is a WINDOW sum over the gram hash rather than an aggregate +
+    self-join: one computation of the gram subtree (a join would recompute
+    the tokenize+explode scan on both sides) and no broadcast of the
+    corpus-sized totals table. Wire traffic is O(token positions) rows of
+    three longs; document bodies cross no exchange.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    k = F.size("_toks") - (n - 1)
+    grams = toked.filter(k > 0).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                *[F.element_at(F.col("_toks"), i + j) for j in range(n)],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("_gh"),
+    )
+    per_doc_gram = grams.groupBy(id_col, "_gh").agg(F.count("*").alias("_c"))
+    joined = per_doc_gram.withColumn(
+        "_total", F.sum("_c").over(Window.partitionBy("_gh"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("_total") >= 2, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup"),
+        F.round(
+            F.sum(F.when(F.col("_total") >= 2, F.col("_c")).otherwise(F.lit(0)))
+            / F.sum("_c"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -1,0 +1,158 @@
+"""Corpus-curation queries: deterministic shuffle-sharding, reproducible
+sampling, context-window chunking, and substring-level duplication
+profiling — the training-set-preparation layer over the `documents` table.
+
+The reference has no batch corpus surface (SURVEY.md §2.6); these extend
+the engine per the north star. Every query is value-checked against a
+DuckDB oracle via the portable md5 hash convention (functions.text.hex_hash64).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_unify_order_messages_spark.registry import query
+from kafka_stream_unify_order_messages_spark.sources.files import load_table
+from kafka_stream_unify_order_messages_spark.operators import curation as C
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(
+        spark, sf_dir, name,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle into shards (terasort shape: hash-bucket
+# exchange + local sort; no global window anywhere)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "training_shuffle",
+    """
+WITH keyed AS (
+    SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+), sharded AS (
+    SELECT doc_id, rk,
+           CAST('0x' || substr(rk, 1, 7) AS BIGINT) % 32 AS shard
+    FROM keyed
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY rk) AS pos
+FROM sharded
+""",
+)
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain load: only doc_id is read and the hash is cheap — the CPU
+    # rebalance repartition would be a pure extra exchange here
+    docs = load_table(spark, sf_dir, "documents")
+    return C.training_shuffle(docs, id_col="doc_id", n_shards=32, seed="seed42")
+
+
+# ---------------------------------------------------------------------------
+# Reproducible hash sampling (scan-local filter; per-source acceptance
+# stats as the checkable aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hash_sample_stats",
+    """
+WITH keyed AS (
+    SELECT source, n_chars,
+           CAST('0x' || substr(md5('sample42:' || CAST(doc_id AS VARCHAR)), 1, 7)
+                AS BIGINT) % 10000 AS bucket
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+FROM keyed
+WHERE bucket < 1500
+GROUP BY source
+""",
+)
+def hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = C.hash_sample(docs, id_col="doc_id", rate_bp=1500, seed="sample42")
+    return sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("chars_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (scan-local: bound token array + slice windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunking",
+    f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), starts AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks), 48)) AS start_pos
+    FROM toked
+)
+SELECT doc_id,
+       CAST((start_pos - 1) // 48 AS BIGINT) AS chunk_idx,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(len(list_slice(toks, start_pos, start_pos + 63)) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(list_slice(toks, start_pos, start_pos + 63), ' '))
+           AS chunk_hash
+FROM starts
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return C.chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_size=64, stride=48
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication profile (span dedup approximation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dup_ngram_spans",
+    f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> CAST('0x' || substr(
+                        md5(array_to_string(list_slice(toks, i, i + 4), ' ')),
+                        1, 15) AS BIGINT)
+           )) AS gh
+    FROM toked WHERE len(toks) >= 5
+), per_doc AS (
+    SELECT doc_id, gh, count(*) AS c FROM grams GROUP BY doc_id, gh
+), totals AS (
+    SELECT gh, sum(c) AS total FROM per_doc GROUP BY gh
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN total >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN total >= 2 THEN c ELSE 0 END)
+             / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+FROM per_doc JOIN totals USING (gh)
+GROUP BY doc_id
+""",
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return D.duplicate_ngram_spans(docs, id_col="doc_id", text_col="text", n=5)

@@ -514,3 +514,4 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES; placed at module end so the decorator exists first).
 import kafka_stream_unify_order_messages_spark.queries_relational  # noqa: E402,F401
 import kafka_stream_unify_order_messages_spark.queries_llm  # noqa: E402,F401
+import kafka_stream_unify_order_messages_spark.queries_training  # noqa: E402,F401

@@ -1,0 +1,116 @@
+"""Corpus-curation operator semantics: deterministic shuffle-sharding,
+hash sampling, document chunking, duplicate n-gram spans."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from kafka_stream_unify_order_messages_spark.operators import curation as C
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "one two three"),
+        (4, "solo"),
+        (5, "x " * 100),  # 100 tokens, all identical
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _ref_shard(doc_id: int, seed: str = "seed42", n: int = 32) -> tuple[str, int]:
+    rk = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return rk, int(rk[:7], 16) % n
+
+
+def test_training_shuffle_matches_independent_md5_oracle(docs):
+    out = C.training_shuffle(docs, n_shards=32).collect()
+    assert len(out) == 5
+    ranks = {}
+    for r in out:
+        rk, shard = _ref_shard(r["doc_id"])
+        assert r["shard"] == shard
+        ranks.setdefault(shard, []).append((rk, r["pos"]))
+    # positions within a shard enumerate 1..k in md5-rank order
+    for shard, pairs in ranks.items():
+        pairs.sort()
+        assert [p for _, p in pairs] == list(range(1, len(pairs) + 1))
+
+
+def test_training_shuffle_is_seed_sensitive_and_deterministic(docs):
+    a = {(r["doc_id"], r["shard"]) for r in C.training_shuffle(docs).collect()}
+    b = {(r["doc_id"], r["shard"]) for r in C.training_shuffle(docs).collect()}
+    c = {
+        (r["doc_id"], r["shard"])
+        for r in C.training_shuffle(docs, seed="other").collect()
+    }
+    assert a == b
+    assert a != c  # a different epoch seed permutes shard assignment
+
+
+def test_hash_sample_is_a_pure_function_of_seed_and_id(docs):
+    kept = {r["doc_id"] for r in C.hash_sample(docs, rate_bp=5000).collect()}
+    again = {r["doc_id"] for r in C.hash_sample(docs, rate_bp=5000).collect()}
+    assert kept == again
+    for doc_id in [1, 2, 3, 4, 5]:
+        rk = hashlib.md5(f"sample42:{doc_id}".encode()).hexdigest()
+        expected = int(rk[:7], 16) % 10000 < 5000
+        assert (doc_id in kept) == expected
+    assert C.hash_sample(docs, rate_bp=10000).count() == 5
+    assert C.hash_sample(docs, rate_bp=0).count() == 0
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(docs):
+    out = [
+        r
+        for r in C.chunk_documents(docs, chunk_size=4, stride=3).collect()
+        if r["doc_id"] == 1
+    ]
+    out.sort(key=lambda r: r["chunk_idx"])
+    # 8 tokens, stride 3 -> starts 1,4,7; sizes 4,4,2
+    assert [(r["start_pos"], r["n_tokens"]) for r in out] == [
+        (1, 4), (4, 4), (7, 2),
+    ]
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+    toks = "alpha beta gamma delta epsilon zeta eta theta".split()
+    for r in out:
+        piece = " ".join(toks[r["start_pos"] - 1 : r["start_pos"] - 1 + 4])
+        assert r["chunk_hash"] == hashlib.md5(piece.encode()).hexdigest()
+
+
+def test_chunk_documents_short_doc_is_one_chunk(docs):
+    out = [
+        r
+        for r in C.chunk_documents(docs, chunk_size=64, stride=48).collect()
+        if r["doc_id"] == 4
+    ]
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 1 and out[0]["chunk_idx"] == 0
+
+
+def test_duplicate_ngram_spans_flags_cross_doc_and_internal_repeats(docs):
+    out = {r["doc_id"]: r for r in D.duplicate_ngram_spans(docs, n=5).collect()}
+    # docs 1 and 2 are identical: every 5-gram duplicated across them
+    assert out[1]["n_grams"] == 4 and out[1]["n_dup"] == 4
+    assert out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_frac"] == 1.0
+    # doc 5 repeats "x x x x x" internally -> all positions duplicated
+    assert out[5]["n_grams"] == 96 and out[5]["dup_frac"] == 1.0
+    # docs with < 5 tokens produce no profile row
+    assert 3 not in out and 4 not in out
+
+
+def test_duplicate_ngram_spans_unique_doc_scores_zero(spark):
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "h i j k l m n"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.duplicate_ngram_spans(df, n=5).collect()}
+    assert out[1]["n_dup"] == 0 and out[1]["dup_frac"] == 0.0
+    assert out[2]["n_dup"] == 0
