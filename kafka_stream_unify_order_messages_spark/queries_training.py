@@ -156,3 +156,74 @@ GROUP BY doc_id
 def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return D.duplicate_ngram_spans(docs, id_col="doc_id", text_col="text", n=5)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.operators import tokenizer as TK  # noqa: E402
+
+
+@query(
+    "bpe_top_pairs",
+    f"""
+WITH words AS (
+    SELECT unnest({_TOKS}) AS word FROM documents
+), wf AS (
+    SELECT word, count(*) AS freq FROM words WHERE len(word) >= 1
+    GROUP BY word
+), pairs AS (
+    SELECT unnest(list_transform(
+               generate_series(1, len(word) - 1),
+               i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+           )) AS pair,
+           freq
+    FROM wf WHERE len(word) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE round: frequency-weighted adjacent character-pair counts
+    over the vocabulary table, top 20. The oracle-checkable core of the
+    merge loop (later rounds differ only in merged symbols)."""
+    docs = _load(spark, sf_dir, "documents")
+    vocab = TK.word_freqs(docs).select(
+        "word", F.split("word", "(?!$)").alias("symbols"), "freq"
+    )
+    return TK.pair_counts(vocab).orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+
+
+# train once per dataset: the data is immutable, and "train once, apply
+# many" is the real pipeline shape (the memo is merges only — tiny)
+_BPE_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    if sf_dir not in _BPE_MEMO:
+        docs = _load(spark, sf_dir, "documents")
+        _BPE_MEMO[sf_dir], _ = TK.learn_bpe(docs, n_merges=8)
+    return _BPE_MEMO[sf_dir]
+
+
+@query("bpe_learn_merges")  # iterative argmax loop — not SQL-expressible
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight learned merges in training order. Rows-only driver check;
+    the strong check is tests/test_tokenizer.py against a pure-Python
+    BPE oracle."""
+    merges = _learned_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank INT, sym_a STRING, sym_b STRING",
+    )
+
+
+@query("bpe_segment_stats")  # applies the learned (iterative) tokenizer
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-tokenized with the learned merges: per-doc word/BPE-token
+    counts plus a deterministic hash of the segmentation."""
+    docs = _load(spark, sf_dir, "documents")
+    return TK.bpe_segment(docs, _learned_merges(spark, sf_dir))
