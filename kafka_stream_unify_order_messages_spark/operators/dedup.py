@@ -573,3 +573,38 @@ def duplicate_ngram_spans(
             6,
         ).alias("dup_frac"),
     )
+
+
+def near_dup_incremental(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-duplicate screen (the re-crawl companion to
+    dedup_incremental): ids from the new batch whose MinHash-LSH band keys
+    collide with ANY already-ingested document.
+
+    Scale shape: both corpora reduce to (band, band_key, id) rows — one
+    narrow shuffle each, never document bodies. The existing side further
+    collapses to DISTINCT (band, band_key) before the probe join, so the
+    join's build side is bounded by the ingested corpus's bucket count,
+    not its row count, and AQE can broadcast it when the history is small
+    relative to the batch. Returns distinct new-batch ids to hold back.
+    """
+    new_bands = minhash_band_keys(
+        minhash_signatures_wide(new_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col, bands, num_hashes,
+    )
+    old_bands = minhash_band_keys(
+        minhash_signatures_wide(existing_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col, bands, num_hashes,
+    ).select("band", "band_key").distinct()
+    return (
+        new_bands.join(old_bands, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -227,3 +227,36 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts plus a deterministic hash of the segmentation."""
     docs = _load(spark, sf_dir, "documents")
     return TK.bpe_segment(docs, _learned_merges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup screen: new batch (doc_id >= 250) vs ingested
+# corpus (doc_id < 250) via MinHash-LSH band collision
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.queries_llm import _SIGNATURE_SQL  # noqa: E402
+
+
+@query(
+    "incremental_near_dup",
+    f"""
+WITH sig AS ({_SIGNATURE_SQL}),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
+    FROM sig GROUP BY doc_id, seed // 4
+),
+old_b AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id < 250),
+new_b AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id >= 250)
+SELECT DISTINCT n.doc_id FROM new_b n JOIN old_b o USING (band, band_key)
+""",
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch ids held back because an LSH band collides with the
+    already-ingested corpus (signatures are per-document, so computing
+    per split is equivalent to the oracle's whole-corpus signature CTE)."""
+    docs = _load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 250)
+    old = docs.filter(F.col("doc_id") < 250)
+    return D.near_dup_incremental(new, old, id_col="doc_id", text_col="text")

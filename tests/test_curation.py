@@ -114,3 +114,28 @@ def test_duplicate_ngram_spans_unique_doc_scores_zero(spark):
     out = {r["doc_id"]: r for r in D.duplicate_ngram_spans(df, n=5).collect()}
     assert out[1]["n_dup"] == 0 and out[1]["dup_frac"] == 0.0
     assert out[2]["n_dup"] == 0
+
+
+def test_near_dup_incremental_screens_by_band_collision(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact
+            (11, "the quick brown fox jumps over the lazy cat"),  # near
+            (12, "unrelated text with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    held = {
+        r["doc_id"]
+        for r in D.near_dup_incremental(new, old, num_hashes=16, bands=8, shingle_n=2).collect()
+    }
+    assert 10 in held  # identical -> every band collides
+    assert 11 in held  # one-token change -> some band collides
+    assert 12 not in held
