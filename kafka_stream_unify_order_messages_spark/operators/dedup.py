@@ -608,3 +608,123 @@ def near_dup_incremental(
         .select(id_col)
         .distinct()
     )
+
+
+def _local_hashed_shingles(text_col: str, shingle_n: int) -> Column:
+    """Per-row array of 28-bit shingle hashes, fully scan-local.
+
+    The token array is bound through the outer transform's lambda var (a
+    true let-binding — a two-step select would be inlined by
+    CollapseProject and re-tokenize per element); the md5 runs once per
+    shingle because the inner lambda only references its own variable.
+    """
+    return F.element_at(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda tk: F.transform(
+                shingles_from_tokens(tk, shingle_n),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast(
+                    "long"
+                ),
+            ),
+        ),
+        1,
+    )
+
+
+def _band_structs_from_hashes(
+    hs: Column, num_hashes: int, bands: int
+) -> list[Column]:
+    """Band structs (band, band_key) computed from a BOUND hash-array
+    lambda variable; every per-seed min is evaluated exactly once."""
+    coeffs = minhash_coefficients(num_hashes)
+    rows_per_band = num_hashes // bands
+
+    def seed_min(a: int, b: int) -> Column:
+        # closure factory: pyspark introspects lambda arity, so default-
+        # arg capture (lambda x, a=a) would read as a 3-arg HOF lambda
+        return F.array_min(
+            F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME)
+        ).cast("string")
+
+    out = []
+    for band in range(bands):
+        mhs = [
+            seed_min(a, b)
+            for a, b in coeffs[band * rows_per_band : (band + 1) * rows_per_band]
+        ]
+        out.append(
+            F.struct(
+                F.lit(band).cast("long").alias("band"),
+                F.md5(F.concat_ws(",", *mhs)).alias("band_key"),
+            )
+        )
+    return out
+
+
+def minhash_band_keys_local(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) with ZERO shuffles: signatures computed per row
+    as let-bound array expressions instead of explode + groupBy.
+
+    Produces exactly the keys of
+    ``minhash_band_keys(minhash_signatures_wide(...))`` (tested), but with
+    no per-id aggregation — which makes it legal in an append-mode
+    STREAMING plan, where a groupBy would demand watermarked state. Batch
+    pipelines keep the explode+groupBy path (whole-stage-codegen hashing
+    beats interpreted higher-order evaluation on large corpora); this is
+    the streaming/bounded-batch variant.
+    """
+    band_arr = F.element_at(
+        F.transform(
+            F.array(_local_hashed_shingles(text_col, shingle_n)),
+            lambda hs: F.array(*_band_structs_from_hashes(hs, num_hashes, bands)),
+        ),
+        1,
+    )
+    return df.select(F.col(id_col), F.explode(band_arr).alias("_bk")).select(
+        id_col,
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.band_key").alias("band_key"),
+    )
+
+
+def minhash_band_cols_local(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All input columns plus WIDE band keys ``_bk0.._bk{bands-1}`` —
+    scan-local like minhash_band_keys_local, but one row per document.
+
+    The band struct is materialized through a one-element explode (a
+    Generate boundary — the only projection-proof way to bind a computed
+    struct that is then read ``bands`` times; see the verify-recipe note
+    on CollapseProject).
+    """
+    band_struct = F.element_at(
+        F.transform(
+            F.array(_local_hashed_shingles(text_col, shingle_n)),
+            lambda hs: F.struct(
+                *[
+                    s["band_key"].alias(f"_bk{i}")
+                    for i, s in enumerate(
+                        _band_structs_from_hashes(hs, num_hashes, bands)
+                    )
+                ]
+            ),
+        ),
+        1,
+    )
+    exploded = df.select("*", F.explode(F.array(band_struct)).alias("_bs"))
+    return exploded.select(
+        *df.columns, *[F.col(f"_bs._bk{i}") for i in range(bands)]
+    )

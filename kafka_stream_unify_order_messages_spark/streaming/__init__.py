@@ -15,6 +15,7 @@ from kafka_stream_unify_order_messages_spark.streaming.joins import (
 )
 from kafka_stream_unify_order_messages_spark.streaming.ingest import (
     clean_corpus_stream,
+    screen_stream_near_dups,
 )
 from kafka_stream_unify_order_messages_spark.streaming.windowed import (
     session_windows,
@@ -34,4 +35,5 @@ __all__ = [
     "stream_stream_join",
     "dedup_within_watermark",
     "clean_corpus_stream",
+    "screen_stream_near_dups",
 ]

@@ -8,10 +8,12 @@ exact dedup on the normalized-content md5 within a watermark window ->
 per-doc stats projection. All state is bounded: dedup state for a hash is
 freed once the watermark passes (dropDuplicatesWithinWatermark), which is
 the property that keeps a 100 TB/day ingest from accumulating unbounded
-state. Near-dup (minhash-LSH) removal deliberately stays a *batch
+state. FULL near-dup (minhash-LSH) removal deliberately stays a *batch
 compaction* step over the landed corpus (operators/pipeline.clean_corpus):
-band joins need corpus-wide visibility a stream cannot give without
-unbounded state.
+the corpus-wide band join needs visibility a stream cannot give without
+unbounded state. The INCREMENTAL half — screening arrivals against a
+static snapshot of history's band keys — is stream-expressible and lives
+here (screen_stream_near_dups).
 """
 
 from __future__ import annotations
@@ -62,3 +64,56 @@ def clean_corpus_stream(
         T.token_count(text_col).alias("n_tokens"),
         "quality",
     )
+
+
+def screen_stream_near_dups(
+    docs: DataFrame,
+    corpus_band_keys: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Screen a STREAM of documents against a static snapshot of the
+    already-ingested corpus's MinHash band keys: forward only documents
+    with no LSH band collision (i.e. not near-duplicates of history).
+
+    The corpus-wide band join that full near-dup removal needs is not
+    stream-expressible (unbounded state), but the incremental half IS:
+    history is a static (band, band_key) table — refreshed per compaction
+    cycle — and each arriving document carries its own keys.
+
+    Shape: per-document band keys are pure scan-local expressions
+    (minhash_band_cols_local: no groupBy, legal in append mode), then one
+    stream-static LEFT join per band against that band's distinct bucket
+    set, keeping rows where every probe missed. No streaming aggregation,
+    no watermark requirement, state-free.
+
+    ``corpus_band_keys`` must be a static DataFrame with (band, band_key)
+    — e.g. minhash_band_keys(minhash_signatures_wide(corpus)) or a
+    persisted snapshot table.
+    """
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        minhash_band_cols_local,
+    )
+
+    keyed = minhash_band_cols_local(
+        docs, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n,
+    )
+    out = keyed
+    for b in range(bands):
+        bucket = (
+            corpus_band_keys.filter(F.col("band") == b)
+            .select(F.col("band_key").alias(f"_cbk{b}"))
+            .distinct()  # static side: safe, and prevents row fan-out
+        )
+        out = out.join(
+            bucket, on=out[f"_bk{b}"] == bucket[f"_cbk{b}"], how="left"
+        )
+    miss_all = None
+    for b in range(bands):
+        cond = F.col(f"_cbk{b}").isNull()
+        miss_all = cond if miss_all is None else (miss_all & cond)
+    return out.filter(miss_all).select(*docs.columns)

@@ -139,3 +139,21 @@ def test_near_dup_incremental_screens_by_band_collision(spark):
     assert 10 in held  # identical -> every band collides
     assert 11 in held  # one-token change -> some band collides
     assert 12 not in held
+
+
+def test_scan_local_band_keys_match_aggregated_path(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in D.minhash_band_keys(D.minhash_signatures_wide(docs)).collect()
+    }
+    local = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in D.minhash_band_keys_local(docs).collect()
+    }
+    assert wide == local
+    cols = D.minhash_band_cols_local(docs)
+    got = {
+        (r["doc_id"], b, r[f"_bk{b}"]) for r in cols.collect() for b in range(4)
+    }
+    assert got == wide

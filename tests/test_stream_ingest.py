@@ -71,3 +71,56 @@ def test_stream_ingest_quality_gate_and_dedup(spark, tmp_path):
         assert 5 not in {r["doc_id"] for r in spark.table(name).collect()}
     finally:
         query.stop()
+
+
+def test_screen_stream_near_dups_vs_static_history(spark, tmp_path):
+    from kafka_stream_unify_order_messages_spark.operators import dedup as D
+    from kafka_stream_unify_order_messages_spark.streaming import (
+        screen_stream_near_dups,
+    )
+
+    history = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus_bands = D.minhash_band_keys(
+        D.minhash_signatures_wide(history, num_hashes=16, shingle_n=2),
+        bands=8, num_hashes=16,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"screen_{uuid.uuid4().hex[:8]}"
+    docs = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    kept_stream = screen_stream_near_dups(
+        docs, corpus_bands, num_hashes=16, bands=8, shingle_n=2
+    )
+    query = (
+        kept_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        table = pa.table(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",  # exact dup
+                    "the quick brown fox jumps over the lazy cat",  # near dup
+                    "unrelated text with no overlap whatsoever here",  # novel
+                ],
+            }
+        )
+        pq.write_table(table, f"{src}/batch-0000.parquet")
+        query.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert kept == {12}
+        # schema passthrough: only the input columns come out
+        assert spark.table(name).columns == ["doc_id", "text"]
+    finally:
+        query.stop()
