@@ -260,3 +260,40 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") >= 250)
     old = docs.filter(F.col("doc_id") < 250)
     return D.near_dup_incremental(new, old, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution fuzzy join (operators/fuzzy.py): blocked Levenshtein
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.operators.fuzzy import (  # noqa: E402
+    blocked_fuzzy_pairs,
+)
+
+
+@query(
+    "fuzzy_customer_pairs",
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+  AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical customer names within (nation, segment) blocks —
+    the record-linkage candidate join, oracle-checked against DuckDB's
+    levenshtein."""
+    cust = load_table(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        cust,
+        id_col="c_custkey",
+        str_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_dist=2,
+    )

@@ -157,3 +157,26 @@ def test_scan_local_band_keys_match_aggregated_path(spark):
         (r["doc_id"], b, r[f"_bk{b}"]) for r in cols.collect() for b in range(4)
     }
     assert got == wide
+
+
+def test_blocked_fuzzy_pairs_semantics(spark):
+    from kafka_stream_unify_order_messages_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "jonathan smith", "us"),
+        (2, "jonathon smith", "us"),   # 1 edit
+        (3, "jonathan smythe", "us"),  # 2 edits
+        (4, "jonathan smith", "de"),   # identical but different block
+        (5, "entirely other name", "us"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "country"])
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["country"], max_dist=2
+        ).collect()
+    }
+    # (2,3) is 3 edits -> beyond max_dist; (1,4) blocked by country
+    assert out == {(1, 2): 1, (1, 3): 2}

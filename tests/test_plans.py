@@ -118,3 +118,48 @@ def test_idle_rich_anti_join_broadcasts(spark):
     plan = plan_of(spark, "idle_rich_customers")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_training_shuffle_terasort_shape(spark):
+    # hash-bucket exchange + per-shard local sort; NO global-order window
+    # (a single-partition sort would be the 100 TB killer)
+    plan = plan_of(spark, "training_shuffle")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_doc_chunking_scan_local(spark):
+    # no WIDE exchange: the only allowed one is the deliberate round-robin
+    # CPU rebalance for under-split local scans (a no-op in production)
+    plan = plan_of(spark, "doc_chunking")
+    import re as _re
+
+    wide = [
+        e
+        for e in _re.findall(r"Exchange (\w+)", plan)
+        if e != "RoundRobinPartitioning"
+    ]
+    assert wide == [], plan
+
+
+def test_dup_ngram_spans_single_scan_no_broadcast(spark):
+    plan = plan_of(spark, "dup_ngram_spans")
+    # corpus totals via window-sum: ONE scan of the gram subtree, and the
+    # corpus-sized totals table must never become a broadcast build side
+    assert plan.count("FileScan") == 1
+    assert "BroadcastExchange" not in plan
+
+
+def test_bpe_top_pairs_no_global_sort(spark):
+    # top-k must be TakeOrdered (per-partition heads + merge), not a
+    # global sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "bpe_top_pairs")
+
+
+def test_fuzzy_pairs_blocked_equi_join(spark):
+    # blocking must compile to an equi-join; a nested-loop/cartesian plan
+    # means the blocking keys fell out of the join condition
+    plan = plan_of(spark, "fuzzy_customer_pairs")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
