@@ -274,10 +274,13 @@ from kafka_stream_unify_order_messages_spark.operators.fuzzy import (  # noqa: E
 @query(
     "fuzzy_customer_pairs",
     """
+WITH subset AS (
+    SELECT * FROM customer WHERE c_custkey % 3 = 0
+)
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-FROM customer a
-JOIN customer b
+FROM subset a
+JOIN subset b
   ON a.c_nationkey = b.c_nationkey
  AND a.c_mktsegment = b.c_mktsegment
  AND a.c_custkey < b.c_custkey
@@ -288,12 +291,43 @@ WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
 def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical customer names within (nation, segment) blocks —
     the record-linkage candidate join, oracle-checked against DuckDB's
-    levenshtein."""
-    cust = load_table(spark, sf_dir, "customer")
+    levenshtein. Bounded to a third of customers (the per-block quadratic
+    is the documented cost knob; same precedent as ngram_jaccard_subset)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    )
     return blocked_fuzzy_pairs(
         cust,
         id_col="c_custkey",
         str_col="c_name",
         block_cols=["c_nationkey", "c_mktsegment"],
         max_dist=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.operators import layout as L  # noqa: E402
+
+_Z_SQL = L.morton_code_sql("(o_custkey % 65536)", "(o_orderkey % 65536)")
+
+
+@query(
+    "zorder_codes",
+    f"""
+SELECT o_orderkey, CAST({_Z_SQL} AS BIGINT) AS zcode
+FROM orders
+""",
+)
+def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton interleave of (custkey, orderkey) low bits — the clustering
+    key zorder_write lays files out by; pure bit-twiddling codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        L.morton_code(
+            F.col("o_custkey") % 65536, F.col("o_orderkey") % 65536
+        ).alias("zcode"),
     )

@@ -25,6 +25,13 @@ ROWS_ONLY_ALLOWED = {
     # and keep-one-per-component pinned by
     # test_llm_ops.py::test_semantic_dedup_*
     "semantic_dedup",
+    # iterative data-dependent argmax loop (BPE training) is not
+    # SQL-expressible; pinned against a pure-Python BPE oracle in
+    # test_tokenizer.py (both driver-side and distributed paths)
+    "bpe_learn_merges",
+    # applies the learned merges (same iterative dependency); segmentation
+    # pinned by test_tokenizer.py (replay equivalence + roundtrip)
+    "bpe_segment_stats",
 }
 
 
