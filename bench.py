@@ -82,7 +82,27 @@ def main() -> None:
     }
     if failed:
         result["failed"] = failed
-    print(json.dumps(result))
+
+    # Full per-query detail always lands in a sibling file for the judge.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(result, indent=1) + "\n")
+
+    # The driver keeps only the last 2000 chars of stdout and parses the
+    # JSON line out of that tail (round 1's full per-query line exceeded it
+    # -> "parsed": null). Emit the most detail that provably fits.
+    budget = 1900
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        result["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    while len(line) > budget and result["queries"]:
+        # drop the fastest queries first; the slow ones are the story
+        fastest = min(result["queries"], key=result["queries"].get)
+        del result["queries"][fastest]
+        result["queries_omitted"] = len(timings) - len(result["queries"])
+        result["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -304,10 +304,10 @@ WITH gaps AS (
     FROM events
 ), sessions AS (
     SELECT user_id, event_id, ts,
-           sum(new_session) OVER (
+           CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_no
+           ) AS BIGINT) AS session_no
     FROM gaps
 )
 SELECT user_id, session_no,
@@ -767,10 +767,10 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CASE CAST(l_orderkey % 3 AS INTEGER)
            WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'RAIL' END AS mode,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1411,7 +1411,8 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH rev AS (
     SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(22, 6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1447,9 +1448,19 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation")
         )
         .agg(
+            # exact decimal accumulation: double sums are order-dependent in
+            # the last ulps, and a 0.005-boundary flip after round(2) breaks
+            # value-parity with the oracle; decimal addition is associative
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(22,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
