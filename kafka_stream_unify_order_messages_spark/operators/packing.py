@@ -7,9 +7,11 @@ shape guaranteed to die at 100 TB.
 
 Scalable form (identical output): bucket ids by a monotone function of
 the order key, cumsum WITHIN buckets with a partitioned window (parallel),
-compute per-bucket totals (one tiny aggregate), prefix-sum those totals
-driver-side (#buckets rows, not #docs), and broadcast the bucket offsets
-back. Global position = bucket offset + within-bucket running sum.
+compute per-bucket totals (one tiny aggregate: #buckets rows, not #docs),
+prefix-sum the totals with a window over that tiny frame, and broadcast-
+join the bucket offsets back. Global position = bucket offset +
+within-bucket running sum. Nothing is collected to the driver and the
+plan size is independent of #buckets.
 """
 
 from __future__ import annotations
@@ -42,27 +44,24 @@ def pack_shards(
     )
     with_local = sized.withColumn("_local_end", F.sum(size_col).over(w))
 
-    # tiny: one row per bucket -> driver prefix-sum -> broadcast map
-    totals = (
+    # tiny per-bucket frame: exclusive prefix-sum of totals in bucket
+    # order. The single-partition orderBy window is fine HERE — it sorts
+    # #buckets rows (data-size / bucket_width), never #docs.
+    w_off = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
         sized.groupBy("_bucket")
         .agg(F.sum(size_col).alias("_total"))
-        .collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(totals, key=lambda r: r["_bucket"]):
-        offsets[row["_bucket"]] = acc
-        acc += row["_total"]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_total").over(w_off), F.lit(0))
+        )
+        .select("_bucket", "_offset")
     )
 
-    start = (
-        F.element_at(offset_map, F.col("_bucket"))
-        + F.col("_local_end")
-        - F.col(size_col)
-    )
-    return with_local.select(
+    start = F.col("_offset") + F.col("_local_end") - F.col(size_col)
+    return with_local.join(F.broadcast(offsets), "_bucket").select(
         id_col,
         size_col,
         F.floor(start / shard_budget).cast("long").alias("shard"),

@@ -194,6 +194,82 @@ def _lsh_bits_np(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     )
 
 
+def _probe_map(probes: np.ndarray) -> dict[int, np.ndarray]:
+    """Invert a (n_queries, n_probes) probe table into
+    ``{group key -> array of query indices probing it}``."""
+    out: dict[int, list[int]] = {}
+    for qi in range(probes.shape[0]):
+        for key in probes[qi]:
+            out.setdefault(int(key), []).append(qi)
+    return {key: np.asarray(v, dtype=np.int64) for key, v in out.items()}
+
+
+def _grouped_probe_scores(
+    q_mat: np.ndarray,
+    q_id_arr: np.ndarray,
+    probe_map: dict[int, np.ndarray],
+    c_mat: np.ndarray,
+    c_keys: np.ndarray,
+    n_ids: np.ndarray,
+    k: int,
+) -> pd.DataFrame | None:
+    """Score one Arrow batch against the broadcast query set, touching only
+    (query, corpus-row) pairs that share a probed group key.
+
+    Corpus rows are grouped by key; each probed group pays one
+    (|Q_g| x dim) @ (dim x |C_g|) GEMM — total compute is
+    sum over groups of |Q_g|·|C_g|, NOT |Q|·|batch| (no full-matrix
+    score-then-mask). Survivors are pruned to each query's batch-local
+    top-k (with the rounding-quantum margin) before the ranking shuffle.
+    """
+    order = np.argsort(c_keys, kind="stable")
+    sorted_keys = c_keys[order]
+    uniq, starts = np.unique(sorted_keys, return_index=True)
+    bounds = np.append(starts, len(sorted_keys))
+    q_parts: list[np.ndarray] = []
+    n_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    for gi in range(len(uniq)):
+        q_sel = probe_map.get(int(uniq[gi]))
+        if q_sel is None:
+            continue
+        c_idx = order[starts[gi] : bounds[gi + 1]]
+        sub = q_mat[q_sel] @ c_mat[c_idx].T  # (|Q_g|, |C_g|)
+        ids_g = n_ids[c_idx]
+        sub = np.where(
+            q_id_arr[q_sel][:, None] == ids_g[None, :], -np.inf, sub
+        )
+        q_parts.append(np.repeat(q_sel, len(c_idx)))
+        n_parts.append(np.tile(c_idx, len(q_sel)))
+        s_parts.append(sub.ravel())
+    if not q_parts:
+        return None
+    qi_all = np.concatenate(q_parts)
+    ci_all = np.concatenate(n_parts)
+    sc_all = np.concatenate(s_parts)
+    finite = np.isfinite(sc_all)
+    qi_all, ci_all, sc_all = qi_all[finite], ci_all[finite], sc_all[finite]
+    if not len(sc_all):
+        return None
+    # batch-local top-k per query (margin keeps round-ties alive)
+    srt = np.lexsort((-sc_all, qi_all))
+    qs, ss = qi_all[srt], sc_all[srt]
+    grp_starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    grp_ends = np.r_[grp_starts[1:], len(qs)]
+    keep = np.zeros(len(qs), dtype=bool)
+    for s0, s1 in zip(grp_starts, grp_ends):
+        kk = min(k, s1 - s0)
+        keep[s0:s1] = ss[s0:s1] >= ss[s0 + kk - 1] - _ROUND_MARGIN
+    sel = srt[keep]
+    return pd.DataFrame(
+        {
+            "query_id": q_id_arr[qi_all[sel]],
+            "neighbor_id": n_ids[ci_all[sel]],
+            "score": sc_all[sel],
+        }
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -205,11 +281,12 @@ def lsh_topk(
     multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to shared LSH
-    buckets. Same probe-masked GEMM shape as ``ivf_topk`` (queries ride
-    broadcast with their bucket ids; each corpus partition computes its
-    own buckets and scores only bucket-matching pairs, pruned to batch
-    top-k before the single ranking shuffle). At scale the mask replaces
-    the cross join: cost is sum over buckets of |Q_b|·|C_b|.
+    buckets. Queries ride broadcast with their bucket ids; each corpus
+    partition computes its own buckets, groups the Arrow batch by bucket,
+    and GEMMs only bucket-matching (query-group x corpus-group) blocks —
+    compute AND shuffle are both sum over buckets of |Q_b|·|C_b|, never
+    |Q|·|corpus|. Survivors are pruned to batch-local top-k before the
+    single ranking shuffle.
 
     ``multi_probe=True`` additionally probes every bucket at Hamming
     distance 1 from the query's (one hyperplane sign flipped) — the
@@ -231,6 +308,7 @@ def lsh_topk(
         )  # (n_queries, 1 + n_planes)
     else:
         q_probes = q_buckets[:, None]
+    probe_map = _probe_map(q_probes)
 
     id_field = corpus.schema[id_col]
     out_schema = StructType(
@@ -249,28 +327,11 @@ def lsh_topk(
             c_buckets = _lsh_bits_np(c_raw, planes)
             c_mat = _normalized_matrix(c_raw)
             n_ids = pdf[id_col].to_numpy()
-            scores = q_mat @ c_mat.T
-            visible = (
-                c_buckets[None, :, None] == q_probes[:, None, :]
-            ).any(axis=2)
-            visible &= q_id_arr[:, None] != n_ids[None, :]
-            scores = np.where(visible, scores, -np.inf)
-            keep = min(k, scores.shape[1])
-            kth = np.partition(scores, -keep, axis=1)[:, -keep]
-            out_q, out_n, out_s = [], [], []
-            for qi in range(scores.shape[0]):
-                row = scores[qi]
-                sel = (row >= (kth[qi] - _ROUND_MARGIN)) & np.isfinite(row)
-                out_q.append(np.full(sel.sum(), q_id_arr[qi]))
-                out_n.append(n_ids[sel])
-                out_s.append(row[sel])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "score": np.concatenate(out_s),
-                }
+            out = _grouped_probe_scores(
+                q_mat, q_id_arr, probe_map, c_mat, c_buckets, n_ids, k
             )
+            if out is not None:
+                yield out
 
     pruned = corpus.select(id_col, vec_col).mapInPandas(
         score_partition, out_schema
@@ -374,7 +435,9 @@ def ivf_topk(
     cell is among its ``nprobe`` nearest centroids. With nprobe ==
     n_centroids this is EXACTLY brute force (tested); with nprobe << it
     scans ~nprobe/n_centroids of the corpus — the data-adapted scale path
-    (vs data-oblivious hyperplane LSH).
+    (vs data-oblivious hyperplane LSH). Each Arrow batch is grouped by
+    cell and only probed cells are GEMMed, so per-batch compute tracks
+    the nprobe/n_centroids fraction rather than the full batch.
     """
     from pyspark.sql import Window
 
@@ -393,6 +456,7 @@ def ivf_topk(
         + (centroids ** 2).sum(axis=1)[None, :]
     )
     probes = np.argsort(dq, axis=1)[:, :nprobe]  # (n_queries, nprobe)
+    probe_map = _probe_map(probes)
 
     id_field = corpus.schema[id_col]
     out_schema = StructType(
@@ -403,9 +467,6 @@ def ivf_topk(
     ).add("score", "double")
 
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    probe_mask = np.zeros((len(q_ids), centroids.shape[0]), dtype=bool)
-    for qi in range(len(q_ids)):
-        probe_mask[qi, probes[qi]] = True
 
     def score_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_id_arr = np.asarray(q_ids)
@@ -415,28 +476,13 @@ def ivf_topk(
             c_mat = _normalized_matrix(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             )
-            cells = pdf["centroid_id"].to_numpy()
+            cells = pdf["centroid_id"].to_numpy().astype(np.int64)
             n_ids = pdf[id_col].to_numpy()
-            scores = q_mat @ c_mat.T
-            visible = probe_mask[:, cells]  # (n_queries, n_batch)
-            visible &= q_id_arr[:, None] != n_ids[None, :]
-            scores = np.where(visible, scores, -np.inf)
-            keep = min(k, scores.shape[1])
-            kth = np.partition(scores, -keep, axis=1)[:, -keep]
-            out_q, out_n, out_s = [], [], []
-            for qi in range(scores.shape[0]):
-                row = scores[qi]
-                sel = (row >= (kth[qi] - _ROUND_MARGIN)) & np.isfinite(row)
-                out_q.append(np.full(sel.sum(), q_id_arr[qi]))
-                out_n.append(n_ids[sel])
-                out_s.append(row[sel])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "score": np.concatenate(out_s),
-                }
+            out = _grouped_probe_scores(
+                q_mat, q_id_arr, probe_map, c_mat, cells, n_ids, k
             )
+            if out is not None:
+                yield out
 
     pruned = assigned.mapInPandas(score_partition, out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -519,6 +565,7 @@ def semantic_dedup_pairs(
     n_centroids: int = 16,
     threshold: float = 0.9,
     centroids: np.ndarray | None = None,
+    max_cluster_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     partition the corpus by nearest k-means centroid, then compare pairs
@@ -529,14 +576,17 @@ def semantic_dedup_pairs(
     Returns (id_a, id_b, score) with id_a < id_b and rounded score >=
     ``threshold``.
 
-    Scale shape: one shuffle on centroid_id; each cluster is scored by a
-    single numpy GEMM inside ``applyInPandas``. Cluster size is the
-    quadratic (and per-task memory) bound — at larger corpora raise
-    ``n_centroids`` proportionally so E[cluster] stays fixed, exactly how
-    SemDeDup runs at web scale. Skewed clusters are the known failure
-    mode; AQE cannot split a single group, so pathological skew calls
-    for recursive re-clustering of oversized cells (not needed at the
-    test scales).
+    Scale shape: one shuffle on centroid_id; each cluster is scored by
+    numpy GEMMs inside ``applyInPandas``. Skewed clusters are the known
+    SemDeDup failure mode — AQE cannot split a single group — so clusters
+    larger than ``max_cluster_size`` are block-decomposed: members hash
+    into ``ceil(n / max_cluster_size)`` chunks and every chunk pair
+    (ca <= cb) becomes its own task key. Each pair of members is scored
+    in exactly one block, so the result is identical to the unsplit
+    computation while per-task compute and memory are bounded by
+    ~``max_cluster_size``^2 regardless of skew. Rows replicate by their
+    cluster's chunk count (1 for non-skewed clusters, so the common case
+    pays nothing).
     """
     from pyspark.sql.types import DoubleType, StructField
 
@@ -545,6 +595,48 @@ def semantic_dedup_pairs(
             corpus, id_col, vec_col, n_centroids=n_centroids
         )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    counts = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    chunked = (
+        assigned.join(F.broadcast(counts), "centroid_id")
+        .withColumn(
+            "_nchunks",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_cnt") / F.lit(max_cluster_size)),
+            ).cast("int"),
+        )
+        .withColumn(
+            "chunk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nchunks")).cast("int"),
+        )
+        # replicate each row into every block (ca, cb) that contains its
+        # chunk: ca = min(chunk, j), cb = max(chunk, j) for j in 0..n-1
+        .withColumn(
+            "_block",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("_nchunks") - 1),
+                        lambda j: F.struct(
+                            F.least(F.col("chunk"), j).alias("ca"),
+                            F.greatest(F.col("chunk"), j).alias("cb"),
+                        ),
+                    )
+                )
+            ),
+        )
+        .select(
+            "centroid_id",
+            F.col("_block.ca").alias("ca"),
+            F.col("_block.cb").alias("cb"),
+            "chunk",
+            id_col,
+            vec_col,
+        )
+    )
 
     id_field = corpus.schema[id_col]
     out_schema = StructType(
@@ -555,20 +647,47 @@ def semantic_dedup_pairs(
         ]
     )
     thr = threshold
+    _EMPTY_PAIRS = pd.DataFrame(
+        {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "score": np.array([], dtype=np.float64),
+        }
+    )
 
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        m = _normalized_matrix(
-            np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, ca, cb = key
+        a = pdf[pdf["chunk"] == ca].sort_values(id_col)
+        ids_a = a[id_col].to_numpy()
+        if not len(a):
+            return _EMPTY_PAIRS.copy()
+        ma = _normalized_matrix(
+            np.stack(a[vec_col].to_numpy()).astype(np.float64)
         )
-        ia, ib = np.triu_indices(len(pdf), 1)
-        sc = np.round((m @ m.T)[ia, ib], 6)
-        keep = sc >= thr
-        ids = pdf[id_col].to_numpy()
+        if ca == cb:
+            ia, ib = np.triu_indices(len(a), 1)
+            sc = np.round((ma @ ma.T)[ia, ib], 6)
+            keep = sc >= thr
+            id_lo, id_hi = ids_a[ia[keep]], ids_a[ib[keep]]
+        else:
+            b = pdf[pdf["chunk"] == cb].sort_values(id_col)
+            if not len(b):
+                return _EMPTY_PAIRS.copy()
+            ids_b = b[id_col].to_numpy()
+            mb = _normalized_matrix(
+                np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            )
+            sc = np.round(ma @ mb.T, 6)
+            ia, ib = np.nonzero(sc >= thr)
+            sc = sc[ia, ib]
+            keep = slice(None)
+            left, right = ids_a[ia], ids_b[ib]
+            id_lo = np.minimum(left, right)
+            id_hi = np.maximum(left, right)
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": sc[keep]}
+            {"id_a": id_lo, "id_b": id_hi, "score": sc[keep]}
         )
 
-    return assigned.groupBy("centroid_id").applyInPandas(
-        cluster_pairs, out_schema
+    return chunked.groupBy("centroid_id", "ca", "cb").applyInPandas(
+        block_pairs, out_schema
     )

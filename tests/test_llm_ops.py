@@ -506,3 +506,43 @@ def test_dedup_clusters_random_graphs_match_union_find(spark):
             ).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_semantic_dedup_skew_guard_matches_unsplit(spark):
+    """A pathological cluster (every vector lands in one cell) is
+    block-decomposed by max_cluster_size; each member pair is scored in
+    exactly one block, so the pair set is identical to the unsplit run."""
+    import math
+    import random
+
+    import numpy as np
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        # all near one direction -> single cluster, many pairs over 0.9
+        theta = rng.uniform(0.0, 0.4)
+        rows.append((i, [math.cos(theta), math.sin(theta), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
+
+    def pair_set(max_cluster_size):
+        return {
+            (r["id_a"], r["id_b"], r["score"])
+            for r in S.semantic_dedup_pairs(
+                df,
+                threshold=0.95,
+                centroids=cents,
+                max_cluster_size=max_cluster_size,
+            ).collect()
+        }
+
+    unsplit = pair_set(10**9)
+    split = pair_set(8)  # 60 rows -> 8 chunks -> 36 block tasks
+    assert unsplit  # non-trivial fixture
+    assert split == unsplit
+    assert all(a < b for a, b, _ in split)

@@ -163,3 +163,14 @@ def test_fuzzy_pairs_blocked_equi_join(spark):
     plan = plan_of(spark, "fuzzy_customer_pairs")
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_shard_packing_broadcast_offsets_no_literal_map(spark):
+    # the global running sum decomposes into per-bucket windows plus a
+    # broadcast-joined prefix-sum of the tiny bucket-totals frame; the
+    # plan must not embed a per-bucket literal map (plan size would grow
+    # with #buckets) and the offsets side must be broadcast
+    plan = plan_of(spark, "shard_packing")
+    assert "BroadcastHashJoin" in plan
+    assert "keys: [" not in plan  # no create_map literal
+    assert "map_from" not in plan
