@@ -596,6 +596,12 @@ def semantic_dedup_pairs(
         )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
+    # `assigned` feeds two DAG branches: the tiny cluster-size aggregate
+    # and the pair scoring. The aggregate re-runs the (cheap, scan-local)
+    # assignment rather than persisting the full vector width — measured
+    # faster at bench scale; a production pipeline that materializes the
+    # cluster assignment to storage (as SemDeDup runs do) drops the
+    # second pass for free.
     counts = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
