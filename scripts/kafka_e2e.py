@@ -89,6 +89,22 @@ def main() -> int:
     out_topic = f"order-projection-{run}"
     print(f"kafka_e2e: run={run} bootstrap={bootstrap}")
 
+    # S7 topic auto-creation: the connector package puts the Java Kafka
+    # client on the classpath, so create the topics explicitly like the
+    # reference harness does; fall back to broker auto-create if absent.
+    from kafka_stream_unify_order_messages_spark.sources.kafka_admin import (
+        KafkaAdminUnavailable,
+        ensure_topics,
+    )
+
+    try:
+        created = ensure_topics(
+            spark, bootstrap, (*topics.values(), out_topic)
+        )
+        print(f"kafka_e2e: created topics {created}")
+    except KafkaAdminUnavailable as e:
+        print(f"kafka_e2e: admin unavailable ({e}); relying on auto-create")
+
     # -- produce: complete lifecycles + incomplete ones that must NOT emit.
     # The e2e harness produces through Spark's own batch Kafka sink, so no
     # extra client library is needed. Order 0 sends UPPERCASE types
