@@ -354,3 +354,60 @@ def dedup_lines(
             .alias("n_dropped"),
         )
     )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in"),
+) -> DataFrame:
+    """Gopher-style rule-cascade quality filter (Rae et al. 2021 §A1.1 /
+    Dolma): per-document structural heuristics, each surfaced as its own
+    flag so a pipeline can audit WHICH rule rejected a document.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; fraction of words containing
+    an alphabetic character >= min_alpha_frac; at least min_stop_hits
+    stopword occurrences (the classic "ratio of closed-class words"
+    boilerplate detector). Ratios are rounded to 4dp BEFORE thresholding
+    so the keep boundary is engine-stable.
+
+    Scale: pure scan-local column expressions (one whitespace split +
+    two lambda filters over the bound token array) — zero shuffles, zero
+    Python; composes with clean_corpus as a pre-filter.
+    """
+    toks = T.tokens(text_col)
+    n_words = F.size(toks)
+    nonspace = F.length(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")
+    )
+    mean_word_len = F.round(nonspace / n_words, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n_words, 4
+    )
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("r_words"),
+        r_mean.alias("r_mean_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_mean & r_alpha & r_stop).alias("keep"),
+    )

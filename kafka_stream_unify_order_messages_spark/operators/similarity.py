@@ -697,3 +697,61 @@ def semantic_dedup_pairs(
     return chunked.groupBy("centroid_id", "ca", "cb").applyInPandas(
         block_pairs, out_schema
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+    seed_base: int = 100,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic md5-derived directions (the
+    same portable-plane convention as LSH, offset by ``seed_base`` so the
+    two families never share planes). The standard cheap pre-step before
+    clustering / coarse ANN when the native dimension is large.
+
+    Output: (id, p0..p{out_dim-1}) with components rounded to 6dp.
+
+    Scale: one numpy GEMM per Arrow batch inside ``mapInPandas`` —
+    scan-local, zero shuffles, projection matrix embedded in the closure
+    (out_dim x dim doubles, broadcast-sized by construction). Components
+    within 1e-9 of a 6dp rounding boundary are recomputed with an exact
+    fold so the rounded value is summation-order-independent (same guard
+    as ``_lsh_bits_np``).
+    """
+    import math
+
+    planes = np.asarray(
+        [hyperplane(seed_base + j, dim) for j in range(out_dim)],
+        dtype=np.float64,
+    )
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [id_field.__class__(id_col, id_field.dataType, True)]
+    )
+    for j in range(out_dim):
+        out_schema = out_schema.add(f"p{j}", "double")
+
+    def project(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = mat @ planes.T  # (n, out_dim)
+            # exact-fold guard at the rounding boundary
+            scaled = proj * 1e6
+            near = np.argwhere(
+                np.abs(scaled - np.floor(scaled) - 0.5) < 1e-3
+            )
+            for r, j in near:
+                proj[r, j] = math.fsum(mat[r] * planes[j])
+            proj = np.round(proj, 6)
+            out = {id_col: pdf[id_col]}
+            for j in range(out_dim):
+                out[f"p{j}"] = proj[:, j]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(project, out_schema)

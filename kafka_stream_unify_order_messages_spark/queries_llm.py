@@ -1246,9 +1246,7 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "lm_perplexity",
-    f"""
+_LM_PPL_SQL = f"""
 WITH toks AS (
     SELECT doc_id, {_TOKS} AS w FROM documents
     WHERE len({_TOKS}) >= 2
@@ -1272,8 +1270,10 @@ JOIN cbg USING (w1, w2)
 JOIN cctx USING (w1)
 CROSS JOIN voc
 GROUP BY doc_id
-""",
-)
+"""
+
+
+@query("lm_perplexity", _LM_PPL_SQL)
 def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_unify_order_messages_spark.operators.pipeline import (
         bigram_lm_scores,
@@ -1378,4 +1378,114 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(
         docs.filter(F.col("doc_id") >= 250),
         docs.filter(F.col("doc_id") < 250),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-cascade quality filter (Rae et al. 2021): per-rule
+# audit flags + the composite keep decision, all scan-local codegen.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gopher_rules",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS w,
+           length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           len(w) AS n_words,
+           round(nonspace / len(w), 4) AS mean_word_len,
+           round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                 / len(w), 4) AS alpha_frac,
+           len(list_filter(
+               w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')
+           )) AS stop_hits
+    FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+       (n_words >= 20 AND n_words <= 100000) AS r_words,
+       (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS r_mean_len,
+       (alpha_frac >= 0.8) AS r_alpha,
+       (stop_hits >= 2) AS r_stopwords,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+        AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+FROM s
+""",
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        gopher_quality,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return gopher_quality(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction: 64 -> 8 deterministic
+# md5-derived directions (JL-style pre-step before clustering/ANN).
+# ---------------------------------------------------------------------------
+
+
+def _rp_proj_sql(out_dim: int = 8, dim: int = 64, seed_base: int = 100) -> str:
+    cols = []
+    for j in range(out_dim):
+        plane = S.hyperplane(seed_base + j, dim)
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        cols.append(
+            f"round(list_dot_product(embedding::DOUBLE[], {lit}), 6) AS p{j}"
+        )
+    return ",\n       ".join(cols)
+
+
+@query(
+    "random_projection",
+    f"""
+SELECT vec_id,
+       {_rp_proj_sql()}
+FROM embeddings
+""",
+)
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, "vec_id", "embedding", out_dim=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: fixed precomputed cutoffs split the
+# corpus into head/middle/tail quality tiers (Wenzek et al. 2020). The
+# thresholds are literals (from a reference-corpus calibration), so the
+# bucketing composes scan-local on top of the LM scores.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ppl_buckets",
+    f"""
+WITH scores AS ({_LM_PPL_SQL})
+SELECT doc_id, ppl,
+       CASE WHEN ppl < 29.2 THEN 'head'
+            WHEN ppl < 29.9 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores
+""",
+)
+def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        bigram_lm_scores,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs, "doc_id", "text", alpha=0.5)
+    return scores.select(
+        "doc_id",
+        "ppl",
+        F.when(F.col("ppl") < 29.2, "head")
+        .when(F.col("ppl") < 29.9, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

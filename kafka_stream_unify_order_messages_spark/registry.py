@@ -558,17 +558,18 @@ _FRONT_WINDOW = [
     "ann_lsh_buckets",
     "ann_lsh_topk",
     "embedding_near_dup",
+    "random_projection",
     "fuzzy_customer_pairs",
     # Text analysis.
     "text_stats",
     "lang_id_heuristic",
     "lang_id_ngram",
-    "doc_fingerprints",
     "quality_scores",
+    "gopher_rules",
     "repetition_ratio",
     "pii_scrub",
     "tfidf_top_terms",
-    "top_tokens",
+    "ppl_buckets",
     # Training-data pipeline.
     "clean_corpus",
     "decontaminate",
@@ -576,7 +577,6 @@ _FRONT_WINDOW = [
     "temperature_sample",
     "stratified_sample",
     "training_shuffle",
-    "hash_sample_stats",
     "doc_chunking",
     "shard_packing",
     "zorder_codes",

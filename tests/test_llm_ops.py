@@ -546,3 +546,48 @@ def test_semantic_dedup_skew_guard_matches_unsplit(spark):
     assert unsplit  # non-trivial fixture
     assert split == unsplit
     assert all(a < b for a, b, _ in split)
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        gopher_quality,
+    )
+
+    rows = [
+        # 25 words, normal lengths, has stopwords -> keep
+        (1, "the quick brown fox jumps over a lazy dog and then "
+            "runs far away to the old barn in search of warm food now"),
+        # too short
+        (2, "the cat sat"),
+        # numbers only: fails alpha fraction and stopwords
+        (3, " ".join(str(n) for n in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["keep"] and out[1]["r_words"] and out[1]["r_stopwords"]
+    assert not out[2]["keep"] and not out[2]["r_words"]
+    assert not out[3]["r_alpha"] and not out[3]["r_stopwords"]
+    assert out[3]["alpha_frac"] == 0.0
+
+
+def test_random_projection_deterministic_and_linear(spark):
+    import numpy as np
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    rows = [
+        (1, [1.0] + [0.0] * 63),
+        (2, [0.0, 2.0] + [0.0] * 62),
+        (3, [1.0, 2.0] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in S.random_projection(df).collect()}
+    planes = [S.hyperplane(100 + j, 64) for j in range(8)]
+    # row 1 picks out component 0 of each plane; row 3 = row1 + row2
+    for j in range(8):
+        assert out[1][f"p{j}"] == round(planes[j][0], 6)
+        assert abs(
+            out[3][f"p{j}"] - (out[1][f"p{j}"] + out[2][f"p{j}"])
+        ) < 2e-6
