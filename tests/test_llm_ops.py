@@ -591,3 +591,28 @@ def test_random_projection_deterministic_and_linear(spark):
         assert abs(
             out[3][f"p{j}"] - (out[1][f"p{j}"] + out[2][f"p{j}"])
         ) < 2e-6
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    # chain + triangle + isolate-pair: min-of-component labels must be
+    # identical whether resolved by driver union-find (small-graph path)
+    # or distributed min-label propagation (driver_edge_limit=0)
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 3), (5, 6), (6, 7), (5, 7), (9, 10)],
+        ["id_a", "id_b"],
+    )
+    expect = {
+        (1, 1), (2, 1), (3, 1),
+        (5, 5), (6, 5), (7, 5),
+        (9, 9), (10, 9),
+    }
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    slow = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs, driver_edge_limit=0).collect()
+    }
+    assert fast == expect
+    assert slow == expect

@@ -174,3 +174,21 @@ def test_shard_packing_broadcast_offsets_no_literal_map(spark):
     assert "BroadcastHashJoin" in plan
     assert "keys: [" not in plan  # no create_map literal
     assert "map_from" not in plan
+
+
+def test_gopher_rules_scan_local(spark):
+    # rule cascade is pure per-row expressions: no hash shuffle (the one
+    # allowed Exchange is _load's round-robin min_partitions rebalance),
+    # no Python
+    plan = plan_of(spark, "gopher_rules")
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan.lower()
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_random_projection_scan_local(spark):
+    # one Arrow-batched GEMM over the scan: no shuffle beyond the
+    # min_partitions rebalance, nothing collected
+    plan = plan_of(spark, "random_projection")
+    assert plan.count("Exchange") <= 1  # the explicit min_partitions split
+    assert "MapInPandas" in plan
