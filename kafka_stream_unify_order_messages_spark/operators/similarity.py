@@ -386,7 +386,17 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, centroid_id, vec) — nearest-centroid assignment, one numpy
-    distance computation per Arrow batch."""
+    distance computation per Arrow batch.
+
+    Distances use the rank-equivalent ``-2·v·c + |c|²`` form (the
+    row-constant |v|² term cannot change the argmin), with centroid
+    norms exact-folded and an argmin-boundary guard: rows whose two
+    nearest cells are within 1e-9 get their distances recomputed with
+    an exact fold, so the cell choice is summation-order-independent —
+    a SQL oracle evaluating the same formula picks the same cell.
+    """
+    import math
+
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     id_field = corpus.schema[id_col]
@@ -399,17 +409,24 @@ def ivf_assign(
         ]
     )
     cents = centroids
+    cent_norm2 = np.asarray(
+        [math.fsum(x * x for x in c) for c in cents]
+    )
 
     def assign(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             if pdf.empty:
                 continue
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = (
-                (c_mat ** 2).sum(axis=1, keepdims=True)
-                - 2 * c_mat @ cents.T
-                + (cents ** 2).sum(axis=1)[None, :]
-            )
+            d = -2.0 * (c_mat @ cents.T) + cent_norm2[None, :]
+            if d.shape[1] >= 2:
+                near2 = np.partition(d, 1, axis=1)
+                for r in np.flatnonzero(near2[:, 1] - near2[:, 0] < 1e-9):
+                    d[r] = [
+                        -2.0 * math.fsum(c_mat[r] * cents[c])
+                        + cent_norm2[c]
+                        for c in range(len(cents))
+                    ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -445,17 +462,32 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids
         )
+    import math
+
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     q_mat = _normalized_matrix(q_raw)
-    # per-query probe set: nprobe nearest centroids (euclidean)
-    dq = (
-        (q_raw ** 2).sum(axis=1, keepdims=True)
-        - 2 * q_raw @ centroids.T
-        + (centroids ** 2).sum(axis=1)[None, :]
+    # per-query probe set: nprobe nearest centroids (same rank-equivalent
+    # -2·q·c + |c|² distances as ivf_assign, with a probe-boundary guard:
+    # when the nprobe-th and (nprobe+1)-th nearest cells are within 1e-9,
+    # recompute that query's distances with an exact fold so the probe
+    # cut is summation-order-independent). Stable argsort ties break on
+    # the lower cell id, matching SQL ORDER BY (d, cell).
+    cent_norm2 = np.asarray(
+        [math.fsum(x * x for x in c) for c in centroids]
     )
-    probes = np.argsort(dq, axis=1)[:, :nprobe]  # (n_queries, nprobe)
+    dq = -2.0 * (q_raw @ centroids.T) + cent_norm2[None, :]
+    if centroids.shape[0] > nprobe:
+        ranked = np.sort(dq, axis=1)
+        for qi in np.flatnonzero(
+            ranked[:, nprobe] - ranked[:, nprobe - 1] < 1e-9
+        ):
+            dq[qi] = [
+                -2.0 * math.fsum(q_raw[qi] * centroids[c]) + cent_norm2[c]
+                for c in range(centroids.shape[0])
+            ]
+    probes = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
     probe_map = _probe_map(probes)
 
     id_field = corpus.schema[id_col]

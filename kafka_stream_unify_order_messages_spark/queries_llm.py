@@ -1489,3 +1489,81 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with FIXED md5-derived centroids: unlike ann_ivf_topk (whose
+# k-means centroids are data-trained, hence rows-only checked), the whole
+# IVF mechanism — cell assignment, nprobe probe selection, cell-scoped
+# scoring, ranking — is value-checked against DuckDB here.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_fixed_centroids(n_centroids: int = 16, dim: int = 64):
+    import numpy as np
+
+    return np.asarray(
+        [S.hyperplane(200 + c, dim) for c in range(n_centroids)],
+        dtype=np.float64,
+    )
+
+
+def _ivf_fixed_sql(
+    k: int = 5, n_centroids: int = 16, nprobe: int = 4, dim: int = 64
+) -> str:
+    import math
+
+    cents = [S.hyperplane(200 + c, dim) for c in range(n_centroids)]
+    ds = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        n2 = math.fsum(x * x for x in c)
+        ds.append(f"-2 * list_dot_product(v, {lit}) + {n2!r}")
+    dlist = "[" + ",\n        ".join(ds) + "]"
+    return f"""
+WITH cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+        {dlist} AS ds
+    FROM embeddings
+), cell AS (
+    SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell FROM cd
+), qp AS (
+    SELECT vec_id, cell FROM (
+        SELECT q.vec_id, g.cell, ds[g.cell + 1] AS d,
+               row_number() OVER (
+                   PARTITION BY q.vec_id ORDER BY ds[g.cell + 1], g.cell
+               ) AS rn
+        FROM cd q,
+             (SELECT unnest(generate_series(0, {n_centroids - 1})) AS cell) g
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rn <= {nprobe}
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) *
+                  sqrt(list_dot_product(c.v, c.v))), 6) AS score
+    FROM cell q
+    JOIN qp ON qp.vec_id = q.vec_id
+    JOIN cell c ON c.cell = qp.cell AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, score, rnk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+@query("ann_ivf_fixed", _ivf_fixed_sql())
+def ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.ivf_topk(
+        queries,
+        emb,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        centroids=_ivf_fixed_centroids(),
+    )

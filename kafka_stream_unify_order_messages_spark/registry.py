@@ -543,7 +543,6 @@ _FRONT_WINDOW = [
     "tpch_q1",
     # Dedup family.
     "dedup_exact",
-    "minhash_signatures",
     "minhash_dedup_pairs",
     "ngram_jaccard_subset",
     "simhash_fingerprints",
@@ -557,6 +556,7 @@ _FRONT_WINDOW = [
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
+    "ann_ivf_fixed",
     "embedding_near_dup",
     "random_projection",
     "fuzzy_customer_pairs",
