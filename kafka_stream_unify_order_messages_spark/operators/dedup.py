@@ -246,6 +246,44 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Spanning candidate edges (id_a < id_b): the CLUSTERING form of
+    ``minhash_candidate_pairs``. Each LSH bucket contributes a star
+    rooted at its minimum id instead of all pairs, which preserves the
+    connected components exactly while emitting O(bucket) rows where the
+    pair form emits O(bucket²) — the difference between surviving and
+    dying on a web crawl where one boilerplate page has 10^6 copies
+    (AQE can split a skewed bucket's COMPUTE, but nothing can absorb a
+    quadratic OUTPUT). Use the pair form only when per-pair similarity
+    is verified downstream; use this for connectivity consumers
+    (``dedup_clusters``).
+    """
+    from pyspark.sql import Window
+
+    bands_df = minhash_band_keys(
+        minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        bands,
+        num_hashes,
+    )
+    w = Window.partitionBy("band", "band_key")
+    return (
+        bands_df.withColumn("_root", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(
+            F.col("_root").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -63,7 +63,10 @@ def clean_corpus(
 
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
-    pairs = D.minhash_candidate_pairs(
+    # star edges, not pairs: connectivity is all clustering needs, and
+    # the edge form stays linear in bucket size where the pair form is
+    # quadratic on heavily-duplicated buckets
+    pairs = D.minhash_candidate_edges(
         exact, id_col, text_col, num_hashes, bands, shingle_n
     )
     # cluster-based removal: keep exactly ONE doc per connected component

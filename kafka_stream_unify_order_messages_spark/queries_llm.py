@@ -1190,10 +1190,11 @@ GROUP BY src
 )
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
-    pairs = D.minhash_candidate_pairs(
+    # star edges: same components as the full pair set, linear output
+    edges = D.minhash_candidate_edges(
         docs, num_hashes=16, bands=4, shingle_n=3
     )
-    return D.dedup_clusters(pairs)
+    return D.dedup_clusters(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -616,3 +616,19 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     }
     assert fast == expect
     assert slow == expect
+
+
+def test_minhash_edges_same_components_as_pairs(docs, spark):
+    pairs = D.minhash_candidate_pairs(docs, num_hashes=16, bands=8, shingle_n=2)
+    edges = D.minhash_candidate_edges(docs, num_hashes=16, bands=8, shingle_n=2)
+    lbl_pairs = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    lbl_edges = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(edges).collect()
+    }
+    assert lbl_pairs == lbl_edges and lbl_pairs
+    # the edge list never exceeds the pair list
+    assert edges.count() <= pairs.count()
