@@ -457,9 +457,108 @@ def _driver_union_find(spark, rows, id_type) -> DataFrame:
     return spark.createDataFrame(out, schema)
 
 
+def dedup_clusters_star(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): same (doc_id, cluster_id = min of component) contract as
+    ``dedup_clusters``, but converging in O(log²) rounds independent of
+    component DIAMETER — the variant for adversarially deep graphs where
+    min-label propagation's O(diameter) rounds would stall (a chain of
+    10^6 near-dup shards). Each round is two shuffle+distinct phases on
+    the (shrinking) edge list; every generation is localCheckpointed for
+    the same lineage discipline as the propagation path.
+
+    - large-star: every node links its LARGER neighbors to the minimum
+      of its closed neighborhood (min over N(u) ∪ {u}).
+    - small-star: edges oriented large→small; every center links its
+      smaller neighbors (and itself) to their minimum.
+
+    Converged when the canonical edge set is stable; edges then form
+    stars rooted at component minima.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _edge_sum(e: DataFrame):
+        # order-insensitive convergence fingerprint on the canonical
+        # (min, max) edge set — one aggregate, no join
+        return e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).distinct().agg(
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    prev = _edge_sum(edges)
+    for _ in range(max_iter):
+        # large-star
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        gmin = sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+        large = (
+            sym.join(gmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star on large→small orientation
+        oriented = large.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        smin = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            oriented.join(smin, "src")
+            .select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+            .unionByName(
+                smin.select(F.col("src"), F.col("m").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        cur = _edge_sum(edges)
+        if (cur["s"], cur["n"]) == (prev["s"], prev["n"]):
+            break
+        prev = cur
+
+    # converged edges are stars (node → component min); add the roots
+    members = edges.select(
+        F.greatest("src", "dst").alias("id"),
+        F.least("src", "dst").alias("lbl"),
+    ).groupBy("id").agg(F.min("lbl").alias("lbl"))
+    roots = (
+        edges.select(F.least("src", "dst").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    return (
+        members.unionByName(roots)
+        .groupBy("id")
+        .agg(F.min("lbl").alias("cluster_id"))
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
-    max_iter: int = 10,
+    max_iter: int = 20,
     driver_edge_limit: int = 100_000,
 ) -> DataFrame:
     """Connected components over candidate pairs (id_a, id_b): returns
@@ -471,22 +570,14 @@ def dedup_clusters(
     candidate-pair graphs are minuscule relative to the corpus (dup PAIRS
     survive blocking + thresholds), so when at most ``driver_edge_limit``
     edges come back they are resolved with one exact driver-side
-    union-find — replacing O(diameter) iterative Spark jobs whose fixed
-    per-job scheduling cost dominates on small graphs (measured 3.7 s of
-    overhead for a 163-edge graph at bench scale). Larger graphs take
-    the distributed path below; the size probe costs one extra execution
-    of the candidate plan in that case, mirroring AQE's reoptimization
-    trade. Set ``driver_edge_limit=0`` to force the distributed path.
-
-    Distributed path — min-label propagation: each iteration every node
-    adopts the minimum label among itself and its neighbors; converges in
-    O(component diameter) iterations. Near-dup components are small and
-    shallow (diameter a few hops), so a handful of shuffle rounds suffice
-    at any corpus size — each round is one join + one aggregate on
-    (id, label) pairs, never document bodies. For adversarially deep
-    graphs swap in the large-star/small-star variant; ``max_iter`` bounds
-    the work and convergence is checked per round with one join-free
-    hash-sum aggregate.
+    union-find — replacing iterative Spark jobs whose fixed per-job
+    scheduling cost dominates on small graphs (measured 3.7 s of overhead
+    for a 163-edge graph at bench scale). Larger graphs take the
+    distributed large-star/small-star path (``dedup_clusters_star``),
+    whose round count is diameter-independent; the size probe costs one
+    extra execution of the candidate plan in that case, mirroring AQE's
+    reoptimization trade. Set ``driver_edge_limit=0`` to force the
+    distributed path.
     """
     if driver_edge_limit:
         head = pairs.select("id_a", "id_b").take(driver_edge_limit + 1)
@@ -494,78 +585,7 @@ def dedup_clusters(
             return _driver_union_find(
                 pairs.sparkSession, head, pairs.schema["id_a"].dataType
             )
-    # Iterative lineage discipline: each round references the previous
-    # labels plan TWICE (neighbor-min join + left join), so keeping the
-    # logical lineage would grow the plan tree EXPONENTIALLY in rounds —
-    # large enough upstream plans (e.g. semantic_dedup's k-means +
-    # mapInPandas candidate generation) OOM the driver merely
-    # STRINGIFYING the plan inside persist()'s cachedName. Eager
-    # localCheckpoint materializes each generation AND truncates the
-    # plan to the checkpointed RDD, keeping every round's plan O(1);
-    # it also stops the expensive candidate DAG from re-executing per
-    # round. (On a multi-node cluster prefer reliable checkpointing —
-    # sc.setCheckpointDir + .checkpoint() — since localCheckpoint state
-    # dies with an executor.)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    # initial labels fold the would-be first propagation round into one
-    # aggregate: lbl_0(v) = min(v, min neighbor) — identical to running
-    # one round from identity labels, but with no join (edges are
-    # symmetric, so every node appears as src)
-    labels = (
-        edges.groupBy("src")
-        .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
-        .select(F.col("src").alias("id"), "lbl")
-        .localCheckpoint(eager=True)
-    )
-
-    def _label_sum(lbls: DataFrame):
-        # join-free convergence check: labels only ever DECREASE under
-        # min propagation, so the multiset of (id, lbl) rows is unchanged
-        # iff an order-insensitive exact sum of per-row hashes is
-        # unchanged (decimal(38,0) — no overflow wraparound; works for
-        # string ids too). One aggregate per round instead of a
-        # shuffle join + limit + count.
-        return lbls.agg(
-            F.sum(F.xxhash64("id", "lbl").cast("decimal(38,0)"))
-        ).collect()[0][0]
-
-    # seed the convergence baseline with the initial labels so an
-    # already-converged graph (all components diameter <= 1) exits after
-    # a single verification round
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = _label_sum(new_labels)
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    # superseded generations' checkpoint blocks are released when their
-    # RDDs are GC'd; the returned plan is rooted at the final (small)
-    # checkpointed labels — one row per node in any candidate pair
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    )
+    return dedup_clusters_star(pairs, max_iter=max_iter)
 
 
 def dedup_incremental(

@@ -632,3 +632,39 @@ def test_minhash_edges_same_components_as_pairs(docs, spark):
     assert lbl_pairs == lbl_edges and lbl_pairs
     # the edge list never exceeds the pair list
     assert edges.count() <= pairs.count()
+
+
+def test_dedup_clusters_star_deep_chain(spark):
+    # a 40-node chain (diameter 39): min-label propagation would need 39
+    # rounds; large-star/small-star must converge within its default
+    # round budget and still label every node with the chain minimum
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs, driver_edge_limit=0).collect()
+    }
+    assert out == {(i, 0) for i in range(41)}
+
+
+def test_dedup_clusters_star_matches_union_find_random_graphs(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        fast = {
+            (r["doc_id"], r["cluster_id"])
+            for r in D.dedup_clusters(pairs).collect()
+        }
+        star = {
+            (r["doc_id"], r["cluster_id"])
+            for r in D.dedup_clusters(pairs, driver_edge_limit=0).collect()
+        }
+        assert star == fast, f"trial {trial}"
