@@ -17,10 +17,14 @@ Three paths:
   DuckDB can replicate). Same-bucket vectors are ANN candidates; search
   cost drops to O(|Q|·bucket) with the usual recall trade-off.
 
-- LSH top-k / near-dup — exact cosine ranking (JVM expressions) restricted
-  to same-bucket candidate pairs: the equi-join on the bucket key replaces
-  the cross join, and the candidate set is small enough that interpreted
-  higher-order functions are no longer the bottleneck.
+- LSH / IVF top-k — exact cosine ranking restricted to probed groups:
+  each Arrow batch is grouped by bucket (LSH) or cell (IVF) and only
+  (query-group x corpus-group) blocks that share a probed key are
+  GEMMed, so per-batch compute AND shuffled candidates are both
+  sum over groups of |Q_g|·|C_g| — never |Q|·|batch|.
+
+- random projection — JL-style dim reduction onto deterministic
+  md5-derived directions; scan-local GEMM per batch.
 
 Scoring fidelity: scores are rounded to 6 decimals before any ranking or
 thresholding so the k-th boundary cannot flip on float summation order

@@ -1125,7 +1125,8 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ps AS (
     SELECT l_partkey, l_suppkey,
-           round(sum(l_extendedprice) / sum(l_quantity), 4) AS unit_price
+           CAST(round(CAST(sum(l_extendedprice) / sum(l_quantity)
+                      AS DECIMAL(38,10)), 4) AS DOUBLE) AS unit_price
     FROM lineitem
     GROUP BY l_partkey, l_suppkey
 )
@@ -1145,9 +1146,18 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_partkey") % 50 == 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
+            # the ratio is rounded THROUGH decimal(38,10): rounding the
+            # raw double hits engine-dependent halfway behavior (Spark
+            # rounds the shortest string repr, DuckDB the binary value)
+            # once the data is big enough to land on an x.xxxx5 boundary
             F.round(
-                F.sum("l_extendedprice") / F.sum("l_quantity"), 4
-            ).alias("unit_price")
+                (F.sum("l_extendedprice") / F.sum("l_quantity")).cast(
+                    "decimal(38,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("unit_price")
         )
     )
     # correlated `= (SELECT min ... WHERE p2.partkey = p.partkey)` as a
@@ -1364,8 +1374,9 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.4 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.4 * p.p_retailprice * l.l_quantity
+                 AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem l
 JOIN part p     ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1395,7 +1406,15 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            # per-row cast to decimal(38,10) then exact decimal sum:
+            # double summation is order-dependent across engines, and a
+            # last-ulp difference crosses the .xx5 rounding boundary at
+            # scale; decimal addition is exact and order-independent
+            F.round(F.sum(profit.cast("decimal(38,10)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
     )
 
 
