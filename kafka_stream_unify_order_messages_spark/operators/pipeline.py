@@ -391,9 +391,22 @@ def gopher_quality(
     nonspace = F.length(
         F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")
     )
-    mean_word_len = F.round(nonspace / n_words, 4)
-    alpha_frac = F.round(
-        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n_words, 4
+    # integer ratios round THROUGH decimal(38,10): small-denominator
+    # ratios land exactly on x.xxxx5, where rounding the raw double is
+    # engine-dependent (see queries_relational min_cost_supplier)
+    mean_word_len = (
+        F.round((nonspace / n_words).cast("decimal(38,10)"), 4)
+        .cast("double")
+    )
+    alpha_frac = (
+        F.round(
+            (
+                F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+                / n_words
+            ).cast("decimal(38,10)"),
+            4,
+        )
+        .cast("double")
     )
     stop_hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
     r_words = (n_words >= min_words) & (n_words <= max_words)

@@ -1398,9 +1398,10 @@ WITH t AS (
 ), s AS (
     SELECT doc_id,
            len(w) AS n_words,
-           round(nonspace / len(w), 4) AS mean_word_len,
-           round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-                 / len(w), 4) AS alpha_frac,
+           CAST(round(CAST(nonspace / len(w) AS DECIMAL(38,10)), 4)
+                AS DOUBLE) AS mean_word_len,
+           CAST(round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                 / len(w) AS DECIMAL(38,10)), 4) AS DOUBLE) AS alpha_frac,
            len(list_filter(
                w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')
            )) AS stop_hits
