@@ -427,3 +427,66 @@ def gopher_quality(
         r_stop.alias("r_stopwords"),
         (r_words & r_mean & r_alpha & r_stop).alias("keep"),
     )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+    alpha: float = 0.7,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Token-budget training mixture: the token-weighted sibling of
+    ``temperature_sample``. Sources draw with weight ``T_s ** alpha``
+    (T_s = total TOKENS in source, not document count — what production
+    mixes actually budget), scaled so expected kept tokens ≈
+    ``budget_frac`` of the corpus total, capped at keeping a source
+    entirely:
+
+        p_keep(s) = min(1, T_s^alpha / Z * budget_frac * T_total / T_s)
+
+    Per-document keep decisions use the deterministic integer-threshold
+    md5 draw (see temperature_sample) so the boundary is engine-stable.
+
+    Scale shape: one map-side-combined token-sum aggregate; O(groups)
+    probability table broadcasts; corpus side is scan + broadcast join +
+    filter — no corpus shuffle. Returns (id, group, size).
+    """
+    sums = docs.groupBy(group_col).agg(
+        F.sum(size_col).alias("t_s")
+    )
+    tot = sums.agg(
+        F.sum("t_s").cast("double").alias("t_total"),
+        F.sum(F.pow(F.col("t_s").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    probs = sums.crossJoin(tot).select(
+        group_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("t_s").cast("double"), F.lit(alpha))
+                / F.col("z")
+                * F.lit(budget_frac)
+                * F.col("t_total")
+                / F.col("t_s").cast("double"),
+            )
+            * F.lit(float(1 << 28))
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tokmix:"), F.col(id_col).cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(probs), group_col)
+        .filter(draw < F.col("thr"))
+        .select(id_col, group_col, size_col)
+    )

@@ -1569,3 +1569,128 @@ def ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         centroids=_ivf_fixed_centroids(),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: recall/precision of the minhash-LSH candidate
+# generator against exact n-gram-Jaccard ground truth — the measurement
+# that drives (num_hashes, bands) tuning in a real dedup pipeline. The
+# exact side is the postings self-join (quadratic only within shared
+# shingles); run it on the full corpus at eval scales, on a sample at
+# production scales.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lsh_recall_eval",
+    f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), truth AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+          >= 0.5
+), cand AS ({_PAIRS_SQL}),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+SELECT
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM hit) AS n_hit,
+    CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+        CAST(round(CAST((SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) END AS recall,
+    CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+        CAST(round(CAST((SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM cand) AS DOUBLE)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) END AS candidate_precision
+""",
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cand = D.minhash_candidate_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3
+    )
+    hit = truth.join(cand, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    out = nt.crossJoin(nc).crossJoin(nh)
+    return out.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(
+                (F.col("n_hit") / F.col("n_truth")).cast("decimal(38,10)"),
+                6,
+            ).cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                (F.col("n_hit") / F.col("n_candidates")).cast(
+                    "decimal(38,10)"
+                ),
+                6,
+            ).cast("double"),
+        ).alias("candidate_precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture: temperature re-balancing weighted by TOKENS per
+# source (what production training mixes budget), integer-threshold md5
+# draws for an engine-stable keep boundary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_budget_mixture",
+    f"""
+WITH sized AS (
+    SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+), sums AS (
+    SELECT source, sum(n_tokens) AS t_s FROM sized GROUP BY source
+), tot AS (
+    SELECT CAST(sum(t_s) AS DOUBLE) AS t_total,
+           sum(pow(CAST(t_s AS DOUBLE), 0.7)) AS z
+    FROM sums
+), probs AS (
+    SELECT source,
+           CAST(floor(least(1.0,
+                pow(CAST(t_s AS DOUBLE), 0.7) / z * 0.5 * t_total
+                / CAST(t_s AS DOUBLE)) * {float(1 << 28)!r}) AS BIGINT)
+               AS thr
+    FROM sums CROSS JOIN tot
+)
+SELECT d.doc_id, d.source, d.n_tokens
+FROM sized d
+JOIN probs p ON p.source = d.source
+WHERE CAST('0x' || substr(md5('tokmix:' || CAST(d.doc_id AS VARCHAR)), 1, 7)
+           AS BIGINT) < p.thr
+""",
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        token_budget_mixture as _tbm,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    return _tbm(sized, "doc_id", "source", "n_tokens")

@@ -668,3 +668,25 @@ def test_dedup_clusters_star_matches_union_find_random_graphs(spark):
             for r in D.dedup_clusters(pairs, driver_edge_limit=0).collect()
         }
         assert star == fast, f"trial {trial}"
+
+
+def test_token_budget_mixture_upsamples_small_source(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        token_budget_mixture,
+    )
+
+    rows = [(i, "big" if i < 400 else "small", 100) for i in range(450)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    kept = token_budget_mixture(df, alpha=0.5, budget_frac=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # alpha=0.5 boosts the small source's keep PROBABILITY above the
+    # big one's: small keeps (nearly) everything, big keeps roughly its
+    # scaled-down share; total tokens ≈ half the corpus
+    assert len(by_src["small"]) >= 40  # ~all of 50
+    frac_big = len(by_src["big"]) / 400
+    frac_small = len(by_src["small"]) / 50
+    assert frac_small > frac_big
+    total_kept = sum(len(v) for v in by_src.values())
+    assert 150 < total_kept < 300  # ~225 expected of 450
