@@ -180,3 +180,31 @@ def test_blocked_fuzzy_pairs_semantics(spark):
     }
     # (2,3) is 3 edits -> beyond max_dist; (1,4) blocked by country
     assert out == {(1, 2): 1, (1, 3): 2}
+
+
+def test_pack_shards_matches_python_cumsum_oracle_random_sizes(spark):
+    import random
+
+    from kafka_stream_unify_order_messages_spark.operators.packing import (
+        pack_shards,
+    )
+
+    rng = random.Random(23)
+    for trial, (budget, width) in enumerate([(500, 7), (1000, 100), (64, 1)]):
+        rows = [
+            (i, rng.randrange(1, 400))
+            for i in sorted(rng.sample(range(10_000), 300))
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in pack_shards(
+                df, shard_budget=budget, bucket_width=width
+            ).collect()
+        }
+        # oracle: plain running sum in id order
+        acc, expect = 0, {}
+        for i, n in rows:
+            expect[i] = acc // budget
+            acc += n
+        assert got == expect, f"trial {trial}"
