@@ -1694,3 +1694,75 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", T.token_count("text").alias("n_tokens")
     )
     return _tbm(sized, "doc_id", "source", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# k-NN label transfer: classify each query document by majority vote of
+# its 5 nearest embedding neighbors' labels — the standard NN-classifier
+# pattern for propagating quality/domain labels from a labeled seed set.
+# Deterministic tie-breaks: neighbor rank ties on id (inherited from
+# ann_cosine_topk); vote ties on the lexicographically smaller label.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_label_transfer",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+nn AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    ) WHERE rnk <= 5
+), votes AS (
+    SELECT nn.query_id, d.lang, count(*) AS n_votes
+    FROM nn JOIN documents d ON d.doc_id = nn.neighbor_id
+    GROUP BY nn.query_id, d.lang
+), best AS (
+    SELECT query_id, lang AS lang_pred FROM (
+        SELECT query_id, lang,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY n_votes DESC, lang
+               ) AS rn
+        FROM votes
+    ) WHERE rn = 1
+)
+SELECT b.query_id AS vec_id, d.lang AS lang_true, b.lang_pred
+FROM best b
+JOIN documents d ON d.doc_id = b.query_id
+""",
+)
+def knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    nn = S.brute_force_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    votes = (
+        nn.join(
+            F.broadcast(docs.withColumnRenamed("doc_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    best = (
+        votes.groupBy("query_id")
+        .agg(F.min(F.struct(-F.col("n_votes"), F.col("lang"))).alias("b"))
+        .select("query_id", F.col("b.lang").alias("lang_pred"))
+    )
+    return (
+        best.join(
+            F.broadcast(docs.withColumnRenamed("doc_id", "query_id")),
+            "query_id",
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("lang").alias("lang_true"),
+            "lang_pred",
+        )
+    )
