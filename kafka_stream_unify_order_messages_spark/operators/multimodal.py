@@ -182,3 +182,21 @@ def frame_sample(
 
 def _id_field_ddl(df: DataFrame, id_col: str) -> str:
     return f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+
+
+def media_dedup(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact media deduplication on the content digest: (digest, keep_id,
+    n_copies) with the minimum id canonical — the binary-column sibling
+    of ``dedup.dedup_exact``. Payload bytes NEVER shuffle: the digest is
+    already in the metadata struct, so the groupBy exchanges 32-byte
+    keys regardless of media size (the property that matters when the
+    payload column is megabytes per row).
+    """
+    return (
+        media.select(F.col(id_col), F.col("meta.digest").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

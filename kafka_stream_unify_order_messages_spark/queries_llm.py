@@ -1766,3 +1766,21 @@ def knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_pred",
         )
     )
+
+
+@query(
+    "media_dedup",
+    """
+WITH media AS (
+    SELECT doc_id, md5(text) AS digest FROM documents
+)
+SELECT digest, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM media GROUP BY digest
+""",
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the synthetic media corpus: the digest lives in
+    the metadata struct, so the payload column is pruned before the
+    shuffle (pinned by tests/test_plans.py metadata-pruning test)."""
+    docs = _load(spark, sf_dir, "documents")
+    return M.media_dedup(M.synthetic_media(docs))

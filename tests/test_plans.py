@@ -192,3 +192,12 @@ def test_random_projection_scan_local(spark):
     plan = plan_of(spark, "random_projection")
     assert plan.count("Exchange") <= 1  # the explicit min_partitions split
     assert "MapInPandas" in plan
+
+
+def test_media_dedup_prunes_payload_before_shuffle(spark):
+    # the binary payload must not reach the exchange: only the 32-byte
+    # digest shuffles, whatever the media size
+    plan = plan_of(spark, "media_dedup")
+    import re as _re
+    exchange_and_after = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
+    assert "payload" not in exchange_and_after
