@@ -1616,13 +1616,20 @@ SELECT
 """,
 )
 def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = _load(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).select(
-        "id_a", "id_b"
+    # both pair sets feed two aggregates each (own count + the
+    # intersection); persist the tiny pair frames so the expensive
+    # shingle joins run once apiece
+    truth = (
+        D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = D.minhash_candidate_pairs(
         docs, num_hashes=16, bands=4, shingle_n=3
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hit = truth.join(cand, ["id_a", "id_b"])
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
