@@ -690,3 +690,19 @@ def test_token_budget_mixture_upsamples_small_source(spark):
     assert frac_small > frac_big
     total_kept = sum(len(v) for v in by_src.values())
     assert 150 < total_kept < 300  # ~225 expected of 450
+
+
+def test_minhash_edges_linear_under_extreme_duplication(spark):
+    # 3000 identical docs in one LSH bucket: the pair form would emit
+    # ~4.5M rows; the star form must emit exactly n-1 edges and cluster
+    # them in one component — the quadratic-output guard, end to end
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page content repeated everywhere")
+         for i in range(3000)],
+        ["doc_id", "text"],
+    )
+    edges = D.minhash_candidate_edges(docs, num_hashes=16, bands=4, shingle_n=3)
+    assert edges.count() == 2999
+    labels = D.dedup_clusters(edges.select("id_a", "id_b"))
+    agg = labels.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1 and agg[0]["cluster_id"] == 0 and agg[0]["count"] == 3000
