@@ -706,3 +706,28 @@ def test_minhash_edges_linear_under_extreme_duplication(spark):
     labels = D.dedup_clusters(edges.select("id_a", "id_b"))
     agg = labels.groupBy("cluster_id").count().collect()
     assert len(agg) == 1 and agg[0]["cluster_id"] == 0 and agg[0]["count"] == 3000
+
+
+def test_lsh_recall_metric_detects_missed_candidates(spark):
+    # the recall metric must DISCRIMINATE: with bands=1 (all 16 minhash
+    # rows must collide) near-but-not-identical dups drop out of the
+    # candidate set while exact jaccard still finds them
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup
+        (3, "completely different words everywhere here now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    truth = D.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    assert truth.count() >= 1  # (1,2) is true at jaccard>=0.3
+    strict = D.minhash_candidate_pairs(
+        docs, num_hashes=16, bands=1, shingle_n=2
+    )
+    loose = D.minhash_candidate_pairs(
+        docs, num_hashes=16, bands=8, shingle_n=2
+    )
+    hits_strict = truth.join(strict, ["id_a", "id_b"]).count()
+    hits_loose = truth.join(loose, ["id_a", "id_b"]).count()
+    assert hits_loose > hits_strict  # banding is the recall lever
