@@ -284,6 +284,63 @@ def minhash_candidate_edges(
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) for LSH candidate pairs: the Broder
+    estimator — fraction of signature components on which the two
+    documents agree. This is the cheap per-pair similarity a production
+    dedup pipeline thresholds on BEFORE paying for exact verification;
+    ``ngram_jaccard_pairs`` is the exact refinement.
+
+    Scale shape: the wide signature frame (1 shuffle) is persisted and
+    feeds band keys AND both sides of the estimate join, so signatures
+    are computed once; candidate generation is the banded equi-join
+    (never all-pairs); the estimate itself is ``num_hashes`` equality
+    checks in codegen on two joined signature rows.
+    """
+    from pyspark import StorageLevel
+
+    sigw = minhash_signatures_wide(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_df = minhash_band_keys(sigw, id_col, bands, num_hashes)
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    siga = sigw.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)],
+    )
+    sigb = sigw.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)],
+    )
+    n_eq = None
+    for j in range(num_hashes):
+        ind = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        n_eq = ind if n_eq is None else n_eq + ind
+    return (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(n_eq / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -417,6 +474,91 @@ def simhash(
         )
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance:
+    (id_a, id_b, hamming) with id_a < id_b and hamming <= ``max_hamming``.
+
+    Blocking is the pigeonhole construction from Manku et al. (WWW'07,
+    "Detecting near-duplicates for web crawling"): split the ``bits``-wide
+    fingerprint into ``bands`` contiguous slices; any pair within Hamming
+    distance ``bands - 1`` must agree exactly on at least one slice, so
+    candidate generation is an equi-join on (band, slice value) — never
+    all-pairs. Requires ``max_hamming < bands`` for exact recall.
+
+    Scale shape: fingerprints take one shuffle (the simhash groupBy); the
+    band explode is 4 rows per doc of three small ints; the self-join is
+    shuffle-partitioned on (band, band_val) with AQE absorbing skewed
+    slices. Verification (bit_count of xor) runs in codegen on the joined
+    longs — no text ever crosses the candidate join.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got bands={bands}) for exact recall"
+        )
+    from pyspark import StorageLevel
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    # the fingerprint frame feeds both sides of the candidate self-join;
+    # persist it (2 longs per doc) so the 32-vote aggregation runs once
+    sims = simhash(df, id_col, text_col, bits=bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(slices).alias("s")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("s.band").alias("band"),
+        F.col("s.band_val").alias("band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "band",
+        "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def _driver_union_find(spark, rows, id_type) -> DataFrame:
@@ -586,6 +728,58 @@ def dedup_clusters(
                 pairs.sparkSession, head, pairs.schema["id_a"].dataType
             )
     return dedup_clusters_star(pairs, max_iter=max_iter)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cluster-canonical corpus: one kept document per near-dup cluster.
+
+    The selection policy real pipelines want is rarely "keep the minimum
+    id" — it is "keep the BEST copy" (longest / highest-quality). This
+    operator clusters LSH candidates (star edges -> connected components)
+    and keeps, per cluster, the document maximizing ``score_col`` with
+    ties broken on the lower id; documents in no cluster keep themselves.
+    Returns (doc_id, cluster_id, cluster_size) for the kept documents.
+
+    Scale shape: candidate edges are O(bucket) star edges; clustering is
+    the adaptive union-find / large-star path; the final pick is one
+    window over (cluster_id) on an (id, cluster, score) projection —
+    document text never enters the wide stages.
+    """
+    edges = minhash_candidate_edges(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    labels = dedup_clusters(edges)
+    scored = (
+        df.select(F.col(id_col), F.col(score_col))
+        .join(
+            labels.withColumnRenamed("doc_id", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+            F.col(score_col),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id", "cluster_size")
+    )
 
 
 def dedup_incremental(

@@ -315,6 +315,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(docs, num_hashes=16, shingle_n=3)
 
 
+# LSH candidate pairs in SQL form — shared by minhash_dedup_pairs,
+# minhash_jaccard_estimate, dedup_cluster_labels, dedup_keep_best and
+# lsh_recall_eval oracles.
+_PAIRS_SQL = f"""
+WITH sig AS ({_SIGNATURE_SQL}),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
+    FROM sig
+    GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
 @query(
     "minhash_dedup_pairs",
     f"""
@@ -371,11 +390,68 @@ def ngram_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup — minhash Jaccard ESTIMATE vs exact, per candidate pair: the Broder
+# estimator (fraction of agreeing signature components) that a production
+# pipeline thresholds on before paying for exact verification, joined with
+# the exact shingle Jaccard so the estimator error is directly visible.
+# k/16 estimates are exact in binary floating point (power-of-two divisor),
+# so the strict comparator sees identical values from both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_jaccard_estimate",
+    f"""
+WITH cand AS ({_PAIRS_SQL}),
+sig AS ({_SIGNATURE_SQL}),
+est AS (
+    SELECT c.id_a, c.id_b,
+           round(sum(CASE WHEN sa.minhash = sb.minhash
+                          THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+), sh AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       coalesce(
+           round(i.n_inter /
+                 CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6),
+           0.0) AS jaccard
+FROM est e
+LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN sizes sa ON sa.doc_id = e.id_a
+JOIN sizes sb ON sb.doc_id = e.id_b
+""",
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    est = D.minhash_estimate_pairs(
+        docs, num_hashes=16, bands=4, shingle_n=3
+    )
+    exact = D.ngram_jaccard_pairs(docs, shingle_n=3)
+    return est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup — simhash fingerprints
 # ---------------------------------------------------------------------------
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_sql(bits: int = 32, source: str = "documents") -> str:
     h = "CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)"
     votes = ", ".join(
         f"sum((({h} >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits)
@@ -386,7 +462,7 @@ def _simhash_sql(bits: int = 32) -> str:
     )
     return f"""
 WITH tok AS (
-    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    SELECT doc_id, unnest({_TOKS}) AS token FROM {source}
 ), agg AS (
     SELECT doc_id, {votes} FROM tok GROUP BY doc_id
 )
@@ -398,6 +474,52 @@ SELECT doc_id, {val} AS simhash FROM agg
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return D.simhash(docs, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — simhash near-dup PAIRS (Manku et al. pigeonhole blocking):
+# hamming(simhash_a, simhash_b) <= 3 via 4 band slices — any pair within
+# distance 3 agrees exactly on >= 1 of the 4 8-bit slices, so candidates
+# come from an equi-join on (band, slice), never all pairs. Run on the
+# duplicate-augmented corpus so the operator has hits to find (tokens()
+# lowercases, so the upper() copies collapse to hamming 0; genuinely
+# near — not identical — docs land in 1..3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "simhash_near_dup_pairs",
+    f"""
+WITH aug AS ({_AUG_DOCS}),
+sims AS ({_simhash_sql(32, source="aug")}),
+banded AS (
+    SELECT doc_id, simhash, g.band,
+           (simhash >> (g.band * 8)) & 255 AS band_val
+    FROM sims,
+         (SELECT unnest(generate_series(0, 3)) AS band) g
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM banded a
+    JOIN banded b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    return D.simhash_near_dup_pairs(aug, bits=32, bands=4, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1153,22 +1275,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the transitive closure with a recursive CTE.
 # ---------------------------------------------------------------------------
 
-_PAIRS_SQL = f"""
-WITH sig AS ({_SIGNATURE_SQL}),
-bands AS (
-    SELECT doc_id, seed // 4 AS band,
-           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
-               AS band_key
-    FROM sig
-    GROUP BY doc_id, seed // 4
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id
-"""
-
-
 @query(
     "dedup_cluster_labels",
     f"""
@@ -1195,6 +1301,56 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=16, bands=4, shingle_n=3
     )
     return D.dedup_clusters(edges)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup with a KEEP-BEST policy: per cluster keep the longest
+# copy (tie -> lower id), not the minimum id — the selection rule real
+# pipelines actually want. Singletons keep themselves (cluster of one).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+),
+scored AS (
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           d.n_chars
+    FROM documents d
+    LEFT JOIN labels l ON l.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT doc_id, cluster_id,
+           row_number() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM scored
+)
+SELECT doc_id, cluster_id, cluster_size FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return D.dedup_keep_best(
+        docs, score_col="n_chars", num_hashes=16, bands=4, shingle_n=3
+    )
 
 
 # ---------------------------------------------------------------------------
