@@ -1713,6 +1713,78 @@ SELECT query_id, neighbor_id, score, rnk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN — product quantization (ADC) with a fixed md5-derived codebook: the
+# memory-compression axis of the ANN family (vs LSH bucketing / IVF cell
+# pruning). Each corpus vector compresses to n_sub=8 codeword ids; each
+# query scores candidates via an (8 x 16) lookup table of partial dots.
+# The fixed codebook makes the whole path — encode, LUT, ADC sum, ranking
+# — value-checkable in SQL, like ann_ivf_fixed.
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixed_sql(
+    k: int = 5, n_sub: int = 8, n_codes: int = 16, sub_dim: int = 8
+) -> str:
+    import math
+
+    rows = []
+    for s in range(n_sub):
+        for c in range(n_codes):
+            w = S.hyperplane(S.PQ_SEED_BASE + s * n_codes + c, sub_dim)
+            lit = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+            n2 = math.fsum(x * x for x in w)
+            rows.append(f"({s}, {c}, {lit}, {n2!r})")
+    values = ",\n        ".join(rows)
+    return f"""
+WITH cb(s, c, w, n2) AS (
+    VALUES {values}
+), cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dists AS (
+    SELECT cd.vec_id, cb.s, cb.c,
+           -2 * list_dot_product(
+                    list_slice(cd.v, cb.s * {sub_dim} + 1,
+                               cb.s * {sub_dim} + {sub_dim}), cb.w)
+           + cb.n2 AS d
+    FROM cd CROSS JOIN cb
+), enc AS (
+    SELECT vec_id, s, c AS code FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d, c
+        ) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id, cb.s, cb.c,
+           list_dot_product(
+               list_slice(q.v, cb.s * {sub_dim} + 1,
+                          cb.s * {sub_dim} + {sub_dim}), cb.w) AS pd
+    FROM cd q CROSS JOIN cb
+    WHERE q.vec_id % 20 = 0
+), scored AS (
+    SELECT l.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(sum(l.pd), 6) AS score
+    FROM enc e
+    JOIN lut l ON l.s = e.s AND l.c = e.code AND l.vec_id != e.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, rnk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+@query("ann_pq_fixed", _pq_fixed_sql())
+def ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.pq_topk(queries, emb, k=5, n_sub=8, n_codes=16)
+
+
 @query("ann_ivf_fixed", _ivf_fixed_sql())
 def ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
