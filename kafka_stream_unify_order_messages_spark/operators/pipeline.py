@@ -490,3 +490,44 @@ def token_budget_mixture(
         .filter(draw < F.col("thr"))
         .select(id_col, group_col, size_col)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    shingles whose globally-first occurrence (lowest id) is this document
+    — the "how much NEW content does this doc add" contribution signal
+    data-selection pipelines rank on (the streaming analogue: dedup in
+    arrival order and measure what survives).
+    Returns (doc_id, n_shingles, n_novel, novelty).
+
+    Scale shape: one shuffle on the shingle hash for the global
+    first-occurrence aggregation (map-side-combinable min), one shuffle
+    on id for the per-doc rollup; both move (id, shingle-hash) longs,
+    never text. No quadratic step — novelty is a postings aggregation,
+    not a pairwise comparison.
+    """
+    sh = D._exploded_shingles(df, id_col, text_col, shingle_n)
+    firsts = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    joined = sh.join(firsts, "shingle")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(
+            (F.col(id_col) == F.col("_first")).cast("long")
+        ).alias("n_novel"),
+    )
+    novelty = (
+        F.round(
+            (F.col("n_novel") / F.col("n_shingles")).cast(
+                "decimal(38,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("novelty")
+    )
+    return per_doc.select(id_col, "n_shingles", "n_novel", novelty)

@@ -17,6 +17,7 @@ from kafka_stream_unify_order_messages_spark.sources.files import load_table
 from kafka_stream_unify_order_messages_spark.functions import text as T
 from kafka_stream_unify_order_messages_spark.operators import dedup as D
 from kafka_stream_unify_order_messages_spark.operators import multimodal as M
+from kafka_stream_unify_order_messages_spark.operators import pipeline as P
 from kafka_stream_unify_order_messages_spark.operators import similarity as S
 
 # DuckDB fragment equivalents of functions.text tokenization.
@@ -1350,6 +1351,95 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return D.dedup_keep_best(
         docs, score_col="n_chars", num_hashes=16, bands=4, shingle_n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data selection — per-document n-gram NOVELTY: what fraction of this
+# doc's distinct shingles first appear (lowest doc id) in this doc. The
+# contribution signal selection pipelines rank on; near-1 docs add new
+# content, near-0 docs restate the corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_novelty",
+    f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), firsts AS (
+    SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+), per_doc AS (
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM sh s
+    JOIN firsts f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(round(CAST(n_novel / CAST(n_shingles AS DOUBLE)
+                       AS DECIMAL(38,10)), 6) AS DOUBLE) AS novelty
+FROM per_doc
+""",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return P.ngram_novelty(docs, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus report — the per-(source, lang) rollup a curation dashboard
+# shows: volume, length, and share of corpus. One aggregation plus a
+# broadcast of the single-row total.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_report",
+    """
+WITH grp AS (
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                AS BIGINT) AS total_tokens,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+), tot AS (SELECT count(*) AS n_total FROM documents)
+SELECT source, lang, n_docs, total_chars, total_tokens,
+       min_chars, max_chars,
+       CAST(round(CAST(n_docs / CAST(n_total AS DOUBLE)
+                       AS DECIMAL(38,10)), 6) AS DOUBLE) AS corpus_share
+FROM grp CROSS JOIN tot
+""",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "min_chars",
+        "max_chars",
+        F.round(
+            (F.col("n_docs") / F.col("n_total")).cast("decimal(38,10)"), 6
+        )
+        .cast("double")
+        .alias("corpus_share"),
     )
 
 
