@@ -714,6 +714,175 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    codebook: np.ndarray | None = None,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF × PQ composition — the standard billion-scale ANN index shape
+    (FAISS ``IVFx,PQy``): IVF prunes COMPUTE (each query touches only its
+    ``nprobe`` nearest cells), PQ prunes MEMORY (candidates score via
+    ``n_sub`` LUT gathers on 8-byte codes instead of 512-byte vectors).
+    Inner-product ADC, no residual encoding — cells and codes both come
+    from the raw vectors, which keeps every stage value-checkable in SQL
+    when centroids/codebook are fixed.
+
+    One fused mapInPandas pass per batch: assign -> encode -> score only
+    probed (query-group, cell-group) blocks -> batch-local top-k prune.
+    Per-batch compute tracks nprobe/n_centroids like ``ivf_topk``; the
+    ranking shuffle sees only pruned (query, neighbor, score) longs.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if centroids is None:
+        raise ValueError("ivfpq_topk requires fixed centroids")
+    if codebook is None:
+        codebook = pq_codebook(n_sub=n_sub, n_codes=n_codes)
+    n_sub, n_codes, sub_dim = codebook.shape
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows])
+    q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    lut = np.einsum(
+        "qsd,scd->qsc",
+        q_raw.reshape(len(q_raw), n_sub, sub_dim),
+        codebook,
+    )
+    # probe selection: identical boundary-guarded form as ivf_topk
+    cent_norm2 = np.asarray(
+        [math.fsum(x * x for x in c) for c in centroids]
+    )
+    dq = -2.0 * (q_raw @ centroids.T) + cent_norm2[None, :]
+    if centroids.shape[0] > nprobe:
+        ranked = np.sort(dq, axis=1)
+        for qi in np.flatnonzero(
+            ranked[:, nprobe] - ranked[:, nprobe - 1] < 1e-9
+        ):
+            dq[qi] = [
+                -2.0 * math.fsum(q_raw[qi] * centroids[c]) + cent_norm2[c]
+                for c in range(centroids.shape[0])
+            ]
+    probes = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
+    probe_map = _probe_map(probes)
+
+    cb_norm2 = np.asarray(
+        [
+            [math.fsum(x * x for x in codebook[s, c]) for c in range(n_codes)]
+            for s in range(n_sub)
+        ]
+    )
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field.__class__("query_id", id_field.dataType, True),
+            id_field.__class__("neighbor_id", id_field.dataType, True),
+        ]
+    ).add("score", "double")
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    def score_partition(
+        pdfs: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = pdf["centroid_id"].to_numpy().astype(np.int64)
+            n_ids = pdf[id_col].to_numpy()
+            # PQ-encode the batch (same guarded argmin as pq_encode)
+            codes = np.empty((len(mat), n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
+                d = -2.0 * (sub @ codebook[s].T) + cb_norm2[s][None, :]
+                if n_codes >= 2:
+                    near2 = np.partition(d, 1, axis=1)
+                    for r in np.flatnonzero(
+                        near2[:, 1] - near2[:, 0] < 1e-9
+                    ):
+                        d[r] = [
+                            -2.0 * math.fsum(sub[r] * codebook[s, c])
+                            + cb_norm2[s, c]
+                            for c in range(n_codes)
+                        ]
+                codes[:, s] = d.argmin(axis=1)
+            # score only probed (query-group, cell-group) blocks
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            uniq, starts = np.unique(sorted_cells, return_index=True)
+            bounds = np.append(starts, len(sorted_cells))
+            q_parts, n_parts, s_parts = [], [], []
+            for gi in range(len(uniq)):
+                q_sel = probe_map.get(int(uniq[gi]))
+                if q_sel is None:
+                    continue
+                c_idx = order[starts[gi] : bounds[gi + 1]]
+                g_codes = codes[c_idx]  # (|C_g|, n_sub)
+                lut_g = lut[q_sel]  # (|Q_g|, n_sub, n_codes)
+                sub_scores = np.zeros((len(q_sel), len(c_idx)))
+                for s in range(n_sub):
+                    sub_scores += lut_g[:, s, :][:, g_codes[:, s]]
+                ids_g = n_ids[c_idx]
+                sub_scores = np.where(
+                    q_ids[q_sel][:, None] == ids_g[None, :],
+                    -np.inf,
+                    sub_scores,
+                )
+                q_parts.append(np.repeat(q_sel, len(c_idx)))
+                n_parts.append(np.tile(c_idx, len(q_sel)))
+                s_parts.append(sub_scores.ravel())
+            if not q_parts:
+                continue
+            qi_all = np.concatenate(q_parts)
+            ci_all = np.concatenate(n_parts)
+            sc_all = np.concatenate(s_parts)
+            finite = np.isfinite(sc_all)
+            qi_all, ci_all, sc_all = (
+                qi_all[finite],
+                ci_all[finite],
+                sc_all[finite],
+            )
+            if not len(sc_all):
+                continue
+            srt = np.lexsort((-sc_all, qi_all))
+            qs, ss = qi_all[srt], sc_all[srt]
+            grp_starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            grp_ends = np.r_[grp_starts[1:], len(qs)]
+            keep = np.zeros(len(qs), dtype=bool)
+            for s0, s1 in zip(grp_starts, grp_ends):
+                kk = min(k, s1 - s0)
+                keep[s0:s1] = ss[s0:s1] >= ss[s0 + kk - 1] - _ROUND_MARGIN
+            sel = srt[keep]
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi_all[sel]],
+                    "neighbor_id": n_ids[ci_all[sel]],
+                    "score": sc_all[sel],
+                }
+            )
+
+    pruned = assigned.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("score", F.round("score", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

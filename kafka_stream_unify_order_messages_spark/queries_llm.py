@@ -1813,8 +1813,8 @@ SELECT query_id, neighbor_id, score, rnk FROM (
 # ---------------------------------------------------------------------------
 
 
-def _pq_fixed_sql(
-    k: int = 5, n_sub: int = 8, n_codes: int = 16, sub_dim: int = 8
+def _pq_cb_values(
+    n_sub: int = 8, n_codes: int = 16, sub_dim: int = 8
 ) -> str:
     import math
 
@@ -1825,7 +1825,13 @@ def _pq_fixed_sql(
             lit = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
             n2 = math.fsum(x * x for x in w)
             rows.append(f"({s}, {c}, {lit}, {n2!r})")
-    values = ",\n        ".join(rows)
+    return ",\n        ".join(rows)
+
+
+def _pq_fixed_sql(
+    k: int = 5, n_sub: int = 8, n_codes: int = 16, sub_dim: int = 8
+) -> str:
+    values = _pq_cb_values(n_sub, n_codes, sub_dim)
     return f"""
 WITH cb(s, c, w, n2) AS (
     VALUES {values}
@@ -1873,6 +1879,105 @@ def ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.pq_topk(queries, emb, k=5, n_sub=8, n_codes=16)
+
+
+# ---------------------------------------------------------------------------
+# ANN — IVF x PQ (the FAISS "IVFx,PQy" index shape): IVF prunes COMPUTE
+# (each query scans only nprobe of 16 cells), PQ prunes MEMORY (candidates
+# score via 8 LUT gathers on 8-byte codes). Fixed centroids + codebook
+# make the full composition value-checkable in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_fixed_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sub_dim: int = 8,
+) -> str:
+    import math
+
+    cents = [S.hyperplane(200 + c, dim) for c in range(n_centroids)]
+    ds = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        n2 = math.fsum(x * x for x in c)
+        ds.append(f"-2 * list_dot_product(v, {lit}) + {n2!r}")
+    dlist = "[" + ",\n        ".join(ds) + "]"
+    values = _pq_cb_values(n_sub, n_codes, sub_dim)
+    return f"""
+WITH cb(s, c, w, n2) AS (
+    VALUES {values}
+), cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+        {dlist} AS ds
+    FROM embeddings
+), cell AS (
+    SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell FROM cd
+), qp AS (
+    SELECT vec_id, cell FROM (
+        SELECT q.vec_id, g.cell, ds[g.cell + 1] AS d,
+               row_number() OVER (
+                   PARTITION BY q.vec_id ORDER BY ds[g.cell + 1], g.cell
+               ) AS rn
+        FROM cd q,
+             (SELECT unnest(generate_series(0, {n_centroids - 1})) AS cell) g
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rn <= {nprobe}
+), dists AS (
+    SELECT cell.vec_id, cell.cell, cb.s, cb.c,
+           -2 * list_dot_product(
+                    list_slice(cell.v, cb.s * {sub_dim} + 1,
+                               cb.s * {sub_dim} + {sub_dim}), cb.w)
+           + cb.n2 AS d
+    FROM cell CROSS JOIN cb
+), enc AS (
+    SELECT vec_id, cell, s, c AS code FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d, c
+        ) AS rn
+        FROM dists
+    ) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id, cb.s, cb.c,
+           list_dot_product(
+               list_slice(q.v, cb.s * {sub_dim} + 1,
+                          cb.s * {sub_dim} + {sub_dim}), cb.w) AS pd
+    FROM cd q CROSS JOIN cb
+    WHERE q.vec_id % 20 = 0
+), scored AS (
+    SELECT l.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(sum(l.pd), 6) AS score
+    FROM enc e
+    JOIN qp ON qp.cell = e.cell
+    JOIN lut l ON l.vec_id = qp.vec_id AND l.s = e.s AND l.c = e.code
+    WHERE l.vec_id != e.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, rnk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+@query("ann_ivfpq_fixed", _ivfpq_fixed_sql())
+def ann_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.ivfpq_topk(
+        queries,
+        emb,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        centroids=_ivf_fixed_centroids(),
+    )
 
 
 @query("ann_ivf_fixed", _ivf_fixed_sql())

@@ -82,3 +82,49 @@ def test_pq_topk_shape_and_self_exclusion(spark, emb):
     n_queries = queries.count()
     assert len(out) == n_queries * 5
     assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb):
+    from kafka_stream_unify_order_messages_spark.operators.similarity import (
+        hyperplane,
+        ivfpq_topk,
+    )
+
+    cents = np.asarray(
+        [hyperplane(200 + c, 64) for c in range(8)], dtype=np.float64
+    )
+    queries = emb.filter("vec_id % 50 = 0")
+    pq = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in pq_topk(queries, emb, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in ivfpq_topk(
+            queries, emb, k=5, n_centroids=8, nprobe=8, centroids=cents
+        ).collect()
+    }
+    assert full == pq
+
+
+def test_ivfpq_partial_probe_subset_recall(spark, emb):
+    from kafka_stream_unify_order_messages_spark.operators.similarity import (
+        hyperplane,
+        ivfpq_topk,
+    )
+
+    cents = np.asarray(
+        [hyperplane(200 + c, 64) for c in range(8)], dtype=np.float64
+    )
+    queries = emb.filter("vec_id % 50 = 0")
+    out = ivfpq_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=2, centroids=cents
+    ).collect()
+    n_queries = queries.count()
+    # partial probing returns at most k per query and excludes self
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        assert r.query_id != r.neighbor_id
+    assert len(per_q) == n_queries
+    assert all(len(v) <= 5 for v in per_q.values())
