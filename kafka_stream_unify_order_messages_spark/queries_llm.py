@@ -1882,6 +1882,80 @@ def ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN — PQ recall evaluation: recall@5 of the ADC scan against exact
+# inner-product ground truth over the same query set — the measurement
+# that drives (n_sub, n_codes) codebook sizing in a real deployment,
+# fully value-checked because both sides are deterministic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_pq_recall_eval",
+    f"""
+WITH cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM cd q JOIN cd c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rnk <= 5
+), cand AS (
+    SELECT query_id, neighbor_id FROM ({_pq_fixed_sql()})
+), hit AS (
+    SELECT * FROM truth INTERSECT SELECT * FROM cand
+)
+SELECT
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM hit) AS n_hit,
+    CAST(round(CAST((SELECT count(*) FROM hit)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS recall_at_5
+""",
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    truth = (
+        S.brute_force_topk(queries, emb, k=5, metric="dot")
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        S.pq_topk(queries, emb, k=5, n_sub=8, n_codes=16)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hit = truth.join(cand, ["query_id", "neighbor_id"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                (F.col("n_hit") / F.col("n_truth")).cast("decimal(38,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("recall_at_5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN — IVF x PQ (the FAISS "IVFx,PQy" index shape): IVF prunes COMPUTE
 # (each query scans only nprobe of 16 cells), PQ prunes MEMORY (candidates
 # score via 8 LUT gathers on 8-byte codes). Fixed centroids + codebook
