@@ -201,3 +201,38 @@ def test_media_dedup_prunes_payload_before_shuffle(spark):
     import re as _re
     exchange_and_after = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
     assert "payload" not in exchange_and_after
+
+
+def test_simhash_pairs_equi_join_no_nested_loop(spark):
+    # candidate generation must be the banded equi-join — a nested-loop
+    # or cartesian join here is the all-pairs scale killer
+    plan = plan_of(spark, "simhash_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_keep_best_no_text_in_wide_stages(spark):
+    # the keep-best window runs on (id, cluster, n_chars) only; document
+    # text must never reach an exchange
+    plan = plan_of(spark, "dedup_keep_best")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+
+
+def test_pq_topk_prunes_before_shuffle(spark):
+    # ADC scoring emits only batch-local top-k survivors into the ranking
+    # exchange; the corpus is never shuffled at full width
+    plan = plan_of(spark, "ann_pq_fixed")
+    assert plan.count("Exchange") <= 2
+    idx_map = plan.find("MapInPandas")
+    idx_ex = plan.find("Exchange")
+    assert idx_map != -1 and idx_ex != -1
+    # mapInPandas (scoring) sits below the only exchange (ranking window):
+    # in the printed tree the exchange appears before its child
+    assert idx_ex < idx_map
+
+
+def test_ngram_novelty_no_pairwise_step(spark):
+    plan = plan_of(spark, "ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
