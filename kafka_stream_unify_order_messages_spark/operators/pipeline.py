@@ -511,9 +511,17 @@ def ngram_novelty(
     never text. No quadratic step — novelty is a postings aggregation,
     not a pairwise comparison.
     """
-    sh = D._exploded_shingles(df, id_col, text_col, shingle_n)
-    firsts = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
-    joined = sh.join(firsts, "shingle")
+    sh = D._exploded_shingles(df, id_col, text_col, shingle_n).select(
+        id_col,
+        # 60-bit md5-prefix hash: the wide stages move (id, long) pairs,
+        # not shingle strings; both engines hash identically so the
+        # (negligible) collision set merges the same shingles on each side
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    )
+    firsts = sh.groupBy("gh").agg(F.min(id_col).alias("_first"))
+    joined = sh.join(firsts, "gh")
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(

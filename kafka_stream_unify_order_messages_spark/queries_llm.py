@@ -1366,16 +1366,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_novelty",
     f"""
 WITH sh AS (
-    SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS gh
+    FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 ), firsts AS (
-    SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    SELECT gh, min(doc_id) AS first_doc FROM sh GROUP BY gh
 ), per_doc AS (
     SELECT s.doc_id,
            count(*) AS n_shingles,
            CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel
     FROM sh s
-    JOIN firsts f ON f.shingle = s.shingle
+    JOIN firsts f ON f.gh = s.gh
     GROUP BY s.doc_id
 )
 SELECT doc_id, n_shingles, n_novel,
