@@ -1446,6 +1446,77 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation analytics — near-dup RATE per source: which ingest feeds are
+# redundant. A doc counts as a dupe when it is a non-representative
+# member of a near-dup cluster (label != own id, i.e. a lower-id copy
+# exists). The rollup that decides which crawl/source to re-prioritize.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dup_rate_by_source",
+    f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.cluster_id IS NOT NULL
+                      AND l.cluster_id != d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+       CAST(round(CAST(
+           sum(CASE WHEN l.cluster_id IS NOT NULL
+                     AND l.cluster_id != d.doc_id
+                    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+           AS DECIMAL(38,10)), 6) AS DOUBLE) AS dup_rate
+FROM documents d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    edges = D.minhash_candidate_edges(
+        docs, num_hashes=16, bands=4, shingle_n=3
+    )
+    labels = D.dedup_clusters(edges)
+    is_dupe = (
+        F.col("cluster_id").isNotNull()
+        & (F.col("cluster_id") != F.col("doc_id"))
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(labels, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dupe).alias("n_dupes"),
+            F.round(
+                (F.sum(is_dupe) / F.count(F.lit(1))).cast(
+                    "decimal(38,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Line-level exact dedup (C4-style "remove repeated lines across docs"):
 # fixed 12-word windows stand in for lines; each chunk survives only at
 # its globally-first (doc_id, position) occurrence; docs reassembled.
