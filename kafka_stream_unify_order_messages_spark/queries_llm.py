@@ -2029,6 +2029,50 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN — IVF cell-balance histogram: vectors per cell under the fixed
+# centroids. THE skew diagnostic for an IVF deployment — a cell holding
+# half the corpus means probe cost is unbounded no matter what nprobe
+# says; at 100 TB this histogram decides when to re-train or split.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_cells_sql(n_centroids: int = 16, dim: int = 64) -> str:
+    import math
+
+    cents = [S.hyperplane(200 + c, dim) for c in range(n_centroids)]
+    ds = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        n2 = math.fsum(x * x for x in c)
+        ds.append(f"-2 * list_dot_product(v, {lit}) + {n2!r}")
+    dlist = "[" + ",\n        ".join(ds) + "]"
+    return f"""
+SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+        {dlist} AS ds
+    FROM embeddings
+)
+"""
+
+
+@query(
+    "ivf_cell_histogram",
+    f"""
+WITH cells AS ({_ivf_cells_sql()})
+SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs
+FROM cells
+GROUP BY cell
+""",
+)
+def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(emb, _ivf_fixed_centroids())
+    return assigned.groupBy(
+        F.col("centroid_id").cast("long").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+# ---------------------------------------------------------------------------
 # ANN — IVF x PQ (the FAISS "IVFx,PQy" index shape): IVF prunes COMPUTE
 # (each query scans only nprobe of 16 cells), PQ prunes MEMORY (candidates
 # score via 8 LUT gathers on 8-byte codes). Fixed centroids + codebook
