@@ -119,3 +119,41 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl change detection: (id, status) for every document
+    that differs between two corpus snapshots — ``added`` (only in new),
+    ``removed`` (only in old), ``changed`` (same id, different content
+    digest). Unchanged documents are dropped from the output, which is
+    what keeps the result proportional to the CHANGE volume, not the
+    corpus: at 100 TB the diff of two crawls is the deliverable, and it
+    is small.
+
+    Scale shape: each side reduces to (id, 32-byte digest) before the
+    full-outer equi-join on id — document text never crosses the wire;
+    one shuffle per side.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_h_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_h_new")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select(id_col, "status")
+    )

@@ -331,3 +331,63 @@ def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") % 65536, F.col("o_orderkey") % 65536
         ).alias("zcode"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — crawl-to-crawl change detection. The "new" snapshot is
+# derived from the corpus inside the query on both sides (every 17th doc
+# removed, every 13th changed, every 19th re-added under a new id), so the
+# operator has all three statuses to find and the oracle sees the same
+# input.
+# ---------------------------------------------------------------------------
+
+_NEW_SNAPSHOT = """
+SELECT doc_id, text || ' [rev2]' AS text
+FROM documents WHERE doc_id % 17 != 0 AND doc_id % 13 = 0
+UNION ALL
+SELECT doc_id, text FROM documents
+WHERE doc_id % 17 != 0 AND doc_id % 13 != 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text FROM documents
+WHERE doc_id % 19 = 0
+"""
+
+
+@query(
+    "snapshot_diff",
+    f"""
+WITH new_snap AS ({_NEW_SNAPSHOT}),
+o AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+n AS (SELECT doc_id, md5(text) AS h_new FROM new_snap),
+j AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, h_old, h_new
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old != h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+WHERE (CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old != h_new THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 17 != 0)
+    new_snap = (
+        kept.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text")
+        )
+        .unionByName(kept.filter(F.col("doc_id") % 13 != 0))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return C.snapshot_diff(docs, new_snap)

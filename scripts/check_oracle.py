@@ -2,9 +2,13 @@
 
 Runs every registry query on Spark and its oracle on DuckDB at the given
 scale factor, then compares row count, sorted column names, and values
-(order-insensitive, float-tolerant). Usage:
+(order-insensitive, float-tolerant). With --strict it instead replicates
+the driver's exact hash semantics: columns sorted by name, every cell
+stringified, rows sorted, and the whole frame compared bit-for-bit (no
+float tolerance) — the comparison a query must survive to be driver-green.
+Usage:
 
-    python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -53,9 +57,32 @@ def dtype_clash(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     return out
 
 
+def stringify(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-hash semantics: sorted columns, stringified cells (floats
+    via repr of the rounded double, ints without decimal point), sorted
+    rows. Two frames hash alike iff these stringifications are equal."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            col = col.astype("datetime64[us]")
+        if pd.api.types.is_float_dtype(col):
+            out[c] = col.round(6).map(repr)
+        elif pd.api.types.is_integer_dtype(col):
+            out[c] = col.astype("int64").map(str)
+        else:
+            out[c] = col.map(repr)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    if strict:
+        argv = [a for a in argv if a != "--strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -102,10 +129,20 @@ def main() -> int:
             print(f"FAIL  {name}: int-vs-float dtype clash in {clash}")
         else:
             try:
-                pd.testing.assert_frame_equal(
-                    spark_df, duck_df, check_dtype=False, rtol=0, atol=2e-6
-                )
-                print(f"ok    {name}: {len(spark_df)} rows  ({dt:.1f}s)")
+                if strict:
+                    a = stringify(fn(spark, sf_dir).toPandas())
+                    b = stringify(con.sql(oracle).df())
+                    pd.testing.assert_frame_equal(a, b)
+                    print(
+                        f"ok    {name}: {len(spark_df)} rows "
+                        f"(strict bit-exact)  ({dt:.1f}s)"
+                    )
+                else:
+                    pd.testing.assert_frame_equal(
+                        spark_df, duck_df, check_dtype=False, rtol=0,
+                        atol=2e-6,
+                    )
+                    print(f"ok    {name}: {len(spark_df)} rows  ({dt:.1f}s)")
             except AssertionError as e:
                 failures.append(name)
                 msg = str(e).splitlines()
