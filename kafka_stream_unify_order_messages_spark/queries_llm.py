@@ -434,11 +434,23 @@ JOIN sizes sb ON sb.doc_id = e.id_b
 """,
 )
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = _load(spark, sf_dir, "documents")
     est = D.minhash_estimate_pairs(
         docs, num_hashes=16, bands=4, shingle_n=3
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # exact verification is CANDIDATE-BOUNDED: only documents that appear
+    # in some candidate pair enter the postings self-join (broadcast semi
+    # join on the small candidate id set), so the quadratic piece scales
+    # with the near-dup population, not the corpus
+    cand_ids = (
+        est.select(F.col("id_a").alias("doc_id"))
+        .unionByName(est.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    exact = D.ngram_jaccard_pairs(docs, shingle_n=3)
+    docs_cand = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    exact = D.ngram_jaccard_pairs(docs_cand, shingle_n=3)
     return est.join(exact, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
