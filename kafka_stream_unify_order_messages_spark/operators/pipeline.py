@@ -539,3 +539,87 @@ def ngram_novelty(
         .alias("novelty")
     )
     return per_doc.select(id_col, "n_shingles", "n_novel", novelty)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 4,
+    m: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the SKETCH path for when
+    the exact bench-gram set outgrows a broadcast (billions of grams at
+    100 TB): each gram maps to ``k`` md5-derived positions in an
+    ``m``-slot space; a corpus gram is flagged when ALL ``k`` of its
+    positions are occupied by some bench gram. One-sided error by
+    construction: no false negatives, false positives at the classic
+    (1 - e^(-kn/m))^k rate. The position set is ``k * |bench|`` longs at
+    most — a fraction of the gram strings' size — and broadcasts where
+    the strings could not.
+
+    Returns (id, n_bloom_hits, n_exact_hits) per flagged doc; the exact
+    column is the audit measurement (bloom >= exact always; the gap IS
+    the observed false-positive count). Deterministic md5 hashing keeps
+    every position — and therefore the exact false-positive set —
+    engine-portable for oracle checking.
+    """
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        _exploded_shingles,
+    )
+
+    def pos_expr(i: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % m).alias("pos")
+
+    corpus_grams = _exploded_shingles(docs, id_col, text_col, ngram_n)
+    bench_grams = (
+        _exploded_shingles(benchmark, id_col, text_col, ngram_n)
+        .select("shingle")
+        .distinct()
+    )
+    bpos = F.broadcast(
+        bench_grams.select(
+            F.explode(F.array(*[pos_expr(i) for i in range(k)])).alias(
+                "pos"
+            )
+        ).distinct()
+    )
+    probe = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), pos_expr(i))
+            for i in range(k)
+        ]
+    )
+    cpos = corpus_grams.select(
+        F.col(id_col), F.col("shingle"), F.explode(probe).alias("p")
+    ).select(id_col, "shingle", F.col("p.i").alias("i"), F.col("p.pos").alias("pos"))
+    flagged = (
+        cpos.join(bpos, "pos")
+        .groupBy(id_col, "shingle")
+        .agg(F.count_distinct("i").alias("_ki"))
+        .filter(F.col("_ki") == k)
+        .select(id_col, "shingle")
+    )
+    exact = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .select(F.col(id_col), F.col("shingle"), F.lit(1).alias("_ex"))
+    )
+    return (
+        flagged.join(exact, [id_col, "shingle"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("_ex"), F.lit(0)))
+            .cast("long")
+            .alias("n_exact_hits"),
+        )
+    )

@@ -1237,6 +1237,69 @@ def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the SKETCH path for bench-gram sets too
+# large to broadcast as strings: k=3 md5-derived positions in an m=16384
+# slot space; a gram is flagged when all 3 positions are occupied. No
+# false negatives by construction; n_bloom_hits vs n_exact_hits is the
+# per-doc false-positive audit. Deterministic hashing makes even the
+# false-positive set identical across engines.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384
+
+
+def _bloom_pos_sql(src: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle),"
+        f" 1, 7) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@query(
+    "bloom_decontaminate",
+    f"""
+WITH grams AS (
+    SELECT doc_id, unnest({_GRAMS4}) AS shingle FROM documents
+), bench AS (
+    SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0
+), hseq AS (
+    SELECT unnest(generate_series(0, 2)) AS i
+), bpos AS (
+    SELECT DISTINCT {_bloom_pos_sql('bench')} AS pos
+    FROM bench CROSS JOIN hseq
+), cpos AS (
+    SELECT doc_id, shingle, i, {_bloom_pos_sql('grams')} AS pos
+    FROM grams CROSS JOIN hseq
+    WHERE doc_id % 97 <> 0
+), flagged AS (
+    SELECT doc_id, shingle
+    FROM cpos JOIN bpos USING (pos)
+    GROUP BY doc_id, shingle
+    HAVING count(DISTINCT i) = 3
+), exact AS (
+    SELECT g.doc_id, g.shingle
+    FROM grams g JOIN bench b USING (shingle)
+    WHERE g.doc_id % 97 <> 0
+)
+SELECT f.doc_id,
+       count(*) AS n_bloom_hits,
+       CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_hits
+FROM flagged f
+LEFT JOIN exact e ON e.doc_id = f.doc_id AND e.shingle = f.shingle
+GROUP BY f.doc_id
+""",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return P.bloom_decontaminate(
+        corpus, bench, ngram_n=4, m=_BLOOM_M, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding int8 quantization: symmetric per-vector scale, half-up
 # rounding (floor(x/s + 0.5) — engine-portable, unlike round()'s x.5
 # behavior on doubles). Output flattened to (vec_id, scale, pos, qv) for

@@ -731,3 +731,38 @@ def test_lsh_recall_metric_detects_missed_candidates(spark):
     hits_strict = truth.join(strict, ["id_a", "id_b"]).count()
     hits_loose = truth.join(loose, ["id_a", "id_b"]).count()
     assert hits_loose > hits_strict  # banding is the recall lever
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom screening is one-sided: every exactly-contaminated gram must
+    be flagged (superset), and per doc n_bloom_hits >= n_exact_hits with
+    the exact column matching the exact decontaminate operator."""
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from kafka_stream_unify_order_messages_spark.sources.files import (
+        load_table,
+    )
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bloom = {
+        r.doc_id: (r.n_bloom_hits, r.n_exact_hits)
+        for r in bloom_decontaminate(
+            corpus, bench, ngram_n=4, m=16384, k=3
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.n_hits
+        for r in decontaminate(corpus, bench, ngram_n=4).collect()
+    }
+    # every exactly-contaminated doc is flagged, with the same exact count
+    for doc_id, n_hits in exact.items():
+        assert doc_id in bloom
+        assert bloom[doc_id][1] == n_hits
+        assert bloom[doc_id][0] >= n_hits
+    # exact column never exceeds the bloom column
+    assert all(nb >= ne for nb, ne in bloom.values())
