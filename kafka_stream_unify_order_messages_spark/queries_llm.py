@@ -1238,14 +1238,14 @@ def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination — the SKETCH path for bench-gram sets too
-# large to broadcast as strings: k=3 md5-derived positions in an m=16384
+# large to broadcast as strings: k=3 md5-derived positions in an m=65536
 # slot space; a gram is flagged when all 3 positions are occupied. No
 # false negatives by construction; n_bloom_hits vs n_exact_hits is the
 # per-doc false-positive audit. Deterministic hashing makes even the
 # false-positive set identical across engines.
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 16384
+_BLOOM_M = 65536
 
 
 def _bloom_pos_sql(src: str) -> str:
