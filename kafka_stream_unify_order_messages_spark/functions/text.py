@@ -269,3 +269,56 @@ def bigram_repetition(text: Column | str) -> Column:
         ).otherwise(F.lit(0.0))
 
     return F.element_at(F.transform(F.array(tokens(text)), rep), 1)
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (fastText-style scorer shape).
+# Real pipelines load trained weights; the MECHANISM — token -> hashed
+# feature bucket -> weight lookup -> mean logit -> sigmoid — is identical,
+# and deterministic md5-derived weights keep it oracle-checkable. Fully
+# scan-local: zero shuffles, zero UDFs, one codegen pass over the corpus.
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 1024
+QC_SCALE = 4.0
+
+
+def _qc_bucket_weight(bucket: Column) -> Column:
+    """Deterministic weight in [-1, 1] for a feature bucket: the md5 of
+    'qcw|<bucket>' mapped through mod 2001. Portable to DuckDB verbatim."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qcw|"), bucket.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % 2001 - 1000) / F.lit(1000.0)
+
+
+def quality_classifier_score(text: Column | str) -> Column:
+    """Sigmoid(mean hashed-token weight * scale) in (0, 1); 0.5 exactly
+    for empty documents (zero logit). Token -> bucket uses the shared
+    hex_hash64 convention so the oracle reproduces every bit before the
+    final 6-decimal rounding."""
+
+    def score(tk: Column) -> Column:
+        weights = F.transform(
+            tk,
+            lambda t: _qc_bucket_weight(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("qc|"), t)), 1, 15), 16, 10
+                ).cast("long")
+                % QC_BUCKETS
+            ),
+        )
+        logit = F.when(
+            F.size(tk) > 0,
+            F.aggregate(weights, F.lit(0.0), lambda acc, w: acc + w)
+            / F.size(tk).cast("double")
+            * F.lit(QC_SCALE),
+        ).otherwise(F.lit(0.0))
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+    scored = F.element_at(F.transform(F.array(tokens(text)), score), 1)
+    # blank text whitespace-splits to [''] (house tokenizer convention),
+    # which would score the empty-string token; gate it to a 0.5 prior
+    return F.when(F.length(F.trim(_c(text))) > 0, scored).otherwise(F.lit(0.5))

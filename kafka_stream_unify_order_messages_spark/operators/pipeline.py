@@ -623,3 +623,77 @@ def bloom_decontaminate(
             .alias("n_exact_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights (Xie et al., "Data Selection
+# for Language Models via Importance Resampling", 2023): score every raw
+# document by how target-like its hashed n-gram distribution is. The
+# weight is the log-likelihood ratio sum_t ln(p_target(b(t)) / p_raw(b(t)))
+# over the document's tokens, with both distributions estimated on hashed
+# feature buckets under add-alpha smoothing.
+#
+# Shuffle budget: one explode+agg to the BUCKET-sized count table (fixed
+# m rows — broadcast back), then one (doc) aggregation for the per-doc
+# sum. The corpus never self-joins and the model state is O(m), so the
+# operator scales linearly in corpus size regardless of vocabulary.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_ALPHA = 0.5
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    is_target: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(id, n_tokens, log_weight): add-alpha smoothed hashed-unigram
+    log-likelihood ratio of target vs raw (full corpus) distributions.
+
+    ``is_target`` is a boolean Column over ``docs`` selecting the target
+    domain. Buckets use the shared md5 convention ('dsir|' || token), so
+    DuckDB reproduces the exact feature mapping. log_weight is rounded
+    to 6 decimals after the final sum only.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(T.tokens(text_col)).alias("token"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("token"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % buckets,
+    )
+
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("double").alias("tt"),
+        F.sum("cr").cast("double").alias("tr"),
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / (F.col("tt") + F.lit(alpha * buckets)))
+            - F.log((F.col("cr") + F.lit(alpha)) / (F.col("tr") + F.lit(alpha * buckets)))
+        ).alias("llr"),
+    )
+
+    return (
+        toks.join(F.broadcast(probs), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("llr"), 6).alias("log_weight"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Sparse lexical retrieval: BM25 scoring and top-k search.
+
+The dense-ANN family (operators/similarity.py) covers embedding-space
+retrieval; this module is its lexical sibling — the Okapi BM25 ranking
+function over an inverted-index shape, built entirely from DataFrame
+aggregations so Catalyst keeps every stage in whole-stage codegen.
+
+Scale shape (the 100 TB story):
+- term frequencies take ONE shuffle: groupBy (doc, token) over the
+  exploded token stream, with document length carried through the
+  aggregation (no second doc-keyed join).
+- document frequencies aggregate the tf frame by token — output is
+  vocabulary-sized, broadcast back to the scorer.
+- the query side is tiny by construction (a handful of query strings)
+  and is broadcast, so scoring never shuffles the corpus again; the
+  only post-tf exchange is the (query, doc) score aggregation.
+- top-k per query runs the two-phase prune: a per-partition row_number
+  keeps k rows per (query, partition) before the final per-query rank,
+  so no single task ever sorts the whole candidate set (same pattern as
+  operators/similarity.py:brute_force_topk).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from kafka_stream_unify_order_messages_spark.functions import text as T
+
+
+def term_frequencies(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token, tf, dl): per-document term counts with document length.
+
+    dl rides through the groupBy as first() (constant per document), so
+    the whole frame costs exactly one exchange on (id, token).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        T.token_count(text_col).alias("dl"),
+        F.explode(T.tokens(text_col)).alias("token"),
+    )
+    return toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25.
+
+    ``queries`` is a small (query_id, query) frame — it is broadcast, as
+    are the vocabulary-sized document frequencies and the 1-row corpus
+    stats, so the corpus-sized side moves through exactly two exchanges
+    (tf build, score aggregation) regardless of query count.
+
+    idf uses the non-negative variant ln(1 + (N - df + 0.5)/(df + 0.5)).
+    Scores are rounded to 6 decimals BEFORE ranking (ties then break on
+    doc id), so rankings are reproducible across engines.
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(T.token_count(text_col)).alias("avgdl"),
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(T.tokens("query"))).alias("token"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+
+    # two-phase top-k: partition-local prune, then the per-query rank
+    # only ever sees (#partitions * k) rows per query
+    local = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )

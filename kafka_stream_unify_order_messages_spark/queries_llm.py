@@ -2531,3 +2531,219 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (pinned by tests/test_plans.py metadata-pruning test)."""
     docs = _load(spark, sf_dir, "documents")
     return M.media_dedup(M.synthetic_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Sparse lexical retrieval — Okapi BM25 top-k. The lexical complement of
+# the dense-ANN family: tf takes one shuffle, df/corpus stats broadcast,
+# the query side is constant-sized, and top-k runs the two-phase prune
+# (operators/retrieval.py). Scores round to 6 decimals BEFORE ranking so
+# both engines rank identical values.
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.operators import retrieval as RT
+from kafka_stream_unify_order_messages_spark.operators import graph as G
+
+BM25_QUERIES = [
+    ("q1", "spark stream join window"),
+    ("q2", "table scan fast filter"),
+    ("q3", "customer order value"),
+    ("q4", "hash merge sort batch"),
+    ("q5", "row group agg column"),
+]
+
+_BM25_VALUES = ", ".join(f"('{qid}', '{q}')" for qid, q in BM25_QUERIES)
+# constants interpolated from the same Python doubles the Spark side uses,
+# so both engines parse bit-identical literals
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_SQL = f"""
+WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+qt AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_split_to_array(trim(lower(query)),
+                                                      '\\s+'))) AS token
+    FROM q
+), toks AS (
+    SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+    FROM toks GROUP BY doc_id, token
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len({_TOKS})) AS avgdl
+    FROM documents
+), df AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+), scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {_BM25_K1 + 1.0!r})
+               / (tf + {_BM25_K1!r}
+                  * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))
+           ), 6) AS score
+    FROM tf
+    JOIN qt ON qt.token = tf.token
+    JOIN df ON df.token = tf.token
+    CROSS JOIN stats
+    GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, rank, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+@query("bm25_topk", _BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query"])
+    return RT.bm25_topk(docs, queries, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (fastText-scorer shape): token
+# -> md5 feature bucket -> deterministic weight -> mean logit -> sigmoid.
+# Scan-local, zero shuffles, zero UDFs — the classifier every production
+# corpus filter runs, with md5-derived weights standing in for trained
+# ones so the whole mechanism is value-checked against DuckDB.
+# ---------------------------------------------------------------------------
+
+_QC_W = (
+    "((CAST('0x' || substr(md5('qcw|' || CAST("
+    "CAST('0x' || substr(md5('qc|' || t), 1, 15) AS BIGINT) % 1024"
+    " AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) / 1000.0"
+)
+
+
+@query(
+    "quality_classifier",
+    f"""
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN len({_TOKS}) > 0
+                THEN list_sum(list_transform({_TOKS}, t -> {_QC_W}))
+                     / CAST(len({_TOKS}) AS DOUBLE) * 4.0
+                ELSE 0.0 END AS logit,
+           length(trim(text)) > 0 AS nonblank
+    FROM documents
+), probs AS (
+    SELECT doc_id,
+           CASE WHEN nonblank
+                THEN round(1.0 / (1.0 + exp(-logit)), 6)
+                ELSE 0.5 END AS qc_score
+    FROM scored
+)
+SELECT doc_id, qc_score,
+       CAST(CASE WHEN qc_score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM probs
+""",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_classifier_score("text").alias("qc_score"),
+    ).withColumn(
+        "keep",
+        F.when(F.col("qc_score") >= 0.5, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights (Xie et al. 2023): per-document
+# log-likelihood ratio of a target-domain hashed-unigram LM vs the raw
+# corpus LM. The model state is one BUCKET-sized count table (broadcast),
+# so selection scales linearly in corpus size. Target domain here:
+# sources src0-src4 (the "curated quarter" of the synthetic crawl).
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+@query(
+    "dsir_weights",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_DSIR_TARGET_SQL} AS tgt,
+           CAST('0x' || substr(md5('dsir|' || token), 1, 15) AS BIGINT)
+               % 512 AS bucket
+    FROM (SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents)
+), counts AS (
+    SELECT bucket,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+           count(*) AS cr
+    FROM toks GROUP BY bucket
+), totals AS (
+    SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cr) AS DOUBLE) AS tr
+    FROM counts
+), probs AS (
+    SELECT bucket,
+           ln((ct + 0.5) / (tt + 256.0)) - ln((cr + 0.5) / (tr + 256.0))
+               AS llr
+    FROM counts CROSS JOIN totals
+)
+SELECT doc_id, count(*) AS n_tokens, round(sum(llr), 6) AS log_weight
+FROM toks JOIN probs USING (bucket)
+GROUP BY doc_id
+""",
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return P.dsir_log_weights(
+        docs,
+        is_target=F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup candidate graph: node importance on the
+# minhash-LSH pair graph — the signal a curation pipeline uses to pick
+# canonical cluster representatives or weight heavily-duplicated sources.
+# Spark side is the Pregel-style loop (operators/graph.py, one join + one
+# agg per iteration, localCheckpoint lineage truncation); the oracle
+# unrolls the same 5 power iterations as chained CTEs.
+# ---------------------------------------------------------------------------
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    jump = repr(1.0 - 0.85)  # same Python double the Spark side uses
+    parts = [
+        f"WITH pairs AS ({_PAIRS_SQL})",
+        """edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "n AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS nn FROM edges)",
+        """r0 AS (
+    SELECT DISTINCT src AS node, 1.0 / nn AS r FROM edges CROSS JOIN n
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+    SELECT e.dst AS node, {jump} / nn + 0.85 * sum(p.r / d.outdeg) AS r
+    FROM edges e
+    JOIN r{i - 1} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    CROSS JOIN n
+    GROUP BY e.dst, nn
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, round(r, 6) AS pagerank FROM r{iterations}"
+    )
+
+
+@query("pagerank_dup_graph", _pagerank_sql(5))
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    pr = G.pagerank(G.symmetrize(pairs), iterations=5, damping=0.85)
+    return pr.select(F.col("node").alias("doc_id"), "pagerank")

@@ -39,6 +39,25 @@ def write_batch(src_dir, rows, batch_no):
     pq.write_table(table, f"{src_dir}/batch-{batch_no:04d}.parquet")
 
 
+def wait_rows(spark, q, name, src, hb_row, deadline_s=180):
+    """Wait for >=1 output row, re-feeding the (idempotent, first-wins-
+    deduped) heartbeat row every few seconds so a missed watermark-advance
+    micro-batch can't strand the test under full-suite JVM load."""
+    deadline = time.time() + deadline_s
+    batch_no = 1000
+    last_nudge = time.time()
+    while time.time() < deadline:
+        if q.exception():
+            raise q.exception()
+        if spark.table(name).count() >= 1:
+            return
+        if time.time() - last_nudge > 5:
+            write_batch(src, [hb_row], batch_no)
+            batch_no += 1
+            last_nudge = time.time()
+        time.sleep(0.3)
+
+
 def test_full_topology_from_raw_json(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
@@ -70,13 +89,7 @@ def test_full_topology_from_raw_json(spark, tmp_path):
             ],
             0,
         )
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            if q.exception():
-                raise q.exception()
-            if spark.table(name).count() >= 1:
-                break
-            time.sleep(0.3)
+        wait_rows(spark, q, name, src, (msg("hb", "created", 59), "order-created"))
         out = {r.order_id: json.loads(r.payload) for r in spark.table(name).collect()}
         assert set(out) == {"o1"}
         events = out["o1"]["events"]
@@ -135,13 +148,9 @@ def test_rocksdb_state_store_end_to_end(spark, tmp_path):
                 ],
                 0,
             )
-            deadline = time.time() + 60
-            while time.time() < deadline:
-                if q.exception():
-                    raise q.exception()
-                if spark.table(name).count() >= 1:
-                    break
-                time.sleep(0.3)
+            wait_rows(
+                spark, q, name, src, (msg("hb", "created", 59), "order-created")
+            )
             out = {r.order_id for r in spark.table(name).collect()}
             assert "r1" in out
         finally:
