@@ -1036,3 +1036,102 @@ def minhash_band_cols_local(
     return exploded.select(
         *df.columns, *[F.col(f"_bs._bk{i}") for i in range(bands)]
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Substring-level dedup REWRITE (the removal step of "Deduplicating
+    Training Data Makes Language Models Better"): every token position
+    covered by an n-gram occurrence that is not that gram's canonical
+    (first) corpus occurrence is cut; the canonical copy survives intact.
+
+    Canonical occurrence = the corpus-wide minimum (doc, position) for the
+    gram, encoded as one long (doc * 1e6 + pos) so the min is a plain
+    window aggregate both engines order identically.
+
+    Returns (id, n_tokens, n_removed, cleaned_text) for EVERY input row —
+    untouched documents come back with n_removed = 0 and their normalized
+    token stream (tokens() lowercases and collapses whitespace, so the
+    rewrite is over the canonical token text on both engines).
+
+    Scale shape: gram hashes + positions (three longs per token position)
+    are the ONLY rows that cross the first exchange; canonical-occurrence
+    detection is a window over the gram hash (one computation of the
+    gram subtree, no self-join). Removed positions collapse to a per-doc
+    array before the single corpus-sized join back to the token arrays.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    k = F.size("_toks") - (n - 1)
+    occs = toked.filter(k > 0).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    *[
+                                        F.element_at(F.col("_toks"), i + j)
+                                        for j in range(n)
+                                    ],
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("gh"),
+                ),
+            )
+        ).alias("_o"),
+    ).select(id_col, F.col("_o.pos").alias("pos"), F.col("_o.gh").alias("gh"))
+
+    key = (F.col(id_col) * F.lit(1_000_000) + F.col("pos")).alias("okey")
+    w = Window.partitionBy("gh")
+    flagged = occs.select(id_col, "pos", "gh", key).select(
+        id_col,
+        "pos",
+        F.min("okey").over(w).alias("first_key"),
+        F.count(F.lit(1)).over(w).alias("n_occ"),
+        "okey",
+    )
+    dup_occ = flagged.filter(
+        (F.col("n_occ") >= 2) & (F.col("okey") != F.col("first_key"))
+    )
+
+    removed = (
+        dup_occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("rpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("rpos").alias("_rem"))
+    )
+
+    joined = toked.join(removed, id_col, "left").withColumn(
+        "_rem", F.coalesce(F.col("_rem"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.array_contains(F.col("_rem"), (i + 1).cast("int")),
+    )
+    return joined.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size("_rem").cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

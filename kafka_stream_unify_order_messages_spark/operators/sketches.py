@@ -1,0 +1,104 @@
+"""Portable frequency sketches: a count-min sketch built from DataFrame
+aggregations with md5-derived hash rows, so the whole sketch — and its
+error — is value-checkable against DuckDB.
+
+Spark ships a native count_min_sketch aggregate, but its murmur-based
+cells aren't reproducible outside the JVM; this implementation trades a
+few md5 calls for a sketch whose every cell both engines agree on, which
+is what lets the accuracy evaluation below be an oracle-checked query
+(same pattern as lsh_recall_eval / ann_pq_recall_eval).
+
+Scale shape: the corpus collapses to (token, count) in one shuffle; the
+sketch itself is a FIXED depth x width table (d*w cells regardless of
+corpus size) built from the count table and broadcast back for the
+estimate join. At 100 TB the exact-count side is the expensive path —
+the point of the sketch — so the evaluation doubles as the migration
+test for replacing exact counts with cells.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from kafka_stream_unify_order_messages_spark.functions.text import tokens
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(row: int, token_col) -> F.Column:
+    """Row-r bucket of a token: md5('cms<r>|' || token) mod width."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}|"), token_col)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, exact_count): the one corpus-sized shuffle."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+
+
+def cms_estimate_error(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, exact_count, cms_estimate, overcount): every distinct
+    token's count-min estimate next to its exact count.
+
+    The estimate is min over the sketch's depth rows of the cell the
+    token hashes into; overcount = estimate - exact is >= 0 by
+    construction (a violated invariant means a broken sketch, so the
+    column doubles as a built-in audit, like bloom_decontaminate's
+    false-positive columns).
+    """
+    counts = token_counts(df, id_col, text_col)
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_bucket(r, F.col("token")).alias("bucket"),
+                )
+                for r in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("_rb")
+    hashed = counts.select("token", "exact_count", rb).select(
+        "token",
+        "exact_count",
+        F.col("_rb.r").alias("r"),
+        F.col("_rb.bucket").alias("bucket"),
+    )
+    cells = hashed.groupBy("r", "bucket").agg(
+        F.sum("exact_count").alias("cell")
+    )
+    return (
+        hashed.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.first("exact_count").alias("exact_count"),
+            F.min("cell").alias("cms_estimate"),
+        )
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

@@ -2747,3 +2747,105 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
     pr = G.pagerank(G.symmetrize(pairs), iterations=5, damping=0.85)
     return pr.select(F.col("node").alias("doc_id"), "pagerank")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup REWRITE: remove every token position covered by a
+# 5-gram occurrence that is not the gram's canonical (minimum (doc, pos))
+# corpus occurrence — the removal step of exact substring dedup, on top of
+# the profiling that dup_ngram_spans reports. Canonical keys encode as
+# doc*1e6+pos so both engines take the same window minimum.
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+
+@query(
+    "dup_span_removal",
+    f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), positions AS (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+    FROM toked WHERE len(toks) >= 5
+), occs AS (
+    SELECT doc_id, pos,
+           CAST('0x' || substr(md5(array_to_string(toks[pos:pos+4], ' ')),
+                               1, 15) AS BIGINT) AS gh
+    FROM positions
+), flagged AS (
+    SELECT doc_id, pos,
+           doc_id * 1000000 + pos AS okey,
+           min(doc_id * 1000000 + pos) OVER (PARTITION BY gh) AS first_key,
+           count(*) OVER (PARTITION BY gh) AS n_occ
+    FROM occs
+), rem AS (
+    SELECT DISTINCT doc_id, rpos FROM (
+        SELECT doc_id, unnest(range(pos, pos + 5)) AS rpos
+        FROM flagged WHERE n_occ >= 2 AND okey <> first_key
+    )
+), rem_agg AS (
+    SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id
+), stream AS (
+    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM toked
+), kept AS (
+    SELECT s.doc_id, s.i, s.toks[s.i] AS tok
+    FROM stream s
+    LEFT JOIN rem r ON r.doc_id = s.doc_id AND r.rpos = s.i
+    WHERE r.doc_id IS NULL
+), cleaned AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(c.cleaned_text, '') AS cleaned_text
+FROM toked t
+LEFT JOIN rem_agg ra ON ra.doc_id = t.doc_id
+LEFT JOIN cleaned c ON c.doc_id = t.doc_id
+""",
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch accuracy: every distinct token's CMS estimate next to
+# its exact count, with the (always >= 0) overcount as a built-in audit.
+# The sketch is md5-rowed so DuckDB reproduces every cell — the sketch
+# path a 100 TB pipeline swaps in for exact counting, value-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cms_token_error",
+    f"""
+WITH counts AS (
+    SELECT token, count(*) AS exact_count
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+), expand AS (
+    SELECT token, exact_count, unnest(range(0, 4)) AS r FROM counts
+), hashed AS (
+    SELECT token, exact_count, r,
+           CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|'
+                                   || token), 1, 15) AS BIGINT) % 256
+               AS bucket
+    FROM expand
+), cells AS (
+    SELECT r, bucket, CAST(sum(exact_count) AS BIGINT) AS cell
+    FROM hashed GROUP BY r, bucket
+)
+SELECT h.token, h.exact_count,
+       min(c.cell) AS cms_estimate,
+       CAST(min(c.cell) - h.exact_count AS BIGINT) AS overcount
+FROM hashed h
+JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+GROUP BY h.token, h.exact_count
+""",
+)
+def cms_token_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return SK.cms_estimate_error(docs)

@@ -208,3 +208,38 @@ def test_pack_shards_matches_python_cumsum_oracle_random_sizes(spark):
             expect[i] = acc // budget
             acc += n
         assert got == expect, f"trial {trial}"
+
+
+def test_remove_duplicate_spans_cuts_non_canonical_occurrences(spark):
+    rows = [
+        (1, "a b c d e f g"),          # canonical holder of "a b c d e"
+        (2, "a b c d e x y"),          # loses positions 1-5
+        (3, "p q r s t p q r s t"),    # internal repeat: loses 6-10
+        (4, "one two"),                # < n tokens: untouched
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicate_spans(docs, n=5).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_text"] == "a b c d e f g"
+    assert out[2]["n_removed"] == 5
+    assert out[2]["cleaned_text"] == "x y"
+    assert out[3]["n_removed"] == 5
+    assert out[3]["cleaned_text"] == "p q r s t"
+    assert out[4]["n_removed"] == 0
+    assert out[4]["cleaned_text"] == "one two"
+    assert out[3]["n_tokens"] == 10
+
+
+def test_remove_duplicate_spans_exact_dup_doc_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, "u v w x y z"), (2, "u v w x y z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r for r in D.remove_duplicate_spans(docs, n=5).collect()
+    }
+    assert out[1]["cleaned_text"] == "u v w x y z"
+    assert out[2]["cleaned_text"] == ""
+    assert out[2]["n_removed"] == 6

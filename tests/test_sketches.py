@@ -40,3 +40,25 @@ def test_approx_count_distinct_error(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact <= 0.1
+
+
+def test_cms_estimate_never_undercounts_and_is_tight_here(spark):
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha " + f"tok{i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    out = SK.cms_estimate_error(docs).collect()
+    by_tok = {r["token"]: r for r in out}
+    # invariant: a count-min sketch can only overcount
+    assert all(r["overcount"] >= 0 for r in out)
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in out)
+    # exact counts are the ground truth we fed in
+    assert by_tok["alpha"]["exact_count"] == 100
+    assert by_tok["beta"]["exact_count"] == 50
+    assert by_tok["tok7"]["exact_count"] == 1
+    # 53 distinct tokens over 4x256 cells: collisions are rare, the
+    # median token must estimate exactly
+    exact_hits = sum(1 for r in out if r["overcount"] == 0)
+    assert exact_hits > len(out) / 2
