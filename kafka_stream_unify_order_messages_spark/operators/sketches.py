@@ -102,3 +102,74 @@ def cms_estimate_error(
             .alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007), md5-derived
+# like the CMS above so every register — and the final estimate — is
+# value-checkable against DuckDB. Spark's approx_count_distinct is the
+# production path (and is benchmarked in tests/test_sketches.py); this
+# portable twin exists so the ACCURACY evaluation can be an oracle query.
+# ---------------------------------------------------------------------------
+
+HLL_BUCKETS = 256  # 2^8 registers; h is 60 bits -> 52 bits feed rho
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_BUCKETS)
+
+
+def hll_distinct_per_group(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """(group, n_registers, hll_estimate): HLL over items within each
+    group. Register index = low 8 hash bits; rho = leading-zero run of
+    the remaining 52 bits + 1, computed integer-exactly via the binary
+    string length (no float log2 at bit boundaries). Small-range
+    (linear-counting) correction applies below 2.5m when empty registers
+    exist — absent registers contribute 2^0 to the harmonic sum.
+
+    Scale shape: one shuffle to (group, bucket) registers — at most
+    m rows per group regardless of item count (max() combines map-side)
+    — then an m-row-per-group rollup. Never materializes distincts.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll|"), F.col(item_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = df.select(F.col(group_col), h).select(
+        group_col,
+        (F.col("h") % HLL_BUCKETS).alias("bucket"),
+        F.shiftrightunsigned("h", 8).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    regs = hashed.select(group_col, "bucket", rho.alias("rho")).groupBy(
+        group_col, "bucket"
+    ).agg(F.max("rho").alias("m"))
+
+    per_group = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s_total = F.col("s_present") + (
+        F.lit(HLL_BUCKETS) - F.col("n_present")
+    ).cast("double")
+    zeros = F.lit(HLL_BUCKETS) - F.col("n_present")
+    e_raw = F.lit(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS) / s_total
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * HLL_BUCKETS)) & (zeros > 0),
+        F.lit(float(HLL_BUCKETS)) * F.log(F.lit(float(HLL_BUCKETS)) / zeros),
+    ).otherwise(e_raw)
+    return per_group.select(
+        group_col,
+        F.col("n_present").alias("n_registers"),
+        F.round(estimate, 6).alias("hll_estimate"),
+    )

@@ -2849,3 +2849,77 @@ GROUP BY h.token, h.exact_count
 def cms_token_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return SK.cms_estimate_error(docs)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog accuracy per source: the portable md5-rowed HLL estimate of
+# distinct tokens next to the exact distinct count. The register table is
+# at most 256 rows per source no matter how many tokens stream through —
+# the sketch a 100 TB pipeline uses instead of count(DISTINCT).
+# ---------------------------------------------------------------------------
+
+_HLL_AM2 = repr(SK.HLL_ALPHA * SK.HLL_BUCKETS * SK.HLL_BUCKETS)
+
+
+@query(
+    "hll_source_distinct",
+    f"""
+WITH toks AS (
+    SELECT source, unnest({_TOKS}) AS token FROM documents
+), hashed AS (
+    SELECT source, h % 256 AS bucket, h >> 8 AS w
+    FROM (
+        SELECT source,
+               CAST('0x' || substr(md5('hll|' || token), 1, 15) AS BIGINT)
+                   AS h
+        FROM toks
+    )
+), regs AS (
+    SELECT source, bucket,
+           max(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS m
+    FROM hashed GROUP BY source, bucket
+), per AS (
+    SELECT source, sum(pow(2.0, -m)) AS s_present, count(*) AS n_present
+    FROM regs GROUP BY source
+), est AS (
+    SELECT source, n_present,
+           CASE WHEN {_HLL_AM2}
+                     / (s_present + CAST(256 - n_present AS DOUBLE))
+                     <= 640.0
+                     AND (256 - n_present) > 0
+                THEN 256.0 * ln(256.0 / (256 - n_present))
+                ELSE {_HLL_AM2}
+                     / (s_present + CAST(256 - n_present AS DOUBLE)) END
+               AS e
+    FROM per
+), ex AS (
+    SELECT source, count(DISTINCT token) AS exact_distinct
+    FROM toks GROUP BY source
+)
+SELECT ex.source, ex.exact_distinct,
+       est.n_present AS n_registers,
+       round(est.e, 6) AS hll_estimate,
+       round((round(est.e, 6) - exact_distinct)
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+FROM ex JOIN est ON est.source = ex.source
+""",
+)
+def hll_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens("text")).alias("token"))
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("token").alias("exact_distinct")
+    )
+    est = SK.hll_distinct_per_group(toks, "source", "token")
+    return exact.join(est, "source").select(
+        "source",
+        "exact_distinct",
+        "n_registers",
+        "hll_estimate",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -62,3 +62,23 @@ def test_cms_estimate_never_undercounts_and_is_tight_here(spark):
     # median token must estimate exactly
     exact_hits = sum(1 for r in out if r["overcount"] == 0)
     assert exact_hits > len(out) / 2
+
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    # group A: 500 distinct items, group B: 40 — both far under the
+    # small-range threshold, so linear counting should land within 2 sigma (sigma = 1.04/sqrt(256) = 6.5%)
+    rows = [("A", f"item{i}") for i in range(500)] * 2 + [
+        ("B", f"tok{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    out = {r["grp"]: r for r in SK.hll_distinct_per_group(df, "grp", "item").collect()}
+    assert abs(out["A"]["hll_estimate"] - 500) / 500 < 0.15
+    assert abs(out["B"]["hll_estimate"] - 40) / 40 < 0.15
+    # duplicates must not move the estimate (set semantics)
+    df2 = spark.createDataFrame(rows * 3, ["grp", "item"])
+    out2 = {
+        r["grp"]: r for r in SK.hll_distinct_per_group(df2, "grp", "item").collect()
+    }
+    assert out2["A"]["hll_estimate"] == out["A"]["hll_estimate"]
