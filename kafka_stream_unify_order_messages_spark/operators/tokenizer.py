@@ -258,3 +258,198 @@ def bpe_segment(
             )
 
     return df.select(id_col, text_col).mapInPandas(seg, schema)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece's second algorithm, Kudo 2018) —
+# the complement of BPE above. Same scale discipline: ONE corpus pass to
+# the (word, freq) vocabulary; seeding and every EM round run on the
+# vocabulary, Arrow-batched, with the piece table broadcast in the
+# closure. Hard (Viterbi) EM keeps training fully deterministic: the DP
+# breaks score ties toward the LONGEST piece at each position, so two
+# runs — and the pure-Python test oracle — produce identical pieces.
+# ---------------------------------------------------------------------------
+
+
+def seed_unigram_pieces(
+    wf: DataFrame,
+    max_piece_len: int = 4,
+    max_pieces: int = 64,
+) -> DataFrame:
+    """(piece, cnt): candidate vocabulary — every substring of every word
+    up to ``max_piece_len`` chars, frequency-weighted; all single chars
+    are kept unconditionally (coverage guarantee), multi-char candidates
+    keep the top ``max_pieces`` by (count desc, piece asc).
+
+    The substring explosion is pure codegen: positions and lengths come
+    from ``sequence`` + ``Column.substr`` on the vocabulary table, which
+    is already corpus-independent in size.
+    """
+    word = F.col("word")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length(word) - i + 1),
+                ),
+                lambda L: word.substr(i, L),
+            ),
+        )
+    )
+    counts = (
+        wf.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(max_pieces)
+    )
+    return chars.unionByName(multi)
+
+
+def viterbi_segment(word: str, logp: dict) -> list:
+    """Max-log-prob segmentation of one word under piece log-probs.
+
+    DP over end positions; ties (exact float equality) prefer the longest
+    last piece, making segmentation deterministic and independent of dict
+    iteration order. Unknown single chars get a large penalty instead of
+    -inf so coverage never fails.
+    """
+    n = len(word)
+    UNK = -100.0
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    max_len = max((len(p) for p in logp), default=1)
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_len), end):
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if end - start == 1:
+                    lp = UNK
+                else:
+                    continue
+            score = best[start] + lp
+            # strictly-greater OR equal-with-longer-piece wins
+            if score > best[end] or (
+                score == best[end] and start < back[end]
+            ):
+                best[end] = score
+                back[end] = start
+    pieces = []
+    end = n
+    while end > 0:
+        start = back[end]
+        pieces.append(word[start:end])
+        end = start
+    return list(reversed(pieces))
+
+
+def _viterbi_counts(
+    vocab_wf: DataFrame, logp: dict
+) -> DataFrame:
+    """(piece, cnt) expected counts under hard-EM: each word's Viterbi
+    segmentation, frequency-weighted. Arrow-batched over the vocabulary
+    with the piece table broadcast in the closure."""
+    schema = StructType(
+        [
+            StructField("piece", StringType(), True),
+            StructField("cnt", LongType(), True),
+        ]
+    )
+
+    def count_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            agg: dict = {}
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                for piece in viterbi_segment(str(w), logp):
+                    agg[piece] = agg.get(piece, 0) + int(f)
+            yield pd.DataFrame(
+                {"piece": list(agg.keys()), "cnt": list(agg.values())}
+            )
+
+    return (
+        vocab_wf.mapInPandas(count_batch, schema)
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def learn_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    max_pieces: int = 64,
+    em_iterations: int = 2,
+) -> dict:
+    """Train the unigram LM: seed from substring counts, then
+    ``em_iterations`` rounds of Viterbi (hard) EM. Returns {piece:
+    log-prob} for every piece with nonzero final count.
+
+    Driver state is the piece table only (<= max_pieces + alphabet,
+    KBs); each EM round is one vocabulary-sized distributed pass.
+    """
+    import math
+
+    wf = word_freqs(df, text_col).localCheckpoint()
+    seed = seed_unigram_pieces(wf, max_piece_len, max_pieces).collect()
+    total = sum(r["cnt"] for r in seed)
+    logp = {r["piece"]: math.log(r["cnt"] / total) for r in seed}
+
+    for _ in range(em_iterations):
+        counts = _viterbi_counts(wf, logp).collect()
+        total = sum(r["cnt"] for r in counts)
+        logp = {
+            r["piece"]: math.log(r["cnt"] / total)
+            for r in counts
+            if r["cnt"] > 0
+        }
+    return logp
+
+
+def unigram_segment(
+    df: DataFrame,
+    logp: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_pieces, pieces_hash): the corpus re-tokenized with
+    the trained unigram LM. Scan-local Arrow pass, piece log-probs
+    broadcast in the closure — the same shape as bpe_segment."""
+    import hashlib
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("n_words", LongType(), True),
+            StructField("n_pieces", LongType(), True),
+            StructField("pieces_hash", StringType(), True),
+        ]
+    )
+
+    def seg(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = str(text).lower().split()
+                pieces = []
+                for w in words:
+                    pieces.extend(viterbi_segment(w, logp))
+                rows.append(
+                    (
+                        rid,
+                        len(words),
+                        len(pieces),
+                        hashlib.md5(" ".join(pieces).encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_pieces", "pieces_hash"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(seg, schema)

@@ -391,3 +391,70 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return C.snapshot_diff(docs, new_snap)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece's second algorithm) alongside BPE:
+# the seed table is pure DataFrame algebra and fully value-checked; the
+# EM-trained pieces and the segmentation are rows-only by design (float
+# EM), with the strong checks in tests/test_tokenizer.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unigram_seed_pieces",
+    f"""
+WITH wf AS (
+    SELECT word, count(*) AS freq
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+    GROUP BY word
+), subs AS (
+    SELECT word[i : i + L - 1] AS piece, freq
+    FROM wf, range(1, 201) t(i), range(1, 5) u(L)
+    WHERE i <= length(word) AND i + L - 1 <= length(word)
+), counts AS (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM subs GROUP BY piece
+), chars AS (
+    SELECT piece, cnt FROM counts WHERE length(piece) = 1
+), multi AS (
+    SELECT piece, cnt FROM counts WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT 64
+)
+SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM multi
+""",
+)
+def unigram_seed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate unigram vocabulary: substring counts with the coverage
+    alphabet plus the top-64 multi-char pieces (count desc, piece asc)."""
+    docs = _load(spark, sf_dir, "documents")
+    return TK.seed_unigram_pieces(TK.word_freqs(docs))
+
+
+# train once per dataset (same license as _BPE_MEMO: the corpus is
+# immutable and "train once, apply many" is the production shape)
+_UNIGRAM_MEMO: dict[str, dict] = {}
+
+
+def _learned_unigram(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir not in _UNIGRAM_MEMO:
+        docs = _load(spark, sf_dir, "documents")
+        _UNIGRAM_MEMO[sf_dir] = TK.learn_unigram(docs)
+    return _UNIGRAM_MEMO[sf_dir]
+
+
+@query("unigram_learn_pieces")  # Viterbi-EM loop — not SQL-expressible
+def unigram_learn_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained pieces with 6-decimal log-probs, deterministic order.
+    Rows-only driver check; tests/test_tokenizer.py holds the Viterbi
+    optimality and determinism checks."""
+    logp = _learned_unigram(spark, sf_dir)
+    rows = sorted((p, round(lp, 6)) for p, lp in logp.items())
+    return spark.createDataFrame(rows, "piece STRING, logp DOUBLE")
+
+
+@query("unigram_segment_stats")  # applies the learned (iterative) model
+def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-tokenized with the trained unigram LM: per-doc word and
+    piece counts plus a deterministic segmentation hash."""
+    docs = _load(spark, sf_dir, "documents")
+    return TK.unigram_segment(docs, _learned_unigram(spark, sf_dir))

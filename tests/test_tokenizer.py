@@ -102,3 +102,87 @@ def test_merge_word_greedy_overlap():
     assert TK._merge_word(list("aaa"), "a", "a") == ["aa", "a"]
     assert TK._merge_word(list("aaaa"), "a", "a") == ["aa", "aa"]
     assert TK._merge_word(["ab", "c", "ab"], "ab", "c") == ["abc", "ab"]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_best(word, logp):
+    """Enumerate every segmentation (2^(n-1)) and return the best score
+    with longest-piece-preferred tie-breaking, mirroring the DP's rule."""
+    import itertools
+
+    n = len(word)
+    best = None
+    for cuts in itertools.product([0, 1], repeat=n - 1):
+        pieces, start = [], 0
+        for i, c in enumerate(cuts, 1):
+            if c:
+                pieces.append(word[start:i])
+                start = i
+        pieces.append(word[start:])
+        score = 0.0
+        ok = True
+        for p in pieces:
+            if p in logp:
+                score += logp[p]
+            elif len(p) == 1:
+                score += -100.0
+            else:
+                ok = False
+                break
+        if ok and (best is None or score > best[0]):
+            best = (score, pieces)
+    return best[0]
+
+
+def test_viterbi_segment_is_optimal():
+    import math
+
+    from kafka_stream_unify_order_messages_spark.operators.tokenizer import (
+        viterbi_segment,
+    )
+
+    logp = {
+        "a": math.log(0.2), "b": math.log(0.1), "c": math.log(0.05),
+        "ab": math.log(0.3), "bc": math.log(0.2), "abc": math.log(0.1),
+        "d": math.log(0.05),
+    }
+    for word in ["abc", "abcd", "abcabc", "dd", "adbc", "x", "xa"]:
+        got = viterbi_segment(word, logp)
+        assert "".join(got) == word
+        got_score = sum(
+            logp.get(p, -100.0) for p in got
+        )
+        assert got_score == pytest.approx(_brute_force_best(word, logp), abs=1e-12)
+
+
+def test_learn_unigram_finds_common_substrings_and_is_deterministic(spark):
+    rows = [(i, "banana bandana banana") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from kafka_stream_unify_order_messages_spark.operators import tokenizer as TK
+
+    logp1 = TK.learn_unigram(docs)
+    logp2 = TK.learn_unigram(docs)
+    assert logp1 == logp2  # bit-identical across runs
+    # the dominant word survives EM as a whole (or near-whole) piece
+    assert any(len(p) >= 4 for p in logp1)
+    # coverage: segmentation reconstructs any word, even unseen chars
+    segs = TK.viterbi_segment("banzana", logp1)
+    assert "".join(segs) == "banzana"
+
+
+def test_unigram_segment_stats_shape(spark):
+    from kafka_stream_unify_order_messages_spark.operators import tokenizer as TK
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "")], ["doc_id", "text"]
+    )
+    logp = TK.learn_unigram(docs)
+    out = {r["doc_id"]: r for r in TK.unigram_segment(docs, logp).collect()}
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_pieces"] >= 3
+    assert out[2]["n_words"] == 0 and out[2]["n_pieces"] == 0
+    assert len(out[1]["pieces_hash"]) == 32
