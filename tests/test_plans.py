@@ -236,3 +236,59 @@ def test_ngram_novelty_no_pairwise_step(spark):
     plan = plan_of(spark, "ngram_novelty")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_small_sides_no_sort_merge(spark):
+    # query terms, document frequencies, and the 1-row corpus stats are
+    # all broadcast; the corpus-sized tf frame never sort-merge-joins
+    plan = plan_of(spark, "bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the 1-row stats frame rides a broadcast nested loop (scalar pattern)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_quality_classifier_scan_local(spark):
+    # hashed linear scorer: no data-dependent shuffle (the only exchange
+    # permitted is the load-time round-robin split of an under-split
+    # scan), zero python — pure codegen
+    plan = plan_of(spark, "quality_classifier")
+    assert plan.count("hashpartitioning") == 0
+    assert "mapInPandas" not in plan.lower()
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_dsir_probs_join_is_broadcast(spark):
+    # the O(buckets) model state must broadcast back to the token stream
+    plan = plan_of(spark, "dsir_weights")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_span_removal_no_text_self_join(spark):
+    # canonical-occurrence detection is a window over the gram hash, not
+    # a self-join; the only join carries the per-doc removed-position
+    # arrays back to the token arrays (AQE may broadcast that side)
+    plan = plan_of(spark, "dup_span_removal")
+    assert "windowspecdefinition(gh" in plan  # window, not self-join
+    assert "hashpartitioning(gh" in plan
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    # exactly one join in the whole plan: positions back onto tokens
+    import re as _re
+
+    assert len(_re.findall(r"\w+Join", plan)) == 1
+
+
+def test_cms_cells_join_is_broadcast(spark):
+    plan = plan_of(spark, "cms_token_error")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_bound_shuffle_width(spark):
+    # the register aggregation must partial-aggregate map-side (max
+    # combines), so at most m rows per group cross the exchange
+    plan = plan_of(spark, "hll_source_distinct")
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
