@@ -458,3 +458,96 @@ def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece counts plus a deterministic segmentation hash."""
     docs = _load(spark, sf_dir, "documents")
     return TK.unigram_segment(docs, _learned_unigram(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Warehouse modeling: SCD type-2 history intervals and Delta-style MERGE
+# (operators/warehouse.py) — the change-data shapes that sit next to
+# snapshot_diff in a lakehouse pipeline.
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.operators import warehouse as W  # noqa: E402
+
+
+@query(
+    "scd2_event_type",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS changed
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versioned AS (
+    SELECT user_id, event_type, ts,
+           CAST(sum(changed) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS version
+    FROM ordered
+), islands AS (
+    SELECT user_id, version,
+           min(event_type) AS event_type,
+           min(ts) AS valid_from,
+           count(*) AS n_events
+    FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY version
+       ) AS valid_to,
+       n_events
+FROM islands
+""",
+)
+def scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type attribute: consecutive
+    equal values collapse into validity intervals, open-ended for the
+    current value — the gaps-and-islands pattern in two windows that
+    share one (user) exchange."""
+    events = _load(spark, sf_dir, "events")
+    return W.scd2_intervals(
+        events, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
+    )
+
+
+@query(
+    "merge_upsert_snapshot",
+    """
+WITH changes AS (
+    SELECT doc_id, text, 'D' AS op FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id, upper(text), 'U' FROM documents
+    WHERE doc_id % 10 = 0 AND doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, text, 'I' FROM documents WHERE doc_id % 17 = 0
+), survived AS (
+    SELECT t.doc_id, t.text FROM documents t
+    WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = t.doc_id)
+), merged AS (
+    SELECT doc_id, text FROM survived
+    UNION ALL
+    SELECT doc_id, text FROM changes WHERE op <> 'D'
+)
+SELECT doc_id, md5(text) AS digest FROM merged
+""",
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic I/U/D change set to the documents snapshot
+    through the MERGE operator (one key anti join + union), then digest
+    the result for value comparison."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    dels = docs.filter(did % 13 == 0).withColumn("op", F.lit("D"))
+    ups = (
+        docs.filter((did % 10 == 0) & (did % 13 != 0))
+        .withColumn("text", F.upper("text"))
+        .withColumn("op", F.lit("U"))
+    )
+    ins = docs.filter(did % 17 == 0).select(
+        (did + 1_000_000).alias("doc_id"), "text"
+    ).withColumn("op", F.lit("I"))
+    changes = dels.unionByName(ups).unionByName(ins)
+    merged = W.merge_upsert(docs, changes, ["doc_id"])
+    return merged.select("doc_id", F.md5("text").alias("digest"))

@@ -243,3 +243,41 @@ def test_remove_duplicate_spans_exact_dup_doc_empties(spark):
     assert out[1]["cleaned_text"] == "u v w x y z"
     assert out[2]["cleaned_text"] == ""
     assert out[2]["n_removed"] == 6
+
+
+def test_scd2_intervals_islands_and_open_interval(spark):
+    from kafka_stream_unify_order_messages_spark.operators import warehouse as W
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "a"),
+        (2, 10, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = sorted(
+        W.scd2_intervals(df, "k", "v", ts_col="ts").collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    got = [
+        (r["k"], r["version"], r["v"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in out
+    ]
+    assert got == [
+        (1, 1, "a", 10, 30, 2),   # two consecutive a's collapse
+        (1, 2, "b", 30, 40, 1),
+        (1, 3, "a", 40, None, 2 - 1),  # re-appearing value = new version
+        (2, 1, "x", 10, None, 1),
+    ]
+
+
+def test_merge_upsert_semantics(spark):
+    from kafka_stream_unify_order_messages_spark.operators import warehouse as W
+
+    target = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "TWO", "U"), (3, None, "D"), (4, "four", "I")],
+        ["k", "v", "op"],
+    )
+    out = {r["k"]: r["v"] for r in W.merge_upsert(target, changes, ["k"]).collect()}
+    assert out == {1: "one", 2: "TWO", 4: "four"}
