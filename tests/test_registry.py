@@ -32,6 +32,14 @@ ROWS_ONLY_ALLOWED = {
     # applies the learned merges (same iterative dependency); segmentation
     # pinned by test_tokenizer.py (replay equivalence + roundtrip)
     "bpe_segment_stats",
+    # Viterbi hard-EM over a data-dependent piece vocabulary (unigram-LM
+    # training loop) is not SQL-expressible; seeding IS oracled
+    # (unigram_seed_pieces) and optimality/determinism pinned by
+    # test_tokenizer.py (brute-force Viterbi oracle)
+    "unigram_learn_pieces",
+    # applies the learned unigram vocab (same iterative dependency);
+    # coverage/roundtrip pinned by test_tokenizer.py
+    "unigram_segment_stats",
 }
 
 
