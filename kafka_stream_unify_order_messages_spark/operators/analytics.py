@@ -1,0 +1,233 @@
+"""Event-sequence analytics: funnels, cohort retention, Markov
+transitions, and robust (median/MAD) outlier screens.
+
+The reference is an event-stream unifier (SURVEY.md §2.3); once events
+are unified per key, the questions a user asks next are sequence-shaped:
+"how far through the lifecycle do users get" (funnel), "do users come
+back" (cohort retention), "what follows what" (transition matrix), and
+"which readings are anomalous" (robust outliers). These extend the
+engine along that axis; every operator is oracle-checked in the
+registry (queries_analytics.py).
+
+Scale shapes:
+
+- ``funnel_stages`` — one shuffle on the entity key. Per-key events are
+  collected into a sorted array and folded scan-locally with
+  ``F.aggregate`` (greedy earliest-completion, which is optimal for
+  ordered funnels), so per-task memory is bounded by events-per-key —
+  the same bound the reference's per-key state store already assumes —
+  and the fold stays in codegen, no Python.
+- ``cohort_retention`` — first-touch per key (one shuffle), join back
+  on the same key (co-partitioned; AQE reuses the exchange), then a
+  tiny (cohort, offset) aggregation.
+- ``event_transitions`` — one window shuffle on the key for ``lag``,
+  then an aggregation on the (prev, next) pair space, which is
+  |types|^2-bounded and map-side combinable.
+- ``robust_outliers`` — per-group exact median and MAD are two compact
+  aggregations (group cardinality = |event types|); the per-row screen
+  is a broadcast join + scan-local filter. At 100 TB the exact
+  ``percentile`` per small group-count is fine (each group's values
+  stream through a single agg buffer); for huge groups swap in
+  ``percentile_approx`` — the operator takes the column expression.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key funnel depth: how many of ``steps`` (in order) the key
+    completed, taking the earliest valid occurrence of each next step.
+
+    Returns (key, stage, stage_ts) where ``stage`` is the 1-based count
+    of completed steps (0 if the first step never occurred, with a null
+    ``stage_ts``). Greedy earliest-next-step is optimal: completing a
+    step as early as possible can only widen the window for later steps.
+
+    One shuffle (groupBy key). The per-key fold runs over the sorted
+    (ts, tiebreak, type) array entirely in codegen via ``F.aggregate``:
+    state = (stage, ts-of-last-completed-stage); an event advances the
+    state iff it matches the next wanted step and is strictly later
+    than the last stage's timestamp.
+    """
+    relevant = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(key),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(type_col).alias("et"),
+        ).alias("ev"),
+    )
+    per_key = relevant.groupBy(key).agg(
+        F.array_sort(F.collect_list("ev")).alias("evs")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    n_steps = len(steps)
+    fold = F.aggregate(
+        "evs",
+        F.struct(
+            F.lit(0).alias("stage"),
+            F.lit(None).cast("timestamp").alias("stage_ts"),
+        ),
+        lambda acc, ev: F.when(
+            (acc["stage"] < n_steps)
+            & (ev["et"] == F.element_at(step_arr, acc["stage"] + 1))
+            & (acc["stage_ts"].isNull() | (ev["ts"] > acc["stage_ts"])),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                ev["ts"].alias("stage_ts"),
+            ),
+        ).otherwise(acc),
+    )
+    return per_key.select(
+        key,
+        fold.getField("stage").alias("stage"),
+        fold.getField("stage_ts").alias("stage_ts"),
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    **kwargs,
+) -> DataFrame:
+    """Classic funnel rollup: one row per step with the number of keys
+    that reached at least that stage and the conversion rate from step
+    1. Built as ONE conditional aggregation over the per-key stage
+    frame (map-side combinable, |steps| counters per task) unpivoted
+    with ``stack`` — no window, no join, nothing driver-side."""
+    stages = funnel_stages(events, steps, key=key, **kwargs)
+    wide = stages.agg(
+        *[
+            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"_s{i + 1}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', _s{i + 1}" for i, s in enumerate(steps)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step, step_name, users)"
+        ),
+        F.col("_s1").alias("_first"),
+    ).select(
+        "step",
+        "step_name",
+        "users",
+        F.round(F.col("users") / F.col("_first"), 4).alias("conv_rate"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of the
+    key's first event; one output row per (cohort_week, week_offset)
+    with the count of distinct keys active in that week.
+
+    Two shuffles on the key (first-touch agg + join back; co-partitioned
+    so AQE reuses the exchange) and a final tiny aggregation over the
+    (cohort, offset) grid.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    firsts = events.groupBy(key).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    activity = events.select(key, week.alias("active_week")).distinct()
+    joined = activity.join(firsts, key)
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    out = (
+        joined.select("cohort_week", offset.alias("week_offset"), key)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("week_offset") <= max_offset)
+    return out
+
+
+def event_transitions(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: (prev_type, next_type, n, p) with p = n / sum(n) over
+    each prev_type row. One window shuffle on the key; the pair space
+    is |types|^2 so the final agg and the per-prev normalization window
+    are negligible at any scale.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_cols: tuple[str, ...] = ("event_id",),
+    k: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Median/MAD outlier screen per group: flag rows whose robust
+    z-score |v - median| / (scale * MAD) exceeds ``k``.
+
+    The median/MAD model is two compact aggregations over |groups|
+    rows (exact ``percentile``; swap ``percentile_approx`` for huge
+    groups) broadcast back onto the scan — the per-row screen is then
+    a scan-local filter, no second data shuffle.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    z = F.abs(F.col(value_col) - F.col("med")) / (scale * F.col("mad"))
+    return (
+        df.join(F.broadcast(dev), group_col)
+        .select(
+            *id_cols,
+            group_col,
+            value_col,
+            F.round(z, 4).alias("robust_z"),
+        )
+        .filter(F.col("robust_z") > k)
+    )

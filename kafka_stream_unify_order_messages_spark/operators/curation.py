@@ -157,3 +157,53 @@ def snapshot_diff(
         .filter(F.col("status") != "unchanged")
         .select(id_col, "status")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    stratum_col: str | None = "source",
+    seed: str = "wsample42",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    keep the ``k`` rows per stratum with the largest key ``u^(1/w)``,
+    where ``u`` is a deterministic md5-uniform draw in (0, 1] and ``w``
+    the row's weight. Inclusion probability is proportional to weight,
+    and — unlike weighted Bernoulli — the sample size is exactly ``k``.
+
+    The decision is a pure function of (seed, id): stable across
+    retries, partitionings, and incremental batches, like
+    ``hash_sample``. We rank by ``ln(u)/w`` (monotone in ``u^(1/w)``
+    since ln(u) <= 0), rounded to 9 decimals with the id as tie-break so
+    the ordering is reproducible bit-for-bit across engines — the raw
+    libm ``ln`` may differ in the last ulp between runtimes, and a
+    sampling frontier must not depend on that.
+
+    Scale shape: the key is scan-local; per-stratum top-k is one
+    shuffle + row_number window. For an unstratified global top-k over
+    billions of rows, pre-prune per partition (sort within partitions,
+    keep k) before the single-partition window — the same two-phase
+    trick brute_force_topk uses.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (
+        F.conv(
+            F.substring(_shuffle_key(F.col(id_col), seed), 1, 15), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / float(1 << 60)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    strata = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*strata).orderBy(
+        F.desc("es_key"), F.col(id_col)
+    )
+    return (
+        df.select(*strata, id_col, F.col(weight_col).alias("weight"),
+                  key.alias("es_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*strata, id_col, "weight", "es_key")
+    )

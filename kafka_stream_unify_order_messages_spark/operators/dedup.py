@@ -1135,3 +1135,58 @@ def remove_duplicate_spans(
         F.size("_rem").cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for document pairs:
+    ``cont(A in B) = |grams(A) ∩ grams(B)| / |grams(A)|``.
+
+    Jaccard misses the quote/excerpt case — a short document wholly
+    contained in a long one scores low Jaccard (the union is dominated
+    by the long side) but containment 1.0. Crawl dedup pipelines screen
+    on max(containment) to catch exactly that.
+
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) with id_a < id_b,
+    thresholded on the max of the two directions. Scale shape: same
+    postings self-join as ``ngram_jaccard_pairs`` — documents sharing no
+    shingle never meet; callers bound the pair space (LSH candidates or
+    a subset filter) exactly as for Jaccard.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")
+    )
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("cont_a_in_b"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("cont_b_in_a"),
+        )
+    )
+    if threshold:
+        out = out.filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold
+        )
+    return out

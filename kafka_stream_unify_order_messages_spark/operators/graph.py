@@ -77,3 +77,75 @@ def pagerank(
     ed_share.unpersist()
     ed.unpersist()
     return out
+
+
+def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected pair list (one row
+    per edge, ``src < dst``), plus the count makes the global total a
+    trivial sum/3 downstream.
+
+    Implemented with the degree-ordered orientation trick: orient every
+    edge from its lower-degree endpoint to its higher-degree endpoint
+    (ties by id), then join wedges (a->b, a->c with b < c by the same
+    order) against oriented edges (b->c). Each triangle is found exactly
+    once, and — the scale property — wedge count is bounded by the sum
+    of squared ORIENTED out-degrees, which the orientation caps at
+    O(m^1.5) total even on power-law graphs where a raw neighbor
+    self-join on a celebrity node is quadratic.
+
+    Returns (node, n_triangles) for every node in the edge list
+    (0-triangle nodes included).
+    """
+    edges = pairs.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = nodes.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = nodes.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    # orient lower (deg, id) -> higher (deg, id): a total order
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lower_first, F.col("deg_a")).otherwise(F.col("deg_b")).alias("deg_lo"),
+        F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+    )
+    # wedges at the low-degree apex: two oriented edges lo->x, lo->y with
+    # x before y in the SAME (deg, id) order the orientation used
+    e1 = oriented.select(
+        F.col("lo"), F.col("hi").alias("x"),
+        F.col("deg_hi").alias("deg_x"),
+    )
+    e2 = oriented.select(
+        F.col("lo"), F.col("hi").alias("y"),
+        F.col("deg_hi").alias("deg_y"),
+    )
+    wedges = e1.join(e2, "lo").filter(
+        (F.col("deg_x") < F.col("deg_y"))
+        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("lo", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("lo", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

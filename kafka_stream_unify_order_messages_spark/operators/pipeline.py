@@ -697,3 +697,67 @@ def dsir_log_weights(
             F.round(F.sum("llr"), 6).alias("log_weight"),
         )
     )
+
+
+def source_token_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus:
+    ``KL(p_g || q)`` where ``p_g`` is group ``g``'s unigram
+    distribution and ``q`` the corpus-wide one, plus the group's token
+    volume and vocabulary size.
+
+    This is the standard corpus-composition diagnostic (which sources
+    are unigram-atypical — boilerplate, spam, code mixed into prose)
+    and the selection signal DSIR generalizes; ``dsir_log_weights``
+    scores DOCUMENTS against a target, this scores SOURCES against the
+    corpus. KL is finite by construction: every group token appears in
+    the corpus distribution (q > 0 wherever p > 0).
+
+    Scale shape: one shuffle to (group, token) counts (map-side
+    combinable); corpus totals derive from THAT compact frame, not a
+    second scan (one more shuffle on token); the final join is
+    token-keyed between two count frames bounded by |vocab|, never by
+    corpus size. The KL sum is rounded to 6 decimals to absorb
+    summation-order float drift across engines.
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(T.tokens(text_col)).alias("token"),
+    )
+    gt = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n_gt"))
+    gt = gt.persist()
+    g_tot = gt.groupBy("grp").agg(
+        F.sum("n_gt").alias("n_g"),
+        F.count(F.lit(1)).alias("vocab_g"),
+    )
+    corpus = gt.groupBy("token").agg(F.sum("n_gt").alias("n_t"))
+    n_total = corpus.agg(F.sum("n_t").alias("n_total"))
+    contrib = (
+        gt.join(corpus, "token")
+        .join(F.broadcast(g_tot), "grp")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "grp",
+            (
+                (F.col("n_gt") / F.col("n_g"))
+                * F.log(
+                    (F.col("n_gt") / F.col("n_g"))
+                    / (F.col("n_t") / F.col("n_total"))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        contrib.groupBy("grp")
+        .agg(F.round(F.sum("term"), 6).alias("kl_vs_corpus"))
+        .join(F.broadcast(g_tot), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "kl_vs_corpus",
+            F.col("n_g").cast("long").alias("n_tokens"),
+            F.col("vocab_g").cast("long").alias("vocab_size"),
+        )
+    )

@@ -1,0 +1,355 @@
+"""Event-sequence analytics + corpus-composition queries: funnels,
+cohort retention, Markov transitions, robust outliers, weighted
+sampling, containment dedup, triangle counting, and per-source
+distribution drift.
+
+The reference unifies per-key event streams (SURVEY.md §2.3); this
+module is the question layer users run on top of that unified view,
+plus the remaining corpus-curation screens from the north star. Every
+query is value-checked against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_unify_order_messages_spark.registry import query
+from kafka_stream_unify_order_messages_spark.sources.files import load_table
+from kafka_stream_unify_order_messages_spark.operators import analytics as A
+from kafka_stream_unify_order_messages_spark.operators import curation as C
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+from kafka_stream_unify_order_messages_spark.operators import graph as G
+from kafka_stream_unify_order_messages_spark.operators import pipeline as P
+from kafka_stream_unify_order_messages_spark.queries_llm import (
+    _PAIRS_SQL,
+    _TOKS,
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(
+        spark, sf_dir, name,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: view -> click -> purchase, greedy earliest completion.
+# The Spark side folds each key's sorted event array scan-locally after ONE
+# shuffle; the oracle states the same semantics as chained correlated mins
+# (stage k's timestamp = min ts of step k strictly after stage k-1's).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "funnel_report",
+    """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS ts1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, min(e.ts) AS ts2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, min(e.ts) AS ts3
+    FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), counts AS (
+    SELECT 1 AS step, 'view' AS step_name,
+           (SELECT count(*) FROM t1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM t2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+)
+SELECT step, step_name, users,
+       round(users / CAST((SELECT users FROM counts WHERE step = 1)
+                          AS DOUBLE), 4) AS conv_rate
+FROM counts
+""",
+)
+def funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return A.funnel_report(events, _FUNNEL_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention. Monday-truncated weeks on both engines; the
+# offset division is exact (both endpoints week-truncated), so the BIGINT
+# casts cannot disagree on rounding.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    """
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+    FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+           AS week_offset,
+       count(*) AS active_users
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort_week, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return A.cohort_retention(events)
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transitions",
+    """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type,
+           event_type AS next_type
+    FROM events
+)
+SELECT prev_type, next_type, count(*) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev_type)
+                             AS DOUBLE), 4) AS p
+FROM pairs WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return A.event_transitions(events)
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier screen on event values per type. Exact
+# percentile on both engines (linear interpolation); the z-score rounds to
+# 4 decimals so the single-division float path cannot drift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "robust_outliers",
+    """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type,
+           quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+           any_value(m.med) AS med
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(abs(e.value - d.med) / (1.4826 * d.mad), 4) AS robust_z
+FROM events e JOIN dev d USING (event_type)
+WHERE round(abs(e.value - d.med) / (1.4826 * d.mad), 4) > 3.0
+""",
+)
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return A.robust_outliers(events, k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis): top-20 docs
+# per source by md5-uniform key u^(1/n_chars) — inclusion probability
+# proportional to document length, sample size exactly k per stratum.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample",
+    """
+WITH keyed AS (
+    SELECT source, doc_id, n_chars AS weight,
+           round(
+               ln((CAST('0x' || substr(
+                       md5('wsample42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 1.0) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+    FROM documents
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY es_key DESC, doc_id
+    ) AS rn FROM keyed
+)
+SELECT source, doc_id, weight, es_key FROM ranked WHERE rn <= 20
+""",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return C.weighted_sample(
+        docs, k=20, weight_col="n_chars", stratum_col="source",
+        seed="wsample42",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment on a bounded subset augmented with 40-token
+# excerpts — the quote/excerpt case Jaccard misses: every excerpt scores
+# containment 1.0 against its source document.
+# ---------------------------------------------------------------------------
+
+_CONT_SUBSET = f"""
+SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id,
+       array_to_string(list_slice({_TOKS}, 1, 40), ' ') AS text
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@query(
+    "containment_pairs",
+    f"""
+WITH subset AS ({_CONT_SUBSET}),
+toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+    FROM subset
+), sh AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= 3
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(tk) - 2),
+                      i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+             ELSE [array_to_string(tk, ' ')] END) AS shingle
+    FROM toks
+), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), scored AS (
+    SELECT id_a, id_b,
+           round(n_inter / CAST(sa.n_shingles AS DOUBLE), 6) AS cont_a_in_b,
+           round(n_inter / CAST(sb.n_shingles AS DOUBLE), 6) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT * FROM scored WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+""",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions.text import tokens
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    excerpts = docs.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(tokens("text"), 1, 40), " ").alias("text"),
+    )
+    subset = docs.select("doc_id", "text").unionByName(excerpts)
+    return D.ngram_containment_pairs(subset, shingle_n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the near-dup candidate graph of a corpus with
+# synthesized duplicate clusters (orig + 2 exact copies of every 5th doc
+# -> each cluster is a 3-clique). Triangle density separates clique-like
+# duplicate clusters from chain-like false-positive LSH paths.
+# ---------------------------------------------------------------------------
+
+_TRI_AUG = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@query(
+    "triangle_count",
+    f"""
+WITH aug AS ({_TRI_AUG}),
+edges AS (
+    SELECT id_a AS a, id_b AS b
+    FROM ({_PAIRS_SQL.replace("FROM documents", "FROM aug")})
+), nodes AS (
+    SELECT node FROM (
+        SELECT a AS node FROM edges UNION SELECT b AS node FROM edges
+    )
+), tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), member AS (
+    SELECT unnest([x, y, z]) AS node FROM tri
+), per_node AS (
+    SELECT node, count(*) AS n_triangles FROM member GROUP BY node
+)
+SELECT n.node, coalesce(p.n_triangles, 0) AS n_triangles
+FROM nodes n LEFT JOIN per_node p USING (node)
+""",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    fifth = docs.filter(F.col("doc_id") % 5 == 0)
+    aug = docs.select("doc_id", "text").unionByName(
+        fifth.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        fifth.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    pairs = D.minhash_candidate_pairs(aug, num_hashes=16, bands=4, shingle_n=3)
+    return G.triangle_count(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram-distribution drift vs the corpus: KL(p_source || q).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_token_kl",
+    f"""
+WITH tok AS (
+    SELECT source AS grp, unnest({_TOKS}) AS token FROM documents
+), gt AS (
+    SELECT grp, token, count(*) AS n_gt FROM tok GROUP BY grp, token
+), g_tot AS (
+    SELECT grp, CAST(sum(n_gt) AS BIGINT) AS n_g,
+           count(*) AS vocab_g
+    FROM gt GROUP BY grp
+), corpus AS (
+    SELECT token, CAST(sum(n_gt) AS BIGINT) AS n_t FROM gt GROUP BY token
+), tot AS (
+    SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM corpus
+), contrib AS (
+    SELECT gt.grp,
+           (n_gt / CAST(n_g AS DOUBLE))
+           * ln((n_gt / CAST(n_g AS DOUBLE))
+                / (n_t / CAST(n_total AS DOUBLE))) AS term
+    FROM gt
+    JOIN corpus USING (token)
+    JOIN g_tot USING (grp)
+    CROSS JOIN tot
+)
+SELECT c.grp AS source,
+       round(sum(c.term), 6) AS kl_vs_corpus,
+       any_value(g.n_g) AS n_tokens,
+       any_value(g.vocab_g) AS vocab_size
+FROM contrib c JOIN g_tot g USING (grp)
+GROUP BY c.grp
+""",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return P.source_token_divergence(docs, group_col="source")

@@ -515,6 +515,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 import kafka_stream_unify_order_messages_spark.queries_relational  # noqa: E402,F401
 import kafka_stream_unify_order_messages_spark.queries_llm  # noqa: E402,F401
 import kafka_stream_unify_order_messages_spark.queries_training  # noqa: E402,F401
+import kafka_stream_unify_order_messages_spark.queries_analytics  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,194 @@
+"""Event-sequence analytics semantics: funnel greedy ordering, cohort
+offsets, transition normalization, robust outliers, weighted sampling,
+containment asymmetry, and triangle counting."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+
+from kafka_stream_unify_order_messages_spark.operators import analytics as A
+from kafka_stream_unify_order_messages_spark.operators import curation as C
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+from kafka_stream_unify_order_messages_spark.operators import graph as G
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture()
+def funnel_events(spark):
+    # user 1: full ordered funnel; user 2: click BEFORE view (stage 1
+    # only); user 3: purchase exactly at the view timestamp (strictly-
+    # after rule -> stage 1); user 4: no view at all (stage 0)
+    rows = [
+        (1, 1, _ts(1), "view"),
+        (2, 1, _ts(2), "click"),
+        (3, 1, _ts(3), "purchase"),
+        (4, 2, _ts(1), "click"),
+        (5, 2, _ts(2), "view"),
+        (6, 3, _ts(5), "view"),
+        (7, 3, _ts(5), "purchase"),
+        (8, 4, _ts(9), "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+
+
+def test_funnel_stages_greedy_and_strictly_ordered(funnel_events):
+    out = {
+        r["user_id"]: r["stage"]
+        for r in A.funnel_stages(
+            funnel_events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_funnel_report_counts_reached_at_least(funnel_events):
+    rows = {
+        r["step"]: (r["step_name"], r["users"], r["conv_rate"])
+        for r in A.funnel_report(
+            funnel_events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert rows[1] == ("view", 3, 1.0)
+    assert rows[2] == ("click", 1, round(1 / 3, 4))
+    assert rows[3] == ("purchase", 1, round(1 / 3, 4))
+
+
+def test_funnel_click_after_later_view_still_counts(spark):
+    # greedy takes the EARLIEST view; a click between two views counts
+    rows = [
+        (1, 1, _ts(1), "view"),
+        (2, 1, _ts(2), "click"),
+        (3, 1, _ts(3), "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = A.funnel_stages(ev, ["view", "click"]).collect()
+    assert out[0]["stage"] == 2
+
+
+def test_cohort_retention_offsets(spark):
+    # user 1 first seen week of Mon 2024-01-01, active again 2 weeks on;
+    # user 2 first seen the second week
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 2, 10)),   # week 2024-01-01
+        (2, 1, dt.datetime(2024, 1, 16, 9)),   # week 2024-01-15 -> +2
+        (3, 2, dt.datetime(2024, 1, 10, 8)),   # week 2024-01-08
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        (r["cohort_week"].date(), r["week_offset"]): r["active_users"]
+        for r in A.cohort_retention(ev).collect()
+    }
+    assert got == {
+        (dt.date(2024, 1, 1), 0): 1,
+        (dt.date(2024, 1, 1), 2): 1,
+        (dt.date(2024, 1, 8), 0): 1,
+    }
+
+
+def test_event_transitions_rows_and_normalization(spark):
+    rows = [
+        (1, 1, _ts(1), "a"),
+        (2, 1, _ts(2), "b"),
+        (3, 1, _ts(3), "a"),
+        (4, 1, _ts(4), "c"),
+        (5, 2, _ts(1), "b"),
+        (6, 2, _ts(2), "a"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in A.event_transitions(ev).collect()
+    }
+    # from 'a': -> b once, -> c once (p = 0.5 each); b -> a twice (p=1)
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "c")] == (1, 0.5)
+    assert out[("b", "a")] == (2, 1.0)
+    # probabilities sum to 1 per prev state
+    for prev in {"a", "b"}:
+        assert (
+            round(sum(p for (pv, _), (_, p) in out.items() if pv == prev), 4)
+            == 1.0
+        )
+
+
+def test_robust_outliers_flags_only_the_planted_spike(spark):
+    rows = [(i, "t", float(v)) for i, v in enumerate([10, 11, 12, 13, 14])]
+    rows.append((99, "t", 1000.0))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = A.robust_outliers(df, k=3.0)
+    got = out.collect()
+    assert [r["event_id"] for r in got] == [99]
+    # median 12.5, MAD 1.5 -> z = 987.5 / (1.4826 * 1.5)
+    assert got[0]["robust_z"] == round(987.5 / (1.4826 * 1.5), 4)
+
+
+def _es_key(doc_id: int, w: float, seed: str = "wsample42") -> float:
+    h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+    u = (float(h) + 1.0) / float(1 << 60)
+    return round(math.log(u) / w, 9)
+
+
+def test_weighted_sample_matches_reference_topk(spark):
+    rows = [(i, "s", 10 * (1 + i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = C.weighted_sample(df, k=5, stratum_col="source")
+    got = sorted(r["doc_id"] for r in out.collect())
+    expect = sorted(
+        i for i, _, w in sorted(
+            rows, key=lambda r: (-_es_key(r[0], r[2]), r[0])
+        )[:5]
+    )
+    assert got == expect
+
+
+def test_weighted_sample_is_partitioning_invariant(spark):
+    rows = [(i, "s", 10 + i) for i in range(40)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    df2 = df1.repartition(7)
+    pick = lambda df: sorted(
+        r["doc_id"] for r in C.weighted_sample(df, k=8).collect()
+    )
+    assert pick(df1) == pick(df2)
+
+
+def test_containment_detects_excerpt_jaccard_misses(spark):
+    long_text = " ".join(f"tok{i}" for i in range(100))
+    excerpt = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt)], ["doc_id", "text"]
+    )
+    out = D.ngram_containment_pairs(df, shingle_n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # all 18 excerpt shingles appear in the long doc
+    assert r["cont_b_in_a"] == 1.0
+    assert r["cont_a_in_b"] == round(18 / 98, 6)
+    # exact Jaccard for the same pair would be tiny
+    jac = D.ngram_jaccard_pairs(df, shingle_n=3).collect()[0]["jaccard"]
+    assert jac < 0.2 < r["cont_b_in_a"]
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 5))
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["n_triangles"] for r in G.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_no_triangles_on_a_path(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in G.triangle_count(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
