@@ -15,6 +15,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
+    # Cached-plan substitution would splice InMemoryTableScans from frames
+    # other tests persisted (Spark matches canonicalized subplans session-
+    # wide), changing exchange counts by run order; pin the plan we assert
+    # on to the uncached shape.
+    spark.catalog.clearCache()
     return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
