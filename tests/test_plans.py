@@ -297,3 +297,57 @@ def test_hll_registers_bound_shuffle_width(spark):
     plan = plan_of(spark, "hll_source_distinct")
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_topk_pruned_before_shuffle(spark):
+    # Efraimidis–Spirakis per-stratum top-k: the es_key is scan-local and
+    # Spark's WindowGroupLimit prunes each partition to k rows BEFORE the
+    # single stratum exchange — the property that makes the sampling
+    # frontier shuffle O(k * partitions), not O(rows)
+    plan = plan_of(spark, "weighted_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan[plan.index("WindowGroupLimit"):]
+
+
+def test_funnel_single_key_exchange(spark):
+    # one shuffle on the entity key; the fold over the sorted event array
+    # is scan-local and the step rollup is a single conditional aggregate
+    # collapsing to one row before the |steps|-row stack
+    plan = plan_of(spark, "funnel_report")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("CartesianProduct") == 0
+    assert "partial_sum" in plan  # map-side combine of the stage counters
+
+
+def test_event_transitions_bounded_exchanges(spark):
+    # user-key window shuffle, then everything downstream is bounded by
+    # |event types|^2 rows — exchanges past the first are negligible
+    plan = plan_of(spark, "event_transitions")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_containment_pairs_postings_join_no_cartesian(spark):
+    # containment uses the same shingle-postings self-join as Jaccard:
+    # documents sharing no shingle never meet
+    plan = plan_of(spark, "containment_pairs")
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_triangle_count_equi_joins_only(spark):
+    # wedge join and closure join are both hash equi-joins; the degree
+    # orientation bounds wedge cardinality — no nested-loop anywhere
+    plan = plan_of(spark, "triangle_count")
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_source_token_kl_broadcast_total(spark):
+    # the corpus-total (one row) joins via broadcast; the token join is a
+    # hash equi-join between count frames bounded by |vocab|
+    plan = plan_of(spark, "source_token_kl")
+    assert plan.count("CartesianProduct") == 0
+    # the only nested-loop is the deliberate one-row broadcast total
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
