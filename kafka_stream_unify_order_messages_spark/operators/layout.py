@@ -74,3 +74,73 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zonemap_skipping_eval(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    probe_values: list[int],
+    probe_col: str | None = None,
+    natural_col: str | None = None,
+    bits: int = 16,
+    tile_shift: int = 24,
+    natural_rows_per_file: int = 256,
+) -> DataFrame:
+    """Quantified data-skipping win of the Z-order layout: for each probe
+    value ``x = v``, how many files' zone maps (per-file min/max of
+    ``x_col``) overlap the probe under (a) Z-order tiling vs (b) natural
+    insertion order — the number a query engine would actually scan.
+
+    File models are both SCAN-LOCAL expressions (no global row_number):
+    Z-order file = high bits of the Morton code (a spatial tile — the
+    same prefix ranges ``zorder_write``'s range partitioner converges
+    to); natural file = ``natural_col`` (default: the x column's table
+    key) divided into fixed row-id blocks. Zone maps are a tiny
+    (layout, file) aggregate; the probe evaluation is |files| x |probes|
+    conditional sums over that tiny frame — nothing data-sized moves.
+
+    Returns (layout, probe_value, files_scanned, files_total,
+    skip_ratio): Z-order clusters ``x_col`` so point probes touch a few
+    tiles; insertion order scatters it so nearly every file overlaps.
+    """
+    natural_col = natural_col or y_col
+    z = morton_code(F.col(x_col), F.col(y_col), bits)
+    keyed = df.select(
+        F.col(x_col).alias("_x"),
+        F.shiftright(z, tile_shift).alias("_zfile"),
+        (F.col(natural_col).cast("long") / natural_rows_per_file)
+        .cast("long")
+        .alias("_nfile"),
+    )
+    zones = (
+        keyed.select(F.lit("zorder").alias("layout"), F.col("_zfile").alias("file"), "_x")
+        .unionByName(
+            keyed.select(F.lit("natural").alias("layout"), F.col("_nfile").alias("file"), "_x")
+        )
+        .groupBy("layout", "file")
+        .agg(F.min("_x").alias("lo"), F.max("_x").alias("hi"))
+    )
+    probes = F.explode(
+        F.array(*[F.lit(int(v)) for v in probe_values])
+    ).alias("probe_value")
+    return (
+        zones.select("layout", "lo", "hi", probes)
+        .groupBy("layout", "probe_value")
+        .agg(
+            F.sum(
+                ((F.col("lo") <= F.col("probe_value"))
+                 & (F.col("probe_value") <= F.col("hi"))).cast("long")
+            ).alias("files_scanned"),
+            F.count(F.lit(1)).alias("files_total"),
+        )
+        .select(
+            "layout",
+            "probe_value",
+            "files_scanned",
+            "files_total",
+            F.round(
+                1.0 - F.col("files_scanned") / F.col("files_total"), 4
+            ).alias("skip_ratio"),
+        )
+    )

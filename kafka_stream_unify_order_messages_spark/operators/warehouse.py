@@ -78,3 +78,33 @@ def merge_upsert(
     survived = target.join(touched, key_cols, "left_anti")
     upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
     return survived.unionByName(upserts)
+
+
+def apply_changes(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Collapse an ordered change LOG (CDC feed) to final table state:
+    per key, the highest-sequence row wins; if that winner is a delete,
+    the key vanishes. The multi-row generalization of ``merge_upsert``
+    (which applies one pre-deduplicated change SET) — this is what a
+    lakehouse runs on a raw Debezium/CDF stream where a key may appear
+    many times per batch.
+
+    One shuffle on the key. The per-key latest-row pick compiles to a
+    row_number window, and Spark's WindowGroupLimit prunes each map-side
+    partition to ONE candidate row per key before the exchange — the log
+    volume never crosses the wire, only frontier rows do.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in seq_cols]
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != delete_value)
+        .drop("_rn", op_col)
+    )

@@ -353,3 +353,198 @@ GROUP BY c.grp
 def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return P.source_token_divergence(docs, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# CDC log collapse (apply_changes): the multi-row generalization of MERGE —
+# per key the highest-(ts, event_id) row wins, a trailing 'error' deletes
+# the key. WindowGroupLimit prunes to one candidate per key map-side.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_changes",
+    """
+WITH log AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'error' THEN 'delete'
+                ELSE 'upsert' END AS op
+    FROM events
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn FROM log
+)
+SELECT user_id, ts, event_id, value
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import warehouse as W
+
+    events = _load(spark, sf_dir, "events")
+    log = events.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    return W.apply_changes(
+        log, key_cols=["user_id"], seq_cols=["ts", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation gate (deequ/dbt style): the whole constraint set
+# costs ONE aggregation pass (conditional counters + a shared-Expand
+# distinct count for uniqueness).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "expectations_report",
+    """
+WITH v AS (
+    SELECT 'not_null_o_custkey' AS expectation,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range_o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL
+                         OR o_totalprice < 0 OR o_totalprice > 600000
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+)
+SELECT expectation, n_violations, n_violations = 0 AS passed FROM v
+""",
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import quality as Q
+
+    orders = _load(spark, sf_dir, "orders")
+    return Q.check_expectations(
+        orders,
+        [
+            Q.expect_not_null("o_custkey"),
+            Q.expect_unique("o_orderkey"),
+            Q.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+            Q.expect_between("o_totalprice", 0, 600000),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiler over the events table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_profile",
+    """
+WITH w AS (
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null0,
+           count(DISTINCT event_id) AS dist0,
+           CAST(min(event_id) AS VARCHAR) AS min0,
+           CAST(max(event_id) AS VARCHAR) AS max0,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null1,
+           count(DISTINCT user_id) AS dist1,
+           CAST(min(user_id) AS VARCHAR) AS min1,
+           CAST(max(user_id) AS VARCHAR) AS max1,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null2,
+           count(DISTINCT event_type) AS dist2,
+           min(event_type) AS min2,
+           max(event_type) AS max2,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null3,
+           count(DISTINCT props) AS dist3,
+           min(props) AS min3,
+           max(props) AS max3
+    FROM events
+)
+SELECT 'event_id' AS column_name, n AS n_rows, null0 AS n_null,
+       dist0 AS n_distinct, min0 AS min_value, max0 AS max_value FROM w
+UNION ALL
+SELECT 'user_id', n, null1, dist1, min1, max1 FROM w
+UNION ALL
+SELECT 'event_type', n, null2, dist2, min2, max2 FROM w
+UNION ALL
+SELECT 'props', n, null3, dist3, min3, max3 FROM w
+""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import quality as Q
+
+    events = _load(spark, sf_dir, "events")
+    return Q.profile_table(
+        events, ["event_id", "user_id", "event_type", "props"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data-skipping eval: Z-order tiles vs natural insertion order,
+# quantified as files scanned per point probe on o_custkey. Z-order tiles
+# bound the custkey range per file; insertion-order files contain random
+# custkeys so their min/max ranges span everything and prune nothing.
+# ---------------------------------------------------------------------------
+
+_ZPROBES = [7, 55, 123, 321, 555, 777, 901, 999]
+
+from kafka_stream_unify_order_messages_spark.operators.layout import (  # noqa: E402
+    morton_code_sql,
+)
+
+_ZTILE_SQL = (
+    "((" + morton_code_sql("o_custkey", "(o_orderkey % 65536)") + ") >> 16)"
+)
+
+
+@query(
+    "zonemap_skipping",
+    f"""
+WITH keyed AS (
+    SELECT o_custkey AS x,
+           {_ZTILE_SQL} AS zfile,
+           o_orderkey // 256 AS nfile
+    FROM orders
+), zones AS (
+    SELECT 'zorder' AS layout, zfile AS file, min(x) AS lo, max(x) AS hi
+    FROM keyed GROUP BY zfile
+    UNION ALL
+    SELECT 'natural', nfile, min(x), max(x) FROM keyed GROUP BY nfile
+), probes AS (
+    SELECT unnest([{", ".join(str(v) for v in _ZPROBES)}]) AS probe_value
+)
+SELECT z.layout, p.probe_value,
+       CAST(sum(CASE WHEN z.lo <= p.probe_value AND p.probe_value <= z.hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       count(*) AS files_total,
+       round(1.0 - sum(CASE WHEN z.lo <= p.probe_value
+                            AND p.probe_value <= z.hi
+                       THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+           AS skip_ratio
+FROM zones z CROSS JOIN probes p
+GROUP BY z.layout, p.probe_value
+""",
+)
+def zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import layout as L
+
+    orders = _load(spark, sf_dir, "orders")
+    return L.zonemap_skipping_eval(
+        orders,
+        x_col="o_custkey",
+        y_col="o_orderkey",
+        probe_values=_ZPROBES,
+        natural_col="o_orderkey",
+        tile_shift=16,
+    )

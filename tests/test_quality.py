@@ -1,0 +1,141 @@
+"""Data-quality operator semantics: CDC log collapse, expectation
+checking, column profiling, zone-map skipping eval."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.operators import layout as L
+from kafka_stream_unify_order_messages_spark.operators import quality as Q
+from kafka_stream_unify_order_messages_spark.operators import warehouse as W
+
+
+def test_apply_changes_latest_wins_and_delete_removes(spark):
+    log = spark.createDataFrame(
+        [
+            # key 1: two upserts -> latest value survives
+            (1, 1, "upsert", 10.0),
+            (1, 2, "upsert", 20.0),
+            # key 2: upsert then delete -> gone
+            (2, 1, "upsert", 5.0),
+            (2, 2, "delete", 0.0),
+            # key 3: delete then upsert (out-of-order op) -> resurrected
+            (3, 1, "delete", 0.0),
+            (3, 2, "upsert", 7.0),
+        ],
+        ["k", "seq", "op", "v"],
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in W.apply_changes(log, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: 20.0, 3: 7.0}
+
+
+def test_apply_changes_seq_tiebreak_is_deterministic(spark):
+    log = spark.createDataFrame(
+        [(1, 5, 1, "upsert", 1.0), (1, 5, 2, "upsert", 2.0)],
+        ["k", "seq", "sub", "op", "v"],
+    )
+    out = W.apply_changes(log, ["k"], ["seq", "sub"]).collect()
+    assert [r["v"] for r in out] == [2.0]
+
+
+def test_check_expectations_counts_each_violation_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 10.0),
+            (1, "ok", 20.0),       # dup id
+            (None, "ok", 30.0),    # null id
+            (3, "junk", -1.0),     # bad status AND out of range
+        ],
+        ["id", "status", "price"],
+    )
+    out = {
+        r["expectation"]: (r["n_violations"], r["passed"])
+        for r in Q.check_expectations(
+            df,
+            [
+                Q.expect_not_null("id"),
+                Q.expect_unique("id"),
+                Q.expect_in_set("status", ["ok"]),
+                Q.expect_between("price", 0, 100),
+            ],
+        ).collect()
+    }
+    assert out["not_null_id"] == (1, False)
+    # 4 rows, 3 distinct ids (1, 3, null->not counted) -> 4 - 3 = 1
+    assert out["unique_id"] == (1, False)
+    assert out["accepted_values_status"] == (1, False)
+    assert out["range_price"] == (1, False)
+
+
+def test_check_expectations_all_pass(spark):
+    df = spark.createDataFrame([(1, "ok"), (2, "ok")], ["id", "status"])
+    out = Q.check_expectations(
+        df, [Q.expect_not_null("id"), Q.expect_unique("id")]
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in out)
+
+
+def test_check_expectations_single_scan(spark):
+    df = spark.createDataFrame([(1, "ok")], ["id", "status"])
+    plan = (
+        Q.check_expectations(
+            df,
+            [
+                Q.expect_not_null("id"),
+                Q.expect_unique("id"),
+                Q.expect_in_set("status", ["ok"]),
+            ],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the whole expectation set evaluates in one pass over one scan
+    n_scans = (
+        plan.count("LocalTableScan")
+        + plan.count("FileScan")
+        + plan.count("Scan ExistingRDD")
+    )
+    assert n_scans == 1, plan
+
+
+def test_profile_table_values(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (2, None)], ["id", "s"]
+    )
+    out = {r["column_name"]: r for r in Q.profile_table(df, ["id", "s"]).collect()}
+    r = out["id"]
+    assert (r["n_rows"], r["n_null"], r["n_distinct"]) == (3, 0, 2)
+    assert (r["min_value"], r["max_value"]) == ("1", "2")
+    r = out["s"]
+    assert (r["n_rows"], r["n_null"], r["n_distinct"]) == (3, 1, 2)
+    assert (r["min_value"], r["max_value"]) == ("a", "b")
+
+
+def test_zonemap_eval_zorder_skips_clustered_dimension(spark):
+    # x clustered by z-tiles must prune; the "natural" order (y) spreads
+    # x uniformly so its zone maps cover everything
+    rows = [(x, y) for x in range(64) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = L.zonemap_skipping_eval(
+        df,
+        x_col="x",
+        y_col="y",
+        probe_values=[3, 40],
+        natural_col="y",
+        bits=8,
+        tile_shift=8,   # 16-bit z-code -> tiles on high byte
+        natural_rows_per_file=4,
+    )
+    res = {(r["layout"], r["probe_value"]): r for r in out.collect()}
+    for v in (3, 40):
+        z = res[("zorder", v)]
+        n = res[("natural", v)]
+        assert z["skip_ratio"] > 0.5, z
+        # every natural file spans almost the whole x range
+        assert n["skip_ratio"] == 0.0, n
