@@ -149,3 +149,41 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def clustering_coefficient(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected pair
+    list: ``2 * triangles(v) / (deg(v) * (deg(v) - 1))`` (0 for degree
+    < 2). On a near-dup candidate graph this separates clique-like
+    duplicate clusters (coefficient ~1) from chain-like LSH false-
+    positive paths (coefficient ~0) — the graph-level confirmation
+    signal triangle_count exists to feed.
+
+    Scale shape: triangle_count's oriented wedge join (O(m^1.5) bound)
+    plus one degree aggregation, joined on node — both frames are
+    node-sized, never edge-squared.
+    """
+    edges = pairs.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    degrees = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(pairs, src, dst)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0
+            * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return degrees.join(tri, "node").select(
+        "node", "degree", "n_triangles", coeff.alias("clustering")
+    )

@@ -126,3 +126,41 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists (hybrid retrieval:
+    BM25 ⊕ dense ANN): ``score(d) = Σ_lists 1 / (c + rank_list(d))``,
+    top-``k`` by fused score. The standard zero-tuning way to combine
+    incomparable score scales — only ranks cross the fusion boundary.
+
+    Scale shape: inputs are already top-N lists (bounded by their own
+    retrieval k), so the union/agg/final-ranking all run on frames of
+    |lists| * N rows — fusion cost is independent of corpus size. The
+    single-partition ranking window is over that bounded frame only.
+    """
+    from pyspark.sql import Window
+
+    tagged = None
+    for name, df in rankings:
+        part = df.select(
+            F.col(id_col),
+            (1.0 / (F.lit(c) + F.col(rank_col))).alias("_contrib"),
+            F.lit(name).alias("_list"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy(id_col).agg(
+        F.round(F.sum("_contrib"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+    )

@@ -173,3 +173,136 @@ def hll_distinct_per_group(
         F.col("n_present").alias("n_registers"),
         F.round(estimate, 6).alias("hll_estimate"),
     )
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """(group, bucket, m): the raw HLL register frame per group — the
+    MERGEABLE form. Same hashing/rho as ``hll_distinct_per_group``;
+    exposed so register sets from different groups / partitions / days
+    can be combined with a plain max before estimating."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll|"), F.col(item_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = df.select(F.col(group_col), h).select(
+        group_col,
+        (F.col("h") % HLL_BUCKETS).alias("bucket"),
+        F.shiftrightunsigned("h", 8).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    return (
+        hashed.select(group_col, "bucket", rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate_expr() -> tuple:
+    """(s_present, n_present) -> estimate column builder shared by the
+    per-group and merged paths (identical arithmetic, so a merged
+    register set estimates EXACTLY like a direct pass over the union)."""
+
+    def build(s_present, n_present):
+        s_total = s_present + (F.lit(HLL_BUCKETS) - n_present).cast("double")
+        zeros = F.lit(HLL_BUCKETS) - n_present
+        e_raw = F.lit(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS) / s_total
+        return F.when(
+            (e_raw <= F.lit(2.5 * HLL_BUCKETS)) & (zeros > 0),
+            F.lit(float(HLL_BUCKETS))
+            * F.log(F.lit(float(HLL_BUCKETS)) / zeros),
+        ).otherwise(e_raw)
+
+    return build
+
+
+def hll_merge_groups(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """One-row proof of HLL mergeability: build per-group register sets,
+    MERGE them (max per bucket — the sketch-union operation a 100 TB
+    pipeline runs per partition/day/source instead of re-scanning), and
+    estimate the global distinct count from the merged registers next to
+    a direct single-pass estimate over the ungrouped data.
+
+    merged == direct is an identity, not an approximation: max over
+    (group, bucket) maxima is the bucket maximum over the union. The
+    output exposes both so the equality is value-checked, plus the sum
+    of per-group estimates (which double-counts cross-group overlap —
+    the number the merge exists to avoid).
+
+    Scale shape: registers are at most ``HLL_BUCKETS`` rows per group;
+    everything after the first (group, bucket) shuffle is sketch-sized.
+    """
+    regs = hll_registers(df, group_col, item_col).persist()
+    build = hll_estimate_expr()
+
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            F.round(
+                build(F.col("s_present"), F.col("n_present")), 6
+            ).alias("merged_estimate")
+        )
+    )
+    direct = (
+        df.select(F.lit("all").alias("_g"), F.col(item_col))
+        .transform(lambda d: hll_registers(d, "_g", item_col))
+        .groupBy("_g")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            F.round(
+                build(F.col("s_present"), F.col("n_present")), 6
+            ).alias("direct_estimate")
+        )
+    )
+    per_group_sum = (
+        regs.groupBy(group_col)
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            F.round(build(F.col("s_present"), F.col("n_present")), 6).alias(
+                "est"
+            )
+        )
+        .agg(F.round(F.sum("est"), 6).alias("sum_group_estimates"))
+    )
+    exact = df.agg(
+        F.count_distinct(F.col(item_col)).alias("exact_distinct")
+    )
+    return (
+        merged.crossJoin(direct).crossJoin(per_group_sum).crossJoin(exact)
+        .select(
+            "merged_estimate",
+            "direct_estimate",
+            "sum_group_estimates",
+            "exact_distinct",
+            F.round(
+                (F.col("merged_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

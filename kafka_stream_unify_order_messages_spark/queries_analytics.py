@@ -548,3 +548,290 @@ def zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         natural_col="o_orderkey",
         tile_shift=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient on the same synthesized dup graph as
+# triangle_count: clique-like duplicate clusters score ~1, chain-like LSH
+# false-positive paths score ~0.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clustering_coefficient",
+    f"""
+WITH aug AS ({_TRI_AUG}),
+edges AS (
+    SELECT id_a AS a, id_b AS b
+    FROM ({_PAIRS_SQL.replace("FROM documents", "FROM aug")})
+), degrees AS (
+    SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+    ) GROUP BY node
+), tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), member AS (
+    SELECT unnest([x, y, z]) AS node FROM tri
+), per_node AS (
+    SELECT node, count(*) AS n_triangles FROM member GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(p.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM degrees d LEFT JOIN per_node p USING (node)
+""",
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import graph as G2
+
+    docs = _load(spark, sf_dir, "documents")
+    fifth = docs.filter(F.col("doc_id") % 5 == 0)
+    aug = docs.select("doc_id", "text").unionByName(
+        fifth.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        fifth.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    pairs = D.minhash_candidate_pairs(aug, num_hashes=16, bands=4, shingle_n=3)
+    return G2.clustering_coefficient(pairs)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch MERGE: the mergeability property itself, value-checked —
+# per-source register sets combine with a bucket max and estimate the
+# global distinct EXACTLY like a direct pass (identity, not approximation),
+# while the sum of per-source estimates overcounts the overlap.
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.operators import sketches as SK  # noqa: E402
+
+_HLL_AM2_A = repr(SK.HLL_ALPHA * SK.HLL_BUCKETS * SK.HLL_BUCKETS)
+
+_HLL_EST_CASE = (
+    "CASE WHEN {am2} / (s_present + CAST(256 - n_present AS DOUBLE)) <= 640.0"
+    "          AND (256 - n_present) > 0"
+    "     THEN 256.0 * ln(256.0 / (256 - n_present))"
+    "     ELSE {am2} / (s_present + CAST(256 - n_present AS DOUBLE)) END"
+).format(am2=_HLL_AM2_A)
+
+
+@query(
+    "hll_merged_distinct",
+    f"""
+WITH toks AS (
+    SELECT source, unnest({_TOKS}) AS token FROM documents
+), hashed AS (
+    SELECT source, h % 256 AS bucket, h >> 8 AS w
+    FROM (
+        SELECT source,
+               CAST('0x' || substr(md5('hll|' || token), 1, 15) AS BIGINT)
+                   AS h
+        FROM toks
+    )
+), regs AS (
+    SELECT source, bucket,
+           max(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS m
+    FROM hashed GROUP BY source, bucket
+), merged AS (
+    SELECT round({_HLL_EST_CASE}, 6) AS merged_estimate
+    FROM (
+        SELECT sum(pow(2.0, -m)) AS s_present, count(*) AS n_present
+        FROM (SELECT bucket, max(m) AS m FROM regs GROUP BY bucket)
+    )
+), direct AS (
+    SELECT round({_HLL_EST_CASE}, 6) AS direct_estimate
+    FROM (
+        SELECT sum(pow(2.0, -m)) AS s_present, count(*) AS n_present
+        FROM (
+            SELECT bucket, max(CASE WHEN w = 0 THEN 53
+                                    ELSE 53 - length(bin(w)) END) AS m
+            FROM hashed GROUP BY bucket
+        )
+    )
+), per_group AS (
+    SELECT round(sum(est), 6) AS sum_group_estimates FROM (
+        SELECT round({_HLL_EST_CASE}, 6) AS est
+        FROM (
+            SELECT source, sum(pow(2.0, -m)) AS s_present,
+                   count(*) AS n_present
+            FROM regs GROUP BY source
+        )
+    )
+), ex AS (
+    SELECT count(DISTINCT token) AS exact_distinct FROM toks
+)
+SELECT merged_estimate, direct_estimate, sum_group_estimates,
+       exact_distinct,
+       round((merged_estimate - exact_distinct)
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+FROM merged CROSS JOIN direct CROSS JOIN per_group CROSS JOIN ex
+""",
+)
+def hll_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions import text as T
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens("text")).alias("token"))
+    return SK.hll_merge_groups(toks, "source", "token")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 (sparse) and exact
+# cosine (dense) top-50 lists for one query — only RANKS cross the fusion
+# boundary, so the incomparable score scales never need calibration.
+# ---------------------------------------------------------------------------
+
+_RRF_BM25_Q = "customer order value"
+
+
+@query(
+    "hybrid_rrf_topk",
+    f"""
+WITH qt AS (
+    SELECT unnest(list_distinct(regexp_split_to_array(
+        trim(lower('{_RRF_BM25_Q}')), '\\s+'))) AS token
+), toks AS (
+    SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+    FROM toks GROUP BY doc_id, token
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len({_TOKS})) AS avgdl
+    FROM documents
+), df AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+), bm25 AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN qt ON qt.token = tf.token
+        JOIN df ON df.token = tf.token
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+), qv AS (
+    SELECT embedding FROM embeddings WHERE vec_id = 0
+), dense AS (
+    SELECT neighbor_id AS doc_id,
+           row_number() OVER (ORDER BY score DESC, neighbor_id) AS rank
+    FROM (
+        SELECT c.vec_id AS neighbor_id,
+               round(list_dot_product(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]))),
+                     6) AS score
+        FROM qv q, embeddings c WHERE c.vec_id != 0
+    )
+), contribs AS (
+    SELECT doc_id, 1.0 / (60 + rank) AS contrib
+    FROM bm25 WHERE rank <= 50
+    UNION ALL
+    SELECT doc_id, 1.0 / (60 + rank) FROM dense WHERE rank <= 50
+), fused AS (
+    SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+           count(*) AS n_lists
+    FROM contribs GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 20
+""",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import (
+        retrieval as RT,
+        similarity as S,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    bm_queries = docs.sparkSession.createDataFrame(
+        [("q", _RRF_BM25_Q)], ["query_id", "query"]
+    )
+    sparse = RT.bm25_topk(docs, bm_queries, k=50).select("doc_id", "rank")
+    qv = emb.filter(F.col("vec_id") == 0)
+    dense = S.brute_force_topk(qv, emb, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    fused = RT.rrf_fuse(
+        [("bm25", sparse), ("dense", dense)], k=20, c=60
+    )
+    return fused.select(
+        "doc_id", "rrf_score", "n_lists",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease, vowel-group syllable heuristic):
+# scan-local regexp arithmetic, identical on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "readability_scores",
+    f"""
+WITH parts AS (
+    SELECT doc_id,
+           len({_TOKS}) AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+           AS flesch
+FROM parts WHERE n_words > 0
+""",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions.text import tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text"))
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syl = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sent.cast("long").alias("n_sentences"),
+            n_syl.cast("long").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            F.round(
+                F.lit(206.835)
+                - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+                - 84.6 * (F.col("n_syllables") / F.col("n_words")),
+                4,
+            ).alias("flesch"),
+        )
+    )

@@ -192,3 +192,59 @@ def test_triangle_count_no_triangles_on_a_path(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in G.triangle_count(df).collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_clustering_coefficient_k4_and_pendant(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 5))
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in G.clustering_coefficient(df).collect()
+    }
+    # inside K4 every neighbor pair is connected -> coefficient 1
+    for n in (1, 2, 3):
+        assert got[n] == (3, 3, 1.0)
+    # node 4 has degree 4 (K4 + pendant): 3 triangles of C(4,2)=6 pairs
+    assert got[4] == (4, 3, 0.5)
+    # pendant node: degree 1 -> defined as 0
+    assert got[5] == (1, 0, 0.0)
+
+
+def test_hll_merge_equals_direct_and_bounds(spark):
+    from kafka_stream_unify_order_messages_spark.operators import (
+        sketches as SK,
+    )
+
+    rows = [("a", f"tok{i}") for i in range(300)] + [
+        ("b", f"tok{i}") for i in range(150, 450)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    r = SK.hll_merge_groups(df, "grp", "item").collect()[0]
+    # merging register sets is EXACTLY the sketch of the union
+    assert r["merged_estimate"] == r["direct_estimate"]
+    # summing per-group estimates double-counts the 150-token overlap
+    assert r["sum_group_estimates"] > r["merged_estimate"]
+    assert r["exact_distinct"] == 450
+    assert abs(r["rel_error"]) < 0.2  # 256 registers -> ~6.5% sigma
+
+
+def test_rrf_fuse_prefers_doc_ranked_by_both_lists(spark):
+    from kafka_stream_unify_order_messages_spark.operators import (
+        retrieval as RT,
+    )
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(12, 1), (13, 2)], ["doc_id", "rank"]
+    )
+    out = RT.rrf_fuse([("a", a), ("b", b)], k=10, c=60).collect()
+    by_rank = sorted(out, key=lambda r: r["fused_rank"])
+    # doc 12: 1/63 + 1/61 beats doc 10's single 1/61
+    assert by_rank[0]["doc_id"] == 12
+    assert by_rank[0]["n_lists"] == 2
+    assert by_rank[1]["doc_id"] == 10
+    scores = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert scores[12] == round(1 / 63 + 1 / 61, 6)
