@@ -45,6 +45,7 @@ def funnel_stages(
     type_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Per-key funnel depth: how many of ``steps`` (in order) the key
     completed, taking the earliest valid occurrence of each next step.
@@ -53,12 +54,20 @@ def funnel_stages(
     of completed steps (0 if the first step never occurred, with a null
     ``stage_ts``). Greedy earliest-next-step is optimal: completing a
     step as early as possible can only widen the window for later steps.
+    With ``max_gap_seconds`` each next step must also land within that
+    many seconds of the previous stage (the "conversion window" form:
+    view -> click within a day, click -> purchase within a day).
+    Greedy-from-earliest is NOT optimal under a deadline — a later
+    step-1 occurrence can rescue an expired chain — so the bounded form
+    switches to the reachability DP: the fold tracks, per stage, the
+    LATEST time that stage was completed by ANY valid chain (later is
+    always weakly better for meeting the next deadline), and the depth
+    is the deepest stage ever reached.
 
-    One shuffle (groupBy key). The per-key fold runs over the sorted
-    (ts, tiebreak, type) array entirely in codegen via ``F.aggregate``:
-    state = (stage, ts-of-last-completed-stage); an event advances the
-    state iff it matches the next wanted step and is strictly later
-    than the last stage's timestamp.
+    One shuffle (groupBy key). Both folds run over the sorted
+    (ts, tiebreak, type) array entirely in codegen via ``F.aggregate``;
+    the unbounded state is (stage, ts-of-last-completed-stage), the
+    bounded state is one latest-completion timestamp per stage.
     """
     relevant = events.filter(F.col(type_col).isin(steps)).select(
         F.col(key),
@@ -73,26 +82,76 @@ def funnel_stages(
     )
     step_arr = F.array(*[F.lit(s) for s in steps])
     n_steps = len(steps)
+
+    if max_gap_seconds is None:
+        fold = F.aggregate(
+            "evs",
+            F.struct(
+                F.lit(0).alias("stage"),
+                F.lit(None).cast("timestamp").alias("stage_ts"),
+            ),
+            lambda acc, ev: F.when(
+                (acc["stage"] < n_steps)
+                & (ev["et"] == F.element_at(step_arr, acc["stage"] + 1))
+                & (acc["stage_ts"].isNull() | (ev["ts"] > acc["stage_ts"])),
+                F.struct(
+                    (acc["stage"] + 1).alias("stage"),
+                    ev["ts"].alias("stage_ts"),
+                ),
+            ).otherwise(acc),
+        )
+        return per_key.select(
+            key,
+            fold.getField("stage").alias("stage"),
+            fold.getField("stage_ts").alias("stage_ts"),
+        )
+
+    if len(set(steps)) != len(steps):
+        raise ValueError("bounded funnel requires distinct step names")
+
+    def advance(acc, ev):
+        outs = []
+        for i, s in enumerate(steps):
+            cond = ev["et"] == F.lit(s)
+            if i > 0:
+                prev = acc[f"s{i - 1}"]
+                # NTZ has no direct long cast; go through LTZ (session
+                # tz = UTC) seconds, as in sessionize
+                ev_s = ev["ts"].cast("timestamp").cast("long")
+                prev_s = prev.cast("timestamp").cast("long")
+                cond = (
+                    cond
+                    & prev.isNotNull()
+                    & (ev["ts"] > prev)
+                    & (ev_s <= prev_s + max_gap_seconds)
+                )
+            outs.append(
+                F.when(cond, ev["ts"]).otherwise(acc[f"s{i}"]).alias(f"s{i}")
+            )
+        return F.struct(*outs)
+
     fold = F.aggregate(
         "evs",
         F.struct(
-            F.lit(0).alias("stage"),
-            F.lit(None).cast("timestamp").alias("stage_ts"),
+            *[
+                F.lit(None).cast("timestamp").alias(f"s{i}")
+                for i in range(n_steps)
+            ]
         ),
-        lambda acc, ev: F.when(
-            (acc["stage"] < n_steps)
-            & (ev["et"] == F.element_at(step_arr, acc["stage"] + 1))
-            & (acc["stage_ts"].isNull() | (ev["ts"] > acc["stage_ts"])),
-            F.struct(
-                (acc["stage"] + 1).alias("stage"),
-                ev["ts"].alias("stage_ts"),
-            ),
-        ).otherwise(acc),
+        advance,
     )
-    return per_key.select(
-        key,
-        fold.getField("stage").alias("stage"),
-        fold.getField("stage_ts").alias("stage_ts"),
+    bound = per_key.select(key, fold.alias("_f"))
+    # s_i set implies s_{i-1} set, so depth = count of set stages and
+    # stage_ts = the deepest stage's latest completion time
+    stage = sum(
+        F.col(f"_f.s{i}").isNotNull().cast("int") for i in range(n_steps)
+    )
+    stage_ts = F.coalesce(
+        *[F.col(f"_f.s{i}") for i in reversed(range(n_steps))],
+        F.lit(None).cast("timestamp"),
+    )
+    return bound.select(
+        key, stage.alias("stage"), stage_ts.alias("stage_ts")
     )
 
 
@@ -231,3 +290,43 @@ def robust_outliers(
         )
         .filter(F.col("robust_z") > k)
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    windows: tuple[int, ...] = (1, 7, 30),
+) -> DataFrame:
+    """DAU/WAU/MAU-style rolling distinct actives: for every calendar
+    day, the distinct keys active in the trailing 1/7/30 days.
+
+    Distinct-over-sliding-window has no direct window-function form;
+    the standard scalable shape is used instead: activity collapses to
+    distinct (day, key) pairs first (one shuffle, days x keys bounded),
+    the tiny day dimension broadcasts onto it with the widest trailing
+    range, and every window is then a CONDITIONAL distinct count in one
+    aggregation — one range join, not one per window.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    activity = events.select(day.alias("aday"), F.col(key)).distinct()
+    day_dim = activity.select(F.col("aday").alias("day")).distinct()
+    widest = max(windows)
+    joined = activity.join(
+        F.broadcast(day_dim),
+        (F.col("aday") <= F.col("day"))
+        & (
+            F.col("aday")
+            > F.col("day") - F.expr(f"INTERVAL {widest} DAYS")
+        ),
+    )
+    aggs = []
+    names = {1: "dau", 7: "wau", 30: "mau"}
+    for w in windows:
+        cond = F.col("aday") > F.col("day") - F.expr(f"INTERVAL {w} DAYS")
+        aggs.append(
+            F.count_distinct(F.when(cond, F.col(key))).alias(
+                names.get(w, f"active_{w}d")
+            )
+        )
+    return joined.groupBy("day").agg(*aggs)

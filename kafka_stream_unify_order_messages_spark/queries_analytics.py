@@ -838,3 +838,122 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-window funnel: same three steps, each within 2 days of the
+# previous stage. Deadline semantics use the reachability DP (a later
+# step-1 event can rescue an expired chain), which in SQL is the chain of
+# EXISTS-style range joins below.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_GAP_S = 2 * 24 * 3600
+
+
+@query(
+    "funnel_windowed",
+    f"""
+WITH v AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'view'
+), c AS (
+    SELECT DISTINCT e.user_id, e.ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+         AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL {_FUNNEL_GAP_S} SECOND
+    WHERE e.event_type = 'click'
+), p AS (
+    SELECT DISTINCT e.user_id, e.ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+         AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL {_FUNNEL_GAP_S} SECOND
+    WHERE e.event_type = 'purchase'
+), counts AS (
+    SELECT 1 AS step, 'view' AS step_name,
+           (SELECT count(DISTINCT user_id) FROM v) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(DISTINCT user_id) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(DISTINCT user_id) FROM p)
+)
+SELECT step, step_name, users,
+       round(users / CAST((SELECT users FROM counts WHERE step = 1)
+                          AS DOUBLE), 4) AS conv_rate
+FROM counts
+""",
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return A.funnel_report(
+        events, _FUNNEL_STEPS, max_gap_seconds=_FUNNEL_GAP_S
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct actives (DAU/WAU/MAU): one range join against the tiny
+# day dimension, every window a conditional distinct count in one agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dau_wau_mau",
+    """
+WITH activity AS (
+    SELECT DISTINCT date_trunc('day', ts) AS aday, user_id FROM events
+), days AS (
+    SELECT DISTINCT aday AS day FROM activity
+)
+SELECT d.day,
+       count(DISTINCT CASE WHEN a.aday > d.day - INTERVAL 1 DAY
+                      THEN a.user_id END) AS dau,
+       count(DISTINCT CASE WHEN a.aday > d.day - INTERVAL 7 DAY
+                      THEN a.user_id END) AS wau,
+       count(DISTINCT CASE WHEN a.aday > d.day - INTERVAL 30 DAY
+                      THEN a.user_id END) AS mau
+FROM days d
+JOIN activity a ON a.aday <= d.day AND a.aday > d.day - INTERVAL 30 DAY
+GROUP BY d.day
+""",
+)
+def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return A.rolling_active_users(events, windows=(1, 7, 30))
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy (Shannon, natural log) — the "gibberish vs
+# repetitive" quality axis: H = ln N - (1/N) Σ n·ln n over token counts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_entropy",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), tc AS (
+    SELECT doc_id, token, count(*) AS n FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       round(ln(CAST(sum(n) AS DOUBLE))
+             - sum(n * ln(n)) / CAST(sum(n) AS DOUBLE), 6) AS entropy
+FROM tc GROUP BY doc_id
+""",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions import text as T2
+
+    docs = _load(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(T2.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(
+            F.log(F.sum("n").cast("double"))
+            - F.sum(F.col("n") * F.log("n")) / F.sum("n").cast("double"),
+            6,
+        ).alias("entropy"),
+    )

@@ -248,3 +248,47 @@ def test_rrf_fuse_prefers_doc_ranked_by_both_lists(spark):
     assert by_rank[1]["doc_id"] == 10
     scores = {r["doc_id"]: r["rrf_score"] for r in out}
     assert scores[12] == round(1 / 63 + 1 / 61, 6)
+
+
+def test_windowed_funnel_later_first_step_rescues_chain(spark):
+    # view@0 -> (no click within 60s) but view@100 -> click@110 works:
+    # greedy-from-earliest would report stage 1; the reachability DP
+    # must find stage 2
+    rows = [
+        (1, 1, _ts(0), "view"),
+        (2, 1, dt.datetime(2024, 1, 1, 1, 40), "view"),
+        (3, 1, dt.datetime(2024, 1, 1, 1, 41), "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = A.funnel_stages(ev, ["view", "click"], max_gap_seconds=120).collect()
+    assert out[0]["stage"] == 2
+
+
+def test_windowed_funnel_expired_gap_blocks_stage(spark):
+    rows = [
+        (1, 1, _ts(0), "view"),
+        (2, 1, dt.datetime(2024, 1, 1, 2, 0), "click"),  # 2h later
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = A.funnel_stages(ev, ["view", "click"], max_gap_seconds=3600).collect()
+    assert out[0]["stage"] == 1
+    # unbounded form still completes
+    out2 = A.funnel_stages(ev, ["view", "click"]).collect()
+    assert out2[0]["stage"] == 2
+
+
+def test_rolling_active_users_windows(spark):
+    # user 1 active on day 1 and day 5; user 2 active on day 5 only
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 9)),
+        (2, 1, dt.datetime(2024, 1, 5, 9)),
+        (3, 2, dt.datetime(2024, 1, 5, 10)),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r["day"].date(): (r["dau"], r["wau"], r["mau"])
+        for r in A.rolling_active_users(ev).collect()
+    }
+    assert got[dt.date(2024, 1, 1)] == (1, 1, 1)
+    # on day 5: both users active that day; trailing 7 covers day 1 too
+    assert got[dt.date(2024, 1, 5)] == (2, 2, 2)
