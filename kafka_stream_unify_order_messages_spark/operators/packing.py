@@ -20,15 +20,16 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
-def pack_shards(
+def _running_starts(
     df: DataFrame,
-    id_col: str = "doc_id",
-    size_col: str = "n_tokens",
-    shard_budget: int = 5000,
-    bucket_width: int = 1000,
+    id_col: str,
+    size_col: str,
+    bucket_width: int,
 ) -> DataFrame:
-    """(id, size, shard): shard = floor(running-start / budget) in id
-    order. ``id_col`` must be numeric and ordering-dense-ish; bucket_width
+    """(id, size, _start): exclusive running sum of ``size_col`` in
+    ``id_col`` order, computed without a global single-partition window.
+
+    ``id_col`` must be numeric and ordering-dense-ish; bucket_width
     controls parallelism (ids per window partition).
     """
     bucket = (F.col(id_col) / bucket_width).cast("long")
@@ -62,7 +63,77 @@ def pack_shards(
 
     start = F.col("_offset") + F.col("_local_end") - F.col(size_col)
     return with_local.join(F.broadcast(offsets), "_bucket").select(
+        id_col, size_col, start.cast("long").alias("_start")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    shard_budget: int = 5000,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """(id, size, shard): shard = floor(running-start / budget) in id
+    order.
+    """
+    started = _running_starts(df, id_col, size_col, bucket_width)
+    return started.select(
         id_col,
         size_col,
-        F.floor(start / shard_budget).cast("long").alias("shard"),
+        F.floor(F.col("_start") / shard_budget).cast("long").alias("shard"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    seq_len: int = 64,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Concat-and-split sequence packing (GPT-style pretraining batches).
+
+    Documents are laid out back-to-back in ``id_col`` order into one
+    global token stream (``size_col`` should already include any EOS/
+    separator tokens the trainer appends per document), and the stream is
+    cut into fixed-length training sequences of ``seq_len`` tokens. A
+    document whose span crosses a cut contributes one row per sequence it
+    touches — the standard "documents may be split across context
+    windows" packing used for causal-LM training, with zero padding waste.
+
+    Emits (doc_id, seq_id, seq_offset, doc_offset, span_len):
+      - ``seq_id``      — which training sequence the span lands in,
+      - ``seq_offset``  — position of the span inside that sequence,
+      - ``doc_offset``  — position of the span inside the document,
+      - ``span_len``    — number of tokens in the span.
+
+    Scale shape: the only wide operations are the bucketed parallel
+    prefix-sum of ``_running_starts`` (one hash exchange + a #buckets-row
+    offsets frame broadcast back); the sequence-range explode is
+    scan-local and emits ceil(size/seq_len)+1 ≈ 1-2 rows per document.
+    No global sort, no driver-side state.
+    """
+    started = _running_starts(df, id_col, size_col, bucket_width).filter(
+        F.col(size_col) > 0
+    )
+    end = F.col("_start") + F.col(size_col)
+    first_seq = F.floor(F.col("_start") / seq_len).cast("long")
+    last_seq = F.floor((end - 1) / seq_len).cast("long")
+    spans = started.select(
+        id_col,
+        F.col("_start"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        end.alias("_end"),
+    )
+    span_start = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    span_end = F.least(F.col("_end"), (F.col("seq_id") + 1) * seq_len)
+    return spans.select(
+        id_col,
+        F.col("seq_id"),
+        (span_start - F.col("seq_id") * seq_len).cast("long").alias(
+            "seq_offset"
+        ),
+        (span_start - F.col("_start")).cast("long").alias("doc_offset"),
+        (span_end - span_start).cast("long").alias("span_len"),
     )

@@ -236,6 +236,100 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-threshold yield curve: docs/tokens retained at each candidate
+# filter threshold — the sweep that picks a quality cutoff for a corpus
+# BEFORE committing to the (expensive) filtered rewrite. One corpus scan:
+# docs collapse into 20 score bins, the curve is a reverse cumsum over
+# that 20-row frame (threshold t keeps every bin >= t).
+# ---------------------------------------------------------------------------
+
+
+def _yield_curve_sql() -> str:
+    from kafka_stream_unify_order_messages_spark.registry import ORACLES
+
+    quality_sql = ORACLES["quality_scores"]
+    return f"""
+WITH q AS ({quality_sql}),
+sized AS (
+    SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+), binned AS (
+    SELECT CAST(least(floor(qq.quality * 20), 19) AS BIGINT) AS bin,
+           count(*) AS nd, sum(s.n_tokens) AS nt
+    FROM q qq JOIN sized s USING (doc_id)
+    GROUP BY 1
+), grid AS (
+    SELECT unnest(generate_series(0, 19)) AS bin
+), filled AS (
+    SELECT g.bin,
+           coalesce(b.nd, 0) AS nd,
+           coalesce(b.nt, 0) AS nt
+    FROM grid g LEFT JOIN binned b ON g.bin = b.bin
+)
+SELECT round(bin * 0.05, 2) AS threshold,
+       CAST(sum(nd) OVER w_keep AS BIGINT) AS docs_kept,
+       CAST(sum(nt) OVER w_keep AS BIGINT) AS tokens_kept,
+       CAST(round(CAST(sum(nd) OVER w_keep
+                       / CAST(sum(nd) OVER () AS DOUBLE)
+                  AS DECIMAL(38,10)), 6) AS DOUBLE) AS doc_frac,
+       CAST(round(CAST(sum(nt) OVER w_keep
+                       / CAST(sum(nt) OVER () AS DOUBLE)
+                  AS DECIMAL(38,10)), 6) AS DOUBLE) AS token_frac
+FROM filled
+WINDOW w_keep AS (ORDER BY bin
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("quality_yield_curve", _yield_curve_sql())
+def quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    binned = (
+        docs.select(
+            F.least(F.floor(T.quality_score("text") * 20), F.lit(19))
+            .cast("long")
+            .alias("bin"),
+            T.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_tokens").alias("nt"),
+        )
+    )
+    grid = spark.range(20).select(F.col("id").alias("bin"))
+    filled = grid.join(binned, "bin", "left").select(
+        "bin",
+        F.coalesce("nd", F.lit(0)).alias("nd"),
+        F.coalesce("nt", F.lit(0)).alias("nt"),
+    )
+    # 20-row frame: the single-partition windows sort 20 rows, never docs
+    w_keep = Window.orderBy("bin").rowsBetween(0, Window.unboundedFollowing)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def frac(kept, total):
+        return (
+            F.round((kept / total.cast("double")).cast("decimal(38,10)"), 6)
+            .cast("double")
+        )
+
+    return filled.select(
+        F.round(F.col("bin") * 0.05, 2).alias("threshold"),
+        F.sum("nd").over(w_keep).alias("docs_kept"),
+        F.sum("nt").over(w_keep).alias("tokens_kept"),
+        frac(F.sum("nd").over(w_keep), F.sum("nd").over(w_all)).alias(
+            "doc_frac"
+        ),
+        frac(F.sum("nt").over(w_keep), F.sum("nt").over(w_all)).alias(
+            "token_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup — exact (on a corpus with synthesized duplicates so the operator has
 # something to find; the augmentation is part of the query on both sides)
 # ---------------------------------------------------------------------------
@@ -1034,6 +1128,54 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
     return pack_shards(sized, shard_budget=5000, bucket_width=100)
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-split sequence packing: documents (plus one EOS token each)
+# laid out back-to-back in doc_id order, cut into fixed 64-token training
+# sequences; one row per (sequence, document) span. The causal-LM batch
+# layout with zero padding waste — documents split across context windows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sequence_packing",
+    f"""
+WITH sized AS (
+    SELECT doc_id, len({_TOKS}) + 1 AS n_tokens FROM documents
+), pos AS (
+    SELECT doc_id, n_tokens,
+           coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS strt
+    FROM sized
+)
+SELECT doc_id,
+       CAST(s AS BIGINT) AS seq_id,
+       CAST(greatest(strt, s * 64) - s * 64 AS BIGINT) AS seq_offset,
+       CAST(greatest(strt, s * 64) - strt AS BIGINT) AS doc_offset,
+       CAST(least(strt + n_tokens, (s + 1) * 64)
+            - greatest(strt, s * 64) AS BIGINT) AS span_len
+FROM pos, unnest(generate_series(CAST(strt // 64 AS BIGINT),
+                                 CAST((strt + n_tokens - 1) // 64
+                                      AS BIGINT))) AS t(s)
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed parallel prefix-sum + scan-local span explode
+    (operators.packing.pack_sequences) — the oracle's global
+    single-partition ORDER BY window is exactly the shape the operator
+    exists to avoid."""
+    from kafka_stream_unify_order_messages_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    # +1: each document is followed by one EOS separator in the stream
+    sized = docs.select(
+        "doc_id", (T.token_count("text") + 1).alias("n_tokens")
+    )
+    return pack_sequences(sized, seq_len=64, bucket_width=100)
 
 
 # ---------------------------------------------------------------------------
@@ -2161,6 +2303,118 @@ def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(
         F.col("centroid_id").cast("long").alias("cell")
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+# ---------------------------------------------------------------------------
+# ANN — int8 scalar-quantization recall: top-k over symmetrically
+# quantized (quantize_int8 -> dequantize) vectors vs exact inner-product
+# ground truth. The sizing measurement for shipping embeddings at 1/4
+# bandwidth: how much ranking fidelity does 8-bit storage cost? Fully
+# value-checked — quantization is floor(x/s + 0.5) * round(s, 9) on both
+# engines, identical IEEE-double ops.
+# ---------------------------------------------------------------------------
+
+
+_SQ_DEQ_SQL = """
+SELECT vec_id,
+       CASE WHEN sraw > 0
+            THEN list_transform(v, x -> floor(x / sraw + 0.5)
+                                        * round(sraw, 9))
+            ELSE list_transform(v, x -> 0.0) END AS v
+FROM (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS sraw
+    FROM cd
+)
+"""
+
+
+@query(
+    "ann_sq_recall_eval",
+    f"""
+WITH cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), deq AS ({_SQ_DEQ_SQL}),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM cd q JOIN cd c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rnk <= 5
+), cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM deq q JOIN deq c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rnk <= 5
+), hit AS (
+    SELECT * FROM truth INTERSECT SELECT * FROM cand
+)
+SELECT
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM hit) AS n_hit,
+    CAST(round(CAST((SELECT count(*) FROM hit)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS recall_at_5
+""",
+)
+def ann_sq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from kafka_stream_unify_order_messages_spark.functions import (
+        vectors as V,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    # bind the quantize struct once per row (scale + codes share work)
+    deq = emb.select(
+        "vec_id", V.quantize_int8("embedding").alias("_qz")
+    ).select(
+        "vec_id",
+        V.dequantize(F.col("_qz.scale"), F.col("_qz.q")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    q_deq = deq.filter(F.col("vec_id") % 20 == 0)
+    truth = (
+        S.brute_force_topk(queries, emb, k=5, metric="dot")
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        S.brute_force_topk(q_deq, deq, k=5, metric="dot")
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hit = truth.join(cand, ["query_id", "neighbor_id"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                (F.col("n_hit") / F.col("n_truth")).cast("decimal(38,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("recall_at_5"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,58 @@ def test_pack_shards_matches_python_cumsum_oracle_random_sizes(spark):
         assert got == expect, f"trial {trial}"
 
 
+def test_pack_sequences_matches_python_concat_split_oracle(spark):
+    import random
+
+    from kafka_stream_unify_order_messages_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rng = random.Random(31)
+    for trial, (seq_len, width) in enumerate([(64, 7), (100, 100), (8, 1)]):
+        rows = [
+            (i, rng.randrange(1, 150))
+            for i in sorted(rng.sample(range(5_000), 200))
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        got = {
+            (r["doc_id"], r["seq_id"]): (
+                r["seq_offset"],
+                r["doc_offset"],
+                r["span_len"],
+            )
+            for r in pack_sequences(
+                df, seq_len=seq_len, bucket_width=width
+            ).collect()
+        }
+        # oracle: concatenate in id order, cut every seq_len tokens
+        acc, expect = 0, {}
+        for i, n in rows:
+            start, end = acc, acc + n
+            for s in range(start // seq_len, (end - 1) // seq_len + 1):
+                span_start = max(start, s * seq_len)
+                span_end = min(end, (s + 1) * seq_len)
+                expect[(i, s)] = (
+                    span_start - s * seq_len,
+                    span_start - start,
+                    span_end - span_start,
+                )
+            acc = end
+        assert got == expect, f"trial {trial}"
+        # invariants: spans tile every sequence exactly (no gap, no
+        # overlap, no padding except the tail) and cover every document
+        per_doc: dict = {}
+        per_seq: dict = {}
+        for (i, s), (_, _, ln) in got.items():
+            per_doc[i] = per_doc.get(i, 0) + ln
+            per_seq[s] = per_seq.get(s, 0) + ln
+        assert per_doc == dict(rows)
+        total = sum(n for _, n in rows)
+        for s, filled in per_seq.items():
+            expected = min(seq_len, total - s * seq_len)
+            assert filled == expected, (trial, s)
+
+
 def test_remove_duplicate_spans_cuts_non_canonical_occurrences(spark):
     rows = [
         (1, "a b c d e f g"),          # canonical holder of "a b c d e"
