@@ -152,7 +152,10 @@ def triangle_count(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
 
 
 def clustering_coefficient(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    triangles: DataFrame | None = None,
 ) -> DataFrame:
     """Local clustering coefficient per node over an undirected pair
     list: ``2 * triangles(v) / (deg(v) * (deg(v) - 1))`` (0 for degree
@@ -163,7 +166,9 @@ def clustering_coefficient(
 
     Scale shape: triangle_count's oriented wedge join (O(m^1.5) bound)
     plus one degree aggregation, joined on node — both frames are
-    node-sized, never edge-squared.
+    node-sized, never edge-squared. Pass a precomputed ``triangles``
+    frame (node, n_triangles) to reuse a shared/persisted wedge join
+    instead of re-running it.
     """
     edges = pairs.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
@@ -174,7 +179,7 @@ def clustering_coefficient(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_count(pairs, src, dst)
+    tri = triangles if triangles is not None else triangle_count(pairs, src, dst)
     coeff = F.when(
         F.col("degree") >= 2,
         F.round(

@@ -296,6 +296,20 @@ def _aug_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _AUG_PAIRS_MEMO[sf_dir]
 
 
+_AUG_TRI_MEMO: dict = {}
+
+
+def _aug_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the shared dup graph, persisted so
+    the wedge join runs once per dataset — clustering_coefficient layers
+    degrees on top of the same frame triangle_count returns."""
+    if sf_dir not in _AUG_TRI_MEMO:
+        _AUG_TRI_MEMO[sf_dir] = G.triangle_count(
+            _aug_dup_pairs(spark, sf_dir)
+        ).persist()
+    return _AUG_TRI_MEMO[sf_dir]
+
+
 @query(
     "triangle_count",
     f"""
@@ -322,7 +336,7 @@ FROM nodes n LEFT JOIN per_node p USING (node)
 """,
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.triangle_count(_aug_dup_pairs(spark, sf_dir))
+    return _aug_triangles(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -601,7 +615,10 @@ FROM degrees d LEFT JOIN per_node p USING (node)
 """,
 )
 def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.clustering_coefficient(_aug_dup_pairs(spark, sf_dir))
+    return G.clustering_coefficient(
+        _aug_dup_pairs(spark, sf_dir),
+        triangles=_aug_triangles(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
