@@ -47,14 +47,18 @@ def _running_starts(
 
     # tiny per-bucket frame: exclusive prefix-sum of totals in bucket
     # order. The single-partition orderBy window is fine HERE — it sorts
-    # #buckets rows (data-size / bucket_width), never #docs.
+    # #buckets rows (data-size / bucket_width), never #docs. Totals are
+    # derived from the windowed frame (bucket total = running sum at the
+    # bucket's last row) rather than re-aggregating the input: both
+    # consumers then sit on the SAME child exchange, which Spark's
+    # ReuseExchange collapses to one corpus scan + tokenize instead of two.
     w_off = (
         Window.orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        sized.groupBy("_bucket")
-        .agg(F.sum(size_col).alias("_total"))
+        with_local.groupBy("_bucket")
+        .agg(F.max("_local_end").alias("_total"))
         .withColumn(
             "_offset", F.coalesce(F.sum("_total").over(w_off), F.lit(0))
         )
