@@ -207,3 +207,52 @@ def weighted_sample(
         .filter(F.col("rn") <= k)
         .select(*strata, id_col, "weight", "es_key")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact 1-based global rank of every row under ``order_cols`` —
+    computed WITHOUT a single-partition global window.
+
+    The scalable total-order recipe (terasort shape) for arbitrary sort
+    keys: range-repartition on the key (sampled boundaries keep the
+    partitions balanced), sort + row_number WITHIN each range partition,
+    then add per-partition row-count offsets — a #partitions-row frame
+    prefix-summed with a tiny window and joined back by partition id.
+    Complements ``packing._running_starts``, which needs a dense numeric
+    id to bucket on; range partitioning ranks by any (possibly
+    composite, non-numeric) key.
+
+    ``order_cols`` must be a total order (include a unique id as the
+    last column) — ties that straddle a range boundary would otherwise
+    make the rank partition-dependent.
+    """
+    parts = df.repartitionByRange(n_partitions, *order_cols)
+    pid = parts.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = pid.withColumn("_local_rank", F.row_number().over(w_local))
+
+    # tiny frame: one row per range partition; the single-partition
+    # window sorts #partitions rows, never the data
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_col, (F.col("_offset") + F.col("_local_rank")).cast("long")
+        )
+        .drop("_pid", "_local_rank", "_offset")
+    )

@@ -551,3 +551,52 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = dels.unionByName(ups).unionByName(ins)
     merged = W.merge_upsert(docs, changes, ["doc_id"])
     return merged.select("doc_id", F.md5("text").alias("digest"))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: exact global rank of every document by quality
+# (easiest/cleanest last or first, trainer's choice) plus a 10-stage
+# curriculum bucket. The Spark side computes the total order via
+# range-repartition + per-partition rank + tiny offset join
+# (operators.curation.global_rank) — the oracle's single ORDER BY window
+# is exactly the single-partition sort that recipe replaces.
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_sql() -> str:
+    from kafka_stream_unify_order_messages_spark.registry import ORACLES
+
+    quality_sql = ORACLES["quality_scores"]
+    return f"""
+WITH q AS ({quality_sql}),
+ranked AS (
+    SELECT doc_id, quality,
+           row_number() OVER (ORDER BY quality, doc_id) AS rank,
+           count(*) OVER () AS n
+    FROM q
+)
+SELECT doc_id, quality, CAST(rank AS BIGINT) AS rank,
+       CAST(((rank - 1) * 10) // n AS BIGINT) AS stage
+FROM ranked
+"""
+
+
+@query("curriculum_order", _curriculum_sql())
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions import text as T
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", T.quality_score("text").alias("quality")
+    )
+    ranked = C.global_rank(scored, ["quality", "doc_id"], rank_col="rank")
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "quality",
+            "rank",
+            F.expr("((rank - 1) * 10) div _n").cast("long").alias("stage"),
+        )
+    )

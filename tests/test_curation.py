@@ -333,3 +333,30 @@ def test_merge_upsert_semantics(spark):
     )
     out = {r["k"]: r["v"] for r in W.merge_upsert(target, changes, ["k"]).collect()}
     assert out == {1: "one", 2: "TWO", 4: "four"}
+
+
+def test_global_rank_matches_python_sort_any_partitioning(spark):
+    import random
+
+    from kafka_stream_unify_order_messages_spark.operators.curation import (
+        global_rank,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        (i, rng.choice([0.1, 0.25, 0.25, 0.5, 0.9]))  # heavy key ties
+        for i in rng.sample(range(100_000), 500)
+    ]
+    expect = {
+        i: r + 1
+        for r, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    for n_parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, ["doc_id", "score"]).repartition(11)
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in global_rank(
+                df, ["score", "doc_id"], n_partitions=n_parts
+            ).collect()
+        }
+        assert got == expect, f"n_partitions={n_parts}"
