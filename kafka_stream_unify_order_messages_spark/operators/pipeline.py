@@ -299,6 +299,25 @@ def dedup_lines(
     shuffles (id, position, chunk); everything is O(corpus tokens), no
     state on the driver.
     """
+    hashed = _chunked(docs, id_col, text_col, chunk_words)
+    first_owner = hashed.groupBy("_ch").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_f")
+    )
+    flagged = hashed.join(first_owner, "_ch").withColumn(
+        "is_first",
+        (F.col(f"_f.{id_col}") == F.col(id_col))
+        & (F.col("_f.chunk_idx") == F.col("chunk_idx")),
+    )
+    return _reassemble(flagged, id_col, keep=F.col("is_first"))
+
+
+def _chunked(
+    docs: DataFrame, id_col: str, text_col: str, chunk_words: int
+) -> DataFrame:
+    """(id, chunk_idx, chunk, _ch digest) rows: fixed ``chunk_words``-word
+    windows over the whitespace token array, digested with the portable
+    md5 convention. Scan-local — shared by dedup_lines (first-occurrence
+    keep) and remove_boilerplate (doc-frequency drop)."""
     # let-bind the token array as a lambda variable: a free `split(text)`
     # inside the chunk lambda would be re-evaluated per chunk (no CSE in
     # interpreted HOFs), turning chunking O(len^2 / chunk_words) per doc;
@@ -319,19 +338,15 @@ def dedup_lines(
         ),
         1,
     )
-    chunks = docs.select(
+    return docs.select(
         F.col(id_col),
         F.posexplode(chunk_array).alias("chunk_idx", "chunk"),
-    )
-    hashed = chunks.withColumn("_ch", F.md5("chunk"))
-    first_owner = hashed.groupBy("_ch").agg(
-        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_f")
-    )
-    flagged = hashed.join(first_owner, "_ch").withColumn(
-        "is_first",
-        (F.col(f"_f.{id_col}") == F.col(id_col))
-        & (F.col("_f.chunk_idx") == F.col("chunk_idx")),
-    )
+    ).withColumn("_ch", F.md5("chunk"))
+
+
+def _reassemble(flagged: DataFrame, id_col: str, keep) -> DataFrame:
+    """Rebuild (id, clean_text, n_kept, n_dropped) from per-chunk keep
+    verdicts, preserving original chunk order."""
     return (
         flagged.groupBy(id_col)
         .agg(
@@ -339,24 +354,60 @@ def dedup_lines(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(
-                                F.col("is_first"),
-                                F.struct("chunk_idx", "chunk"),
-                            )
+                            F.when(keep, F.struct("chunk_idx", "chunk"))
                         )
                     ),
                     lambda s: s["chunk"],
                 ),
                 " ",
             ).alias("clean_text"),
-            F.sum(F.when(F.col("is_first"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-            F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~keep, 1).otherwise(0))
             .cast("long")
             .alias("n_dropped"),
         )
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+    max_doc_freq: int = 3,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet / RefinedWeb
+    "drop lines that repeat across many pages" step): a chunk is
+    boilerplate when it occurs in MORE THAN ``max_doc_freq`` distinct
+    documents, and is then dropped from EVERY document — unlike
+    :func:`dedup_lines`, which keeps the first occurrence. Headers,
+    nav bars, and cookie banners repeat across a whole domain; keeping
+    one copy per digest (line dedup) still leaves one junk copy, so the
+    two steps are complementary and real pipelines run both.
+
+    Returns (id, clean_text, n_kept, n_dropped).
+
+    Scale: doc-frequency is two map-side-combinable aggregations —
+    (digest, id) collapse (a chunk repeated within one doc counts once)
+    then a digest count. No countDistinct Expand, no window. The verdict
+    join keys on the digest; the boilerplate side is the FILTERED
+    digest set (only digests with df > max_doc_freq — a tiny fraction of
+    the corpus), so AQE broadcasts it and the chunk stream never
+    re-shuffles. At 100 TB nothing driver-sized exists anywhere:
+    digests, counts, and verdicts all stay distributed.
+    """
+    hashed = _chunked(docs, id_col, text_col, chunk_words)
+    boiler = (
+        hashed.select("_ch", id_col)
+        .groupBy("_ch", id_col)
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("_ch")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_ch", F.lit(True).alias("_bp"))
+    )
+    flagged = hashed.join(boiler, "_ch", "left")
+    return _reassemble(flagged, id_col, keep=F.col("_bp").isNull())
 
 
 def gopher_quality(

@@ -1777,6 +1777,52 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (CCNet/RefinedWeb): a chunk in
+# more than max_doc_freq distinct docs is dropped from EVERY doc (line
+# dedup instead keeps the first copy — the two steps compose).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "boilerplate_removal",
+    """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(w, i * 12 + 1, i * 12 + 12), ' ')
+               AS chunk
+    FROM toks,
+         unnest(generate_series(
+             0, CAST(ceil(len(w) / 12.0) AS BIGINT) - 1)) AS t(i)
+), freq AS (
+    SELECT md5(chunk) AS ch, count(DISTINCT doc_id) AS docfreq
+    FROM chunks GROUP BY 1
+), flagged AS (
+    SELECT c.doc_id, c.chunk_idx, c.chunk, (f.docfreq > 3) AS bp
+    FROM chunks c JOIN freq f ON md5(c.chunk) = f.ch
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT bp THEN chunk END,
+                           ' ' ORDER BY chunk_idx), '') AS clean_text,
+       count(*) FILTER (WHERE NOT bp) AS n_kept,
+       count(*) FILTER (WHERE bp) AS n_dropped
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        remove_boilerplate,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return remove_boilerplate(
+        docs, "doc_id", "text", chunk_words=12, max_doc_freq=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM quality scoring (KenLM-style): train an add-0.5 smoothed
 # bigram model on the corpus, score each doc by avg per-bigram negative
 # log likelihood. Counts are vocabulary-sized -> broadcast-able joins.

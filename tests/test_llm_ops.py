@@ -283,6 +283,55 @@ def test_dedup_lines_keeps_first_occurrence_within_doc(spark):
     assert (row["n_kept"], row["n_dropped"]) == (1, 1)
 
 
+def test_remove_boilerplate_drops_every_copy(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        remove_boilerplate,
+    )
+
+    # chunk "a b c d" appears in 3 distinct docs; with max_doc_freq=2 it
+    # is boilerplate and vanishes from ALL of them (line dedup would have
+    # kept doc 1's copy). Unique chunks survive untouched.
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z w"),
+        (3, "a b c d"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            docs, chunk_words=4, max_doc_freq=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "e f g h"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (1, 1)
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+
+
+def test_remove_boilerplate_counts_repeats_within_doc_once(spark):
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        remove_boilerplate,
+    )
+
+    # "p q r s" occurs twice in doc 7 but only in 2 distinct docs —
+    # under the doc-frequency definition (df > 2) it is NOT boilerplate,
+    # so both in-doc copies survive.
+    docs = spark.createDataFrame(
+        [(7, "p q r s p q r s"), (8, "p q r s")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            docs, chunk_words=4, max_doc_freq=2
+        ).collect()
+    }
+    assert out[7]["clean_text"] == "p q r s p q r s"
+    assert (out[7]["n_kept"], out[7]["n_dropped"]) == (2, 0)
+    assert out[8]["clean_text"] == "p q r s"
+
+
 def test_bigram_lm_scores_hand_computed(spark):
     import math
 
