@@ -209,6 +209,45 @@ def weighted_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: str = "cap42",
+) -> DataFrame:
+    """Per-group document cap (the Common-Crawl "at most K pages per
+    domain" rule): keep a deterministic pseudorandom ``cap``-subset of
+    each group, dropping the rest. Without it one hot domain (a link
+    farm, a mirror) can dominate a source's token budget; with it the
+    per-group contribution is bounded by construction.
+
+    The kept subset is ordered by ``md5(seed:id)`` — content-independent
+    and reproducible, so incremental re-runs keep the same winners and
+    changing ``seed`` draws an independent subset (same contract as
+    ``hash_sample``).
+
+    Returns the input columns plus ``grp_rank`` (1-based position of the
+    row inside its group's kept subset).
+
+    Scale: ONE hash exchange on the group key. The literal
+    ``rn <= cap`` filter directly over ``row_number`` becomes a
+    WindowGroupLimit — each map task prunes every group it holds to its
+    local top-``cap`` BEFORE the shuffle, so a million-page domain sends
+    ``cap`` rows per input partition, not a million, and the post-shuffle
+    sort is cap-bounded per group. No skew cliff: the hot group never
+    materializes on one reducer.
+    """
+    rk = _shuffle_key(F.col(id_col), seed)
+    w = Window.partitionBy(*group_cols).orderBy("_capk")
+    return (
+        df.withColumn("_capk", rk)
+        .withColumn("grp_rank", F.row_number().over(w))
+        .filter(F.col("grp_rank") <= cap)
+        .drop("_capk")
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],

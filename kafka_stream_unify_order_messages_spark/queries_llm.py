@@ -330,6 +330,158 @@ def quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source quality rank-normalization: raw heuristic scores are not
+# comparable across sources (a news-wire source saturates len_score, a
+# forum source never does), so cross-source selection uses the WITHIN-
+# source percentile instead — the classifier-calibration step of
+# DoReMi/DataComp-style mixing. ppm integers instead of a rounded ratio
+# keep the boundary engine-stable (floor of an exact-int product/quotient).
+# ---------------------------------------------------------------------------
+
+
+def _rank_normalize_sql() -> str:
+    from kafka_stream_unify_order_messages_spark.registry import ORACLES
+
+    quality_sql = ORACLES["quality_scores"]
+    return f"""
+WITH q AS ({quality_sql}),
+ranked AS (
+    SELECT d.doc_id, d.source, qq.quality,
+           row_number() OVER (
+               PARTITION BY d.source ORDER BY qq.quality, d.doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY d.source) AS n
+    FROM documents d JOIN q qq ON qq.doc_id = d.doc_id
+)
+SELECT doc_id, source, quality,
+       CAST(CASE WHEN n > 1
+                 THEN floor((rn - 1) * 1000000.0 / (n - 1))
+                 ELSE 1000000 END AS BIGINT) AS pctile_ppm
+FROM ranked
+"""
+
+
+@query("quality_rank_normalize", _rank_normalize_sql())
+def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score("text").alias("quality")
+    )
+    # both windows share the source partitioning -> ONE exchange; the
+    # per-source sort is the unavoidable cost of an exact percentile and
+    # stays distributed (sources partition the corpus)
+    w_rank = Window.partitionBy("source").orderBy("quality", "doc_id")
+    w_all = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(
+            F.count(F.lit(1)).over(w_all) > 1,
+            F.floor(
+                (F.row_number().over(w_rank) - 1)
+                * F.lit(1000000.0)
+                / (F.count(F.lit(1)).over(w_all) - 1)
+            ),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("pctile_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift per source vs the corpus-wide quality distribution — the
+# standard "did this source's quality profile shift" monitor (PSI > 0.2
+# conventionally = action). Fixed 10 bins + add-0.5 smoothing so empty
+# bins are defined; all frames after the (source, bin) count are tiny.
+# ---------------------------------------------------------------------------
+
+
+def _quality_psi_sql() -> str:
+    from kafka_stream_unify_order_messages_spark.registry import ORACLES
+
+    quality_sql = ORACLES["quality_scores"]
+    return f"""
+WITH q AS ({quality_sql}),
+binned AS (
+    SELECT d.source,
+           CAST(least(floor(qq.quality * 10), 9) AS BIGINT) AS bin
+    FROM documents d JOIN q qq ON qq.doc_id = d.doc_id
+), grid AS (
+    SELECT s.source, g.bin
+    FROM (SELECT DISTINCT source FROM documents) s,
+         (SELECT unnest(generate_series(0, 9)) AS bin) g
+), src_counts AS (
+    SELECT g.source, g.bin, count(b.bin) AS c
+    FROM grid g
+    LEFT JOIN binned b ON b.source = g.source AND b.bin = g.bin
+    GROUP BY g.source, g.bin
+), corpus_counts AS (
+    SELECT bin, count(*) AS ctot FROM binned GROUP BY bin
+), fractions AS (
+    SELECT s.source, s.bin,
+           (s.c + 0.5) / (sum(s.c) OVER (PARTITION BY s.source) + 5.0) AS p,
+           (coalesce(cc.ctot, 0) + 0.5)
+               / (sum(coalesce(cc.ctot, 0)) OVER (PARTITION BY s.source)
+                  + 5.0) AS qq
+    FROM src_counts s LEFT JOIN corpus_counts cc ON cc.bin = s.bin
+)
+SELECT source,
+       round(sum((p - qq) * ln(p / qq)), 6) AS psi
+FROM fractions
+GROUP BY source
+"""
+
+
+@query("quality_psi", _quality_psi_sql())
+def quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source",
+        F.least(F.floor(T.quality_score("text") * 10), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+    )
+    # ONE map-side-combinable (source, bin) count; every later frame is
+    # |sources| x 10 rows and broadcasts
+    src_counts = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sources = src_counts.select("source").distinct()
+    grid = sources.crossJoin(
+        F.broadcast(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    filled = grid.join(src_counts, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    corpus = (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("ctot"))
+    )
+    joined = filled.join(F.broadcast(corpus), "bin", "left").select(
+        "source",
+        "bin",
+        "c",
+        F.coalesce("ctot", F.lit(0)).alias("ctot"),
+    )
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy("source")
+    p = (F.col("c") + 0.5) / (F.sum("c").over(w_src) + 5.0)
+    qq = (F.col("ctot") + 0.5) / (F.sum("ctot").over(w_src) + 5.0)
+    return (
+        joined.select(
+            "source", ((p - qq) * F.log(p / qq)).alias("term")
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup — exact (on a corpus with synthesized duplicates so the operator has
 # something to find; the augmentation is part of the query on both sides)
 # ---------------------------------------------------------------------------
@@ -2464,6 +2616,91 @@ def ann_sq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN — two-stage retrieve-then-rerank funnel: a cheap int8-dequantized
+# coarse pass keeps 20 candidates per query; only those survivors get the
+# exact fp32 score. This is the production serving shape (quantized index
+# in memory, exact rerank on the short list): the rerank stage's cost is
+# O(queries x 20) regardless of corpus size, and only (query, candidate)
+# id pairs cross the shuffle between stages.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_rerank_topk",
+    f"""
+WITH cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), deq AS ({_SQ_DEQ_SQL}),
+coarse AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM deq q JOIN deq c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rnk <= 20
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT co.query_id, co.neighbor_id,
+           round(list_dot_product(q.v, c.v), 6) AS score,
+           row_number() OVER (
+               PARTITION BY co.query_id
+               ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                        co.neighbor_id
+           ) AS rnk
+    FROM coarse co
+    JOIN cd q ON q.vec_id = co.query_id
+    JOIN cd c ON c.vec_id = co.neighbor_id
+) WHERE rnk <= 5
+""",
+)
+def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_unify_order_messages_spark.functions import (
+        vectors as V,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id", V.quantize_int8("embedding").alias("_qz")
+    ).select(
+        "vec_id",
+        V.dequantize(F.col("_qz.scale"), F.col("_qz.q")).alias("embedding"),
+    )
+    q_deq = deq.filter(F.col("vec_id") % 20 == 0)
+    coarse = S.brute_force_topk(q_deq, deq, k=20, metric="dot").select(
+        "query_id", "neighbor_id"
+    )
+    # exact rerank is candidate-bounded: 20 rows per query join their
+    # fp32 vectors; interpreted-HOF dot is fine at this volume and the
+    # query-vector side broadcasts
+    qv = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), "neighbor_id"
+    )
+    return (
+        coarse.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot("_qv", "_nv"), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN — IVF x PQ (the FAISS "IVFx,PQy" index shape): IVF prunes COMPUTE
 # (each query scans only nprobe of 16 cells), PQ prunes MEMORY (candidates
 # score via 8 LUT gathers on 8-byte codes). Fixed centroids + codebook
@@ -2668,6 +2905,69 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source (what production training mixes budget), integer-threshold md5
 # draws for an engine-stable keep boundary.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Epoch/repetition plan: the per-source allocation table a training run is
+# configured from. Temperature weights (alpha=0.5 -> sqrt) re-balance the
+# mix; epochs_milli > 1000 means the source repeats (upsampled), < 1000
+# means it is subsampled. sqrt terms are summed as DECIMAL so the
+# normalizer is independent of summation order on both engines; every
+# published number is a floor of an identically-computed double.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "epoch_plan",
+    f"""
+WITH sized AS (
+    SELECT source, len({_TOKS}) AS nt FROM documents
+), per_src AS (
+    SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM sized GROUP BY source
+), keyed AS (
+    SELECT source, n_tokens,
+           CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,12)) AS sq
+    FROM per_src
+), tot AS (
+    SELECT CAST(sum(sq) AS DOUBLE) AS z,
+           CAST(sum(n_tokens) AS BIGINT) AS budget
+    FROM keyed
+)
+SELECT source, n_tokens,
+       CAST(floor(CAST(sq AS DOUBLE) / z * 1000000.0) AS BIGINT)
+           AS weight_ppm,
+       CAST(floor(CAST(sq AS DOUBLE) / z * budget) AS BIGINT)
+           AS target_tokens,
+       CAST(floor(CAST(sq AS DOUBLE) / z * budget / n_tokens * 1000.0)
+            AS BIGINT) AS epochs_milli
+FROM keyed CROSS JOIN tot
+""",
+)
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", T.token_count("text").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    keyed = per_src.withColumn(
+        "sq", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,12)")
+    )
+    tot = keyed.agg(
+        F.sum("sq").cast("double").alias("z"),
+        F.sum("n_tokens").cast("long").alias("budget"),
+    )
+    ratio = F.col("sq").cast("double") / F.col("z")
+    return keyed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(ratio * 1000000.0).cast("long").alias("weight_ppm"),
+        F.floor(ratio * F.col("budget")).cast("long").alias("target_tokens"),
+        F.floor(ratio * F.col("budget") / F.col("n_tokens") * 1000.0)
+        .cast("long")
+        .alias("epochs_milli"),
+    )
 
 
 @query(

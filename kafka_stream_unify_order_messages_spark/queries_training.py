@@ -89,6 +89,39 @@ def hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-group document cap (Common-Crawl "at most K pages per domain"):
+# WindowGroupLimit prunes every group map-side to cap rows before the one
+# group-key exchange — a hot domain never lands whole on one reducer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "per_source_cap",
+    """
+WITH ranked AS (
+    SELECT doc_id, source, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap42:' || CAST(doc_id AS VARCHAR))
+           ) AS grp_rank
+    FROM documents
+)
+SELECT doc_id, source, lang, n_chars, CAST(grp_rank AS BIGINT) AS grp_rank
+FROM ranked
+WHERE grp_rank <= 20
+""",
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    capped = C.cap_per_group(
+        docs, ["source"], id_col="doc_id", cap=20, seed="cap42"
+    )
+    return capped.withColumn("grp_rank", F.col("grp_rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking (scan-local: bound token array + slice windows)
 # ---------------------------------------------------------------------------
 

@@ -360,3 +360,32 @@ def test_global_rank_matches_python_sort_any_partitioning(spark):
             ).collect()
         }
         assert got == expect, f"n_partitions={n_parts}"
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    import hashlib
+
+    from kafka_stream_unify_order_messages_spark.operators.curation import (
+        cap_per_group,
+    )
+
+    # group "big" has 20 rows (capped to 5), "small" has 3 (kept whole)
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    expect_big = sorted(
+        range(20),
+        key=lambda i: hashlib.md5(f"cap42:{i}".encode()).hexdigest(),
+    )[:5]
+    for n_parts in (1, 8):
+        df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(
+            n_parts
+        )
+        out = cap_per_group(df, ["source"], cap=5).collect()
+        by_group: dict = {}
+        for r in out:
+            by_group.setdefault(r["source"], []).append(r)
+        assert sorted(r["doc_id"] for r in by_group["big"]) == sorted(
+            expect_big
+        ), f"n_parts={n_parts}"
+        assert len(by_group["small"]) == 3
+        # grp_rank enumerates the kept subset 1..k in md5 order
+        assert sorted(r["grp_rank"] for r in by_group["big"]) == [1, 2, 3, 4, 5]

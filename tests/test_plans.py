@@ -310,6 +310,17 @@ def test_weighted_sample_topk_pruned_before_shuffle(spark):
     assert "Partial" in plan[plan.index("WindowGroupLimit"):]
 
 
+def test_per_source_cap_pruned_before_shuffle(spark):
+    # per-group cap: the md5 order key is scan-local, the literal
+    # rn <= cap filter becomes a WindowGroupLimit with a Partial mode map
+    # side — a million-row group ships cap rows per input partition, and
+    # the single exchange is the group key
+    plan = plan_of(spark, "per_source_cap")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan[plan.index("WindowGroupLimit"):]
+
+
 def test_funnel_single_key_exchange(spark):
     # one shuffle on the entity key; the fold over the sorted event array
     # is scan-local and the step rollup is a single conditional aggregate
