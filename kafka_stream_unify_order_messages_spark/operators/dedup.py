@@ -500,48 +500,68 @@ def simhash_near_dup_pairs(
     slices. Verification (bit_count of xor) runs in codegen on the joined
     longs — no text ever crosses the candidate join.
     """
-    if max_hamming >= bands:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs bands > max_hamming "
-            f"(got bands={bands}) for exact recall"
-        )
     from pyspark import StorageLevel
 
-    width = bits // bands
-    mask = (1 << width) - 1
     # the fingerprint frame feeds both sides of the candidate self-join;
     # persist it (2 longs per doc) so the 32-vote aggregation runs once
     sims = simhash(df, id_col, text_col, bits=bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return hamming_pairs(
+        sims, id_col, "simhash", bits=bits, bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pigeonhole-blocked Hamming near-neighbor pairs over ANY integer
+    fingerprint column (simhash, perceptual aHash, ...): (id_a, id_b,
+    hamming) with id_a < id_b and hamming <= ``max_hamming``. See
+    :func:`simhash_near_dup_pairs` for the blocking argument; requires
+    ``max_hamming < bands`` for exact recall.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got bands={bands}) for exact recall"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
     slices = F.array(
         *[
             F.struct(
                 F.lit(b).cast("long").alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
+                F.shiftright(F.col(hash_col), b * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("band_val"),
             )
             for b in range(bands)
         ]
     )
-    banded = sims.select(
-        F.col(id_col), F.col("simhash"), F.explode(slices).alias("s")
+    banded = fps.select(
+        F.col(id_col), F.col(hash_col), F.explode(slices).alias("s")
     ).select(
         id_col,
-        "simhash",
+        hash_col,
         F.col("s.band").alias("band"),
         F.col("s.band_val").alias("band_val"),
     )
     a = banded.select(
         F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sim_a"),
+        F.col(hash_col).alias("sim_a"),
         "band",
         "band_val",
     )
     b = banded.select(
         F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sim_b"),
+        F.col(hash_col).alias("sim_b"),
         "band",
         "band_val",
     )

@@ -180,6 +180,52 @@ def frame_sample(
     return df.select(id_col, "payload").mapInPandas(run, schema)
 
 
+def media_phash(
+    df: DataFrame, id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Perceptual average-hash (aHash) fingerprint per payload: the media
+    analogue of simhash. The payload's byte stream is divided into
+    ``bits`` contiguous chunks (the stand-in for a downscaled grayscale
+    tile grid — with a real codec the chunks would be 8x8 pixel means);
+    bit j is set when chunk j's mean byte value exceeds the whole
+    payload's mean. Re-encodings that preserve content shift byte means
+    only locally, so perceptual duplicates land within a small Hamming
+    distance — feed the result to ``dedup.hamming_pairs``.
+
+    Every comparison is cross-multiplied integer math
+    (``chunk_sum * L > total_sum * chunk_len``) — no float division, so
+    the hash is bit-identical across engines and batch shapes.
+
+    Scale: one Arrow-batched pass, no shuffle; only (id, long) leaves
+    the scan, the payload never crosses a wire.
+    """
+    schema = f"{_id_field_ddl(df, id_col)}, phash long"
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            hashes = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, b in enumerate(pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(arr)
+                if n == 0:
+                    continue
+                # chunk of byte i = (i * bits) // n: contiguous, covers
+                # every byte, possibly empty chunks when n < bits
+                idx = (np.arange(n) * bits) // n
+                csum = np.bincount(idx, weights=arr, minlength=bits)
+                clen = np.bincount(idx, minlength=bits)
+                total = int(arr.sum())
+                bits_set = (csum * n) > (total * clen)
+                hashes[row_i] = int(
+                    (bits_set.astype(np.int64) << np.arange(bits)).sum()
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.select(id_col, "payload").mapInPandas(run, schema)
+
+
 def _id_field_ddl(df: DataFrame, id_col: str) -> str:
     return f"{id_col} {df.schema[id_col].dataType.simpleString()}"
 

@@ -3134,6 +3134,75 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash media near-dup: aHash over payload byte chunks (the
+# media analogue of simhash; with a real codec the chunks are downscaled
+# pixel means) + the shared pigeonhole Hamming blocking. The corpus is
+# augmented with exact re-uploads so distance-0 pairs exist; the hash is
+# pure integer math, so the whole composition is value-checkable (payload
+# = utf-8 text bytes, ASCII-verified on both engines so codepoint == byte).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_phash_pairs",
+    """
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0 AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
+), bytes AS (
+    SELECT doc_id, (i - 1) AS pos, unicode(substr(text, i, 1)) AS b,
+           length(text) AS n
+    FROM aug, unnest(generate_series(1, length(text))) AS t(i)
+), chunks AS (
+    SELECT doc_id, (pos * 32) // n AS cj,
+           sum(b) AS csum, count(*) AS clen
+    FROM bytes GROUP BY doc_id, (pos * 32) // n
+), totals AS (
+    SELECT doc_id, sum(b) AS total, max(n) AS n
+    FROM bytes GROUP BY doc_id
+), hashes AS (
+    SELECT c.doc_id,
+           CAST(sum(CASE WHEN c.csum * t.n > t.total * c.clen
+                         THEN CAST(pow(2, c.cj) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS phash
+    FROM chunks c JOIN totals t USING (doc_id)
+    GROUP BY c.doc_id
+), banded AS (
+    SELECT doc_id, phash, g.band, (phash >> (g.band * 8)) & 255 AS band_val
+    FROM hashes, (SELECT unnest(generate_series(0, 3)) AS band) g
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.phash AS pa, b.phash AS pb
+    FROM banded a
+    JOIN banded b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 3
+""",
+)
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").filter(
+        ~F.col("text").rlike("[^\\x00-\\x7F]")
+    )
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    media = M.synthetic_media(aug)
+    fps = M.media_phash(media, "doc_id", bits=32)
+    return D.hamming_pairs(
+        fps, "doc_id", "phash", bits=32, bands=4, max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sparse lexical retrieval — Okapi BM25 top-k. The lexical complement of
 # the dense-ANN family: tf takes one shuffle, df/corpus stats broadcast,
 # the query side is constant-sized, and top-k runs the two-phase prune

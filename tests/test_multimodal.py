@@ -98,3 +98,69 @@ def test_frame_sample_fanout_and_digests(media):
     assert f0.frame_digest == hashlib.md5(b"a" * 100).hexdigest()
     # empty payload still yields exactly one (empty) frame
     assert [r.frame_idx for r in by_id[3]] == [0]
+
+
+def test_media_phash_matches_pure_python_and_partitioning(spark):
+    from kafka_stream_unify_order_messages_spark.operators.multimodal import (
+        media_phash,
+        synthetic_media,
+    )
+
+    texts = [
+        (1, "hello world this is a payload with some variety 0123"),
+        (2, "hello world this is a payload with some variety 0123"),
+        (3, "aaaaaaaaaaaaaaaa"),  # uniform bytes -> no bit set
+        (4, "zz" * 40 + "aa" * 40),  # high then low halves
+    ]
+
+    def py_phash(s: str, bits: int = 32) -> int:
+        bs = s.encode()
+        n = len(bs)
+        csum = [0] * bits
+        clen = [0] * bits
+        for i, byte in enumerate(bs):
+            j = (i * bits) // n
+            csum[j] += byte
+            clen[j] += 1
+        total = sum(bs)
+        return sum(
+            1 << j
+            for j in range(bits)
+            if csum[j] * n > total * clen[j]
+        )
+
+    expect = {i: py_phash(t) for i, t in texts}
+    for n_parts in (1, 6):
+        docs = spark.createDataFrame(texts, ["doc_id", "text"]).repartition(
+            n_parts
+        )
+        got = {
+            r["doc_id"]: r["phash"]
+            for r in media_phash(synthetic_media(docs)).collect()
+        }
+        assert got == expect, f"n_parts={n_parts}"
+    assert expect[1] == expect[2]  # identical payloads -> identical hash
+    assert expect[3] == 0
+    assert expect[4] != 0
+
+
+def test_media_phash_pairs_find_exact_reupload(spark):
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        hamming_pairs,
+    )
+    from kafka_stream_unify_order_messages_spark.operators.multimodal import (
+        media_phash,
+        synthetic_media,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different content here: " + "q9" * 60)],
+        ["doc_id", "text"],
+    )
+    fps = media_phash(synthetic_media(docs))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(fps, "doc_id", "phash").collect()
+    }
+    assert pairs.get((1, 2)) == 0
