@@ -322,3 +322,25 @@ def quality_classifier_score(text: Column | str) -> Column:
     # blank text whitespace-splits to [''] (house tokenizer convention),
     # which would score the empty-string token; gate it to a 0.5 prior
     return F.when(F.length(F.trim(_c(text))) > 0, scored).otherwise(F.lit(0.5))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Unicode/whitespace cleanup — the first stage of every real corpus
+    pipeline (CCNet's normalization, Dolma's `uniseg` pass, HF
+    `text-normalization`): strip C0/C1 control characters, fold curly
+    quotes and en/em dashes to their ASCII forms, collapse every
+    whitespace run to one space, trim. Deterministic, scan-local, and
+    SQL-portable (regexp_replace + translate exist identically in
+    DuckDB), so the op is value-checkable end-to-end.
+
+    Deliberately NOT full NFC/NFKC (no ICU in either engine); the
+    structure — ordered rule chain, each rule a codegen'd expression — is
+    what a production build extends with a proper normalizer UDF.
+    """
+    t = _c(text)
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    t = F.translate(t, "’‘“”–—", "''\"\"--")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)

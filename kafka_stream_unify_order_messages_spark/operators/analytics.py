@@ -308,25 +308,99 @@ def rolling_active_users(
     range, and every window is then a CONDITIONAL distinct count in one
     aggregation — one range join, not one per window.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    names = {1: "dau", 7: "wau", 30: "mau"}
+    widest = max(windows)
     day = F.date_trunc("day", F.col(ts_col))
     activity = events.select(day.alias("aday"), F.col(key)).distinct()
-    day_dim = activity.select(F.col("aday").alias("day")).distinct()
-    widest = max(windows)
-    joined = activity.join(
-        F.broadcast(day_dim),
-        (F.col("aday") <= F.col("day"))
-        & (
-            F.col("aday")
-            > F.col("day") - F.expr(f"INTERVAL {widest} DAYS")
-        ),
-    )
-    aggs = []
-    names = {1: "dau", 7: "wau", 30: "mau"}
+
+    # ONE key-partitioned sort serves every window: under window w a key
+    # covers days [aday, aday + w); consecutive activities less than w
+    # days apart merge into one island, so the per-key coverage is a set
+    # of disjoint [start, end) intervals — island breaks are just gap
+    # tests against the one shared lag
+    w_key = Window.partitionBy(key).orderBy("aday")
+    lagged = activity.withColumn("_prev", F.lag("aday").over(w_key))
+    island_cols = []
     for w in windows:
-        cond = F.col("aday") > F.col("day") - F.expr(f"INTERVAL {w} DAYS")
-        aggs.append(
-            F.count_distinct(F.when(cond, F.col(key))).alias(
-                names.get(w, f"active_{w}d")
+        brk = F.when(
+            F.col("_prev").isNull()
+            | (
+                F.col("aday")
+                >= F.col("_prev") + F.expr(f"INTERVAL {w} DAYS")
+            ),
+            1,
+        ).otherwise(0)
+        island_cols.append(
+            F.sum(brk)
+            .over(w_key.rowsBetween(Window.unboundedPreceding, 0))
+            .alias(f"_isl_{w}")
+        )
+    islands = lagged.select(
+        key, "aday", *island_cols
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per window: islands -> +1/-1 day deltas -> running coverage.
+    # the delta frame collapses to O(distinct days) rows, so its ordered
+    # prefix-sum window sorts ~|days| rows, never activity
+    per_window = []
+    for w in windows:
+        spans = islands.groupBy(key, f"_isl_{w}").agg(
+            F.min("aday").alias("_start"),
+            (
+                F.max("aday") + F.expr(f"INTERVAL {w} DAYS")
+            ).alias("_end"),
+        )
+        deltas = spans.select(
+            F.col("_start").alias("day"), F.lit(1).alias("_d")
+        ).unionByName(
+            spans.select(
+                F.col("_end").alias("day"), F.lit(-1).alias("_d")
             )
         )
-    return joined.groupBy("day").agg(*aggs)
+        col = names.get(w, f"active_{w}d")
+        per_window.append(
+            deltas.groupBy("day")
+            .agg(F.sum("_d").alias("_delta"))
+            .withColumn(
+                col,
+                F.sum("_delta").over(
+                    Window.orderBy("day").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            )
+            .select("day", col)
+        )
+
+    # stitch the tiny per-day frames: seed with every activity day (a
+    # day between two deltas carries constant coverage and must still be
+    # reported), outer-join each window's delta days, then back-fill the
+    # running value per column over the merged day set
+    day_dim = activity.select(F.col("aday").alias("day")).distinct()
+    merged = day_dim
+    for pw in per_window:
+        merged = merged.join(pw, "day", "outer")
+    fill = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    filled = merged.select(
+        "day",
+        *[
+            F.coalesce(
+                F.last(names.get(w, f"active_{w}d"), ignorenulls=True).over(
+                    fill
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(names.get(w, f"active_{w}d"))
+            for w in windows
+        ],
+    )
+    # the reported day set: days with at least one activity in the
+    # trailing widest window == days whose widest coverage is positive,
+    # restricted to days that actually occur as activity days
+    return filled.join(day_dim, "day").filter(
+        F.col(names.get(widest, f"active_{widest}d")) > 0
+    )

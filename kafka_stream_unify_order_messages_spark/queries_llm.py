@@ -187,6 +187,67 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Text normalization (the pipeline's stage zero): control-char strip ->
+# ASCII-fold curly quotes/dashes -> whitespace collapse -> trim. The test
+# corpus is already clean, so a deterministic messy variant of every 7th
+# doc is injected on BOTH engines — the rules demonstrably fire and the
+# cleaned output is value-checked.
+# ---------------------------------------------------------------------------
+
+_MESSY_SUFFIX_SQL = (
+    "chr(32) || chr(8220) || 'q' || chr(8221) || chr(10) || chr(7)"
+)
+_NORM_CHAIN_SQL = (
+    "trim(regexp_replace(translate(regexp_replace({col}, "
+    "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+    "chr(8217) || chr(8216) || chr(8220) || chr(8221) || chr(8211) "
+    "|| chr(8212), "
+    "chr(39) || chr(39) || chr(34) || chr(34) || chr(45) || chr(45)), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "text_normalize",
+    f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           chr(32) || chr(32) || chr(9) || replace(text, ' ', '  ')
+               || {_MESSY_SUFFIX_SQL} AS text
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+       {_NORM_CHAIN_SQL.format(col='text')} AS norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length({_NORM_CHAIN_SQL.format(col='text')}) AS BIGINT)
+           AS n_chars_after
+FROM aug
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    messy = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("  \t"),
+            F.regexp_replace(F.col("text"), " ", "  "),
+            F.lit(" “q”\n\x07"),
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(messy)
+    return aug.select(
+        "doc_id",
+        T.normalize_text("text").alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(T.normalize_text("text")).cast("long").alias(
+            "n_chars_after"
+        ),
+    )
+
+
 @query(
     "doc_fingerprints",
     f"""
@@ -1528,6 +1589,103 @@ def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(corpus, bench, ngram_n=4)
+
+
+# ---------------------------------------------------------------------------
+# Contamination profile: the decile histogram of per-doc benchmark-overlap
+# fraction — what papers report and what picks the removal threshold
+# (drop at >=30% overlap, flag at >=10%, ...). Integer decile arithmetic
+# ((n_hits * 10) // n_grams), so no float boundary exists anywhere.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_profile",
+    f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    -- fully-contaminated plants: verbatim bench copies (decile 9)
+    SELECT doc_id + 3000000 AS doc_id, text FROM documents
+    WHERE doc_id % 97 = 0
+    UNION ALL
+    -- partially-contaminated plants: bench text diluted with clean text
+    SELECT b.doc_id + 4000000 AS doc_id,
+           b.text || ' ' || c.text AS text
+    FROM documents b JOIN documents c ON c.doc_id = b.doc_id + 1
+    WHERE b.doc_id % 97 = 0
+), grams AS (
+    SELECT doc_id, unnest({_GRAMS4}) AS shingle FROM aug
+), bench AS (
+    SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0
+), per_doc AS (
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(b.shingle) AS n_hits
+    FROM grams g LEFT JOIN bench b ON g.shingle = b.shingle
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+)
+SELECT CAST(least((n_hits * 10) // n_grams, 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits
+FROM per_doc
+GROUP BY 1
+""",
+)
+def contamination_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        _exploded_shingles,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    bench_src = docs.filter(F.col("doc_id") % 97 == 0)
+    full = bench_src.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    partial = (
+        bench_src.alias("b")
+        .join(
+            docs.alias("c"),
+            F.col("c.doc_id") == F.col("b.doc_id") + 1,
+        )
+        .select(
+            (F.col("b.doc_id") + 4000000).alias("doc_id"),
+            F.concat(F.col("b.text"), F.lit(" "), F.col("c.text")).alias(
+                "text"
+            ),
+        )
+    )
+    aug = (
+        docs.select("doc_id", "text")
+        .unionByName(full)
+        .unionByName(partial)
+    )
+    bench = aug.filter(F.col("doc_id") % 97 == 0)
+    corpus = aug.filter(F.col("doc_id") % 97 != 0)
+    corpus_grams = _exploded_shingles(corpus, "doc_id", "text", 4)
+    bench_grams = F.broadcast(
+        _exploded_shingles(bench, "doc_id", "text", 4)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        corpus_grams.join(bench_grams, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )
+    # integer floor-division on both engines — no float boundary
+    decile = F.least(
+        F.expr("(n_hits * 10) div n_grams"), F.lit(9)
+    ).cast("long")
+    return per_doc.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+    )
 
 
 # ---------------------------------------------------------------------------
