@@ -108,3 +108,49 @@ def apply_changes(
         .filter(F.col(op_col) != delete_value)
         .drop("_rn", op_col)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str = "part_key",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner (the Delta/Iceberg OPTIMIZE bin-pack
+    step): within each table partition, assign files to merge groups of
+    ~``target_bytes`` by running-cumsum bucketing in deterministic
+    ``file_col`` order — group = exclusive-prefix-sum // target, so every
+    group except the last holds at least ``target_bytes`` once its last
+    member is added, and assignment is stable across reruns.
+
+    Returns one row per planned output file:
+    (part, compact_group, n_files, group_bytes).
+
+    Scale: ONE exchange on the partition key; the per-partition window is
+    a sort of that partition's file COUNT (metadata rows, not data—a
+    million files is a million tiny rows), and the rollup reuses the same
+    partitioning. The data files themselves never move through this plan;
+    it emits the work list a rewrite job executes.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    # integer floor-division: long `/` would detour through a double and
+    # lose exactness past 2^53 total bytes — real at the 100 TB design point
+    grouped = files.withColumn("_before", before).withColumn(
+        "compact_group",
+        F.expr(f"_before div {target_bytes}").cast("long"),
+    )
+    return (
+        grouped.groupBy(part_col, "compact_group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(size_col).cast("long").alias("group_bytes"),
+        )
+    )

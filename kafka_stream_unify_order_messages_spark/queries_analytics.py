@@ -389,6 +389,46 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Compaction planner: the OPTIMIZE bin-pack work list over file metadata
+# (documents stand in: source = table partition, n_chars = file size).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "compaction_plan",
+    """
+WITH files AS (
+    SELECT source AS part_key, doc_id AS file_id, n_chars AS size_bytes
+    FROM documents
+), cum AS (
+    SELECT part_key, file_id, size_bytes,
+           coalesce(sum(size_bytes) OVER (
+               PARTITION BY part_key ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS before
+    FROM files
+)
+SELECT part_key, CAST(before // 2000 AS BIGINT) AS compact_group,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS group_bytes
+FROM cum
+GROUP BY part_key, before // 2000
+""",
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.warehouse import (
+        compaction_plan as _cp,
+    )
+
+    files = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("part_key"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return _cp(files, target_bytes=2000)
+
+
 @query(
     "cdc_apply_changes",
     """

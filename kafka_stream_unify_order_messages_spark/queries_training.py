@@ -296,6 +296,88 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe train/eval split: reproducible hash split, then QUARANTINE
+# every test doc whose LSH band collides with any train doc — the
+# "no near-dups across the split boundary" guard an honest eval needs
+# (a plain random split leaks every duplicated document's content into
+# both sides). Composition of hash_sample's keying + the incremental
+# near-dup screen; band keys collapse to distinct buckets before the
+# semi join, so the guard costs band-rows, not pairs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+WITH sig AS ({_SIGNATURE_SQL}),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
+    FROM sig GROUP BY doc_id, seed // 4
+),
+keyed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),
+                               1, 7) AS BIGINT) % 10000 AS bkt
+    FROM documents
+),
+train_ids AS (SELECT doc_id FROM keyed WHERE bkt >= 1000),
+test_ids AS (SELECT doc_id FROM keyed WHERE bkt < 1000),
+train_b AS (
+    SELECT DISTINCT band, band_key
+    FROM bands JOIN train_ids USING (doc_id)
+),
+leaked AS (
+    SELECT DISTINCT b.doc_id
+    FROM bands b
+    JOIN test_ids USING (doc_id)
+    JOIN train_b o USING (band, band_key)
+)
+SELECT doc_id, 'train' AS split FROM train_ids
+UNION ALL
+SELECT t.doc_id,
+       CASE WHEN l.doc_id IS NULL THEN 'test' ELSE 'quarantined' END
+           AS split
+FROM test_ids t LEFT JOIN leaked l USING (doc_id)
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("split42"),
+                                  F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    keyed = docs.withColumn("_bkt", bkt)
+    train = keyed.filter(F.col("_bkt") >= 1000)
+    test = keyed.filter(F.col("_bkt") < 1000)
+    leaked = D.near_dup_incremental(
+        test, train, id_col="doc_id", text_col="text"
+    ).withColumn("_leak", F.lit(1))
+    train_out = train.select(
+        "doc_id", F.lit("train").alias("split")
+    )
+    test_out = test.select("doc_id").join(
+        F.broadcast(leaked), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("_leak").isNull(), F.lit("test"))
+        .otherwise(F.lit("quarantined"))
+        .alias("split"),
+    )
+    return train_out.unionByName(test_out)
+
+
+# ---------------------------------------------------------------------------
 # Entity-resolution fuzzy join (operators/fuzzy.py): blocked Levenshtein
 # ---------------------------------------------------------------------------
 

@@ -139,3 +139,29 @@ def test_zonemap_eval_zorder_skips_clustered_dimension(spark):
         assert z["skip_ratio"] > 0.5, z
         # every natural file spans almost the whole x range
         assert n["skip_ratio"] == 0.0, n
+
+
+def test_compaction_plan_bin_packs_per_partition(spark):
+    from kafka_stream_unify_order_messages_spark.operators.warehouse import (
+        compaction_plan,
+    )
+
+    # partition "a": sizes 60,60,60 at target 100 -> groups 0 (60+60=120
+    # crosses after the second file joins: before=60 < 100 so file 2 is
+    # group 0; file 3 has before=120 -> group 1). partition "b": one file.
+    rows = [
+        ("a", 1, 60),
+        ("a", 2, 60),
+        ("a", 3, 60),
+        ("b", 9, 10),
+    ]
+    files = spark.createDataFrame(rows, ["part_key", "file_id", "size_bytes"])
+    out = {
+        (r["part_key"], r["compact_group"]): (r["n_files"], r["group_bytes"])
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    assert out == {
+        ("a", 0): (2, 120),
+        ("a", 1): (1, 60),
+        ("b", 0): (1, 10),
+    }
