@@ -60,3 +60,43 @@ def salted_agg(
             for out, (col, fn) in aggs.items()
         ]
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Hot-key diagnostic — the report you run BEFORE choosing a salt
+    factor or enabling a skew hint: top-``top_k`` keys by row count with
+    each key's corpus share and the salt factor that would level it to
+    the average key's volume.
+
+    All published numbers are integer arithmetic (ppm share via floor
+    division, salt via ceiling division ``(n * n_keys + total - 1) //
+    total``), so the report is bit-stable across engines and retries.
+
+    Scale: per-key counts are ONE map-side-combinable aggregation; the
+    top-k is TakeOrderedAndProject (each partition ships k candidate
+    rows, no global sort); totals are a one-row broadcast.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), "key").limit(top_k)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_rows",
+        "n_keys",
+        F.expr("(n_rows * 1000000) div _total").cast("long").alias(
+            "share_ppm"
+        ),
+        F.expr("(n_rows * n_keys + _total - 1) div _total")
+        .cast("long")
+        .alias("salt_factor"),
+    )

@@ -390,6 +390,44 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hot-key skew report: the diagnostic behind salting decisions. Integer
+# arithmetic only (ppm floor-div, ceiling-div salt factor).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_report",
+    """
+WITH counts AS (
+    SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+    FROM events GROUP BY user_id
+), tot AS (
+    SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM counts
+), ranked AS (
+    SELECT key, n_rows, row_number() OVER (
+        ORDER BY n_rows DESC, key
+    ) AS rnk FROM counts
+)
+SELECT key, n_rows, n_keys,
+       CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((n_rows * n_keys + total - 1) // total AS BIGINT)
+           AS salt_factor
+FROM ranked CROSS JOIN tot
+WHERE rnk <= 10
+""",
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.skew import (
+        skew_report as _sr,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    return _sr(events, ["user_id"], top_k=10)
+
+
+# ---------------------------------------------------------------------------
 # Compaction planner: the OPTIMIZE bin-pack work list over file metadata
 # (documents stand in: source = table partition, n_chars = file size).
 # ---------------------------------------------------------------------------

@@ -1232,6 +1232,167 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunk-embedding pooling: mean-pool consecutive chunk vectors into one
+# document vector (the retrieval-index build step after long-doc
+# chunking). Spark folds each group's vec_id-SORTED collected arrays with
+# zip_with — ONE shuffle of array rows, no 64x dimension explode; the
+# oracle averages per dimension. Dims round to 6dp BEFORE the norm so the
+# derived outputs are computed from identical doubles on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_pool",
+    """
+WITH g AS (
+    SELECT vec_id // 5 AS group_id, vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings
+), dims AS (
+    SELECT group_id, i AS dim, v[i] AS val
+    FROM g, unnest(generate_series(1, len(v))) AS t(i)
+), pooled AS (
+    SELECT group_id, dim, round(avg(val), 6) AS pval
+    FROM dims GROUP BY group_id, dim
+), arrs AS (
+    SELECT group_id, list(pval ORDER BY dim) AS pv
+    FROM pooled GROUP BY group_id
+), counts AS (
+    SELECT vec_id // 5 AS group_id, count(*) AS n_chunks
+    FROM embeddings GROUP BY 1
+)
+SELECT a.group_id, c.n_chunks,
+       round(sqrt(list_dot_product(pv, pv)), 6) AS pooled_norm,
+       pv[1] AS dim1, pv[32] AS dim32
+FROM arrs a JOIN counts c USING (group_id)
+""",
+)
+def embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions import vectors as V
+
+    emb = _load(spark, sf_dir, "embeddings")
+    grouped = emb.select(
+        F.expr("vec_id div 5").alias("group_id"),
+        F.struct("vec_id", "embedding").alias("_sv"),
+    )
+    # sort_array makes the fold order vec_id-deterministic — summation
+    # order is part of the operator contract, not an engine accident
+    agged = grouped.groupBy("group_id").agg(
+        F.sort_array(F.collect_list("_sv")).alias("_svs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    n = F.col("n_chunks")
+    summed = F.aggregate(
+        F.col("_svs"),
+        F.expr("array_repeat(cast(0.0 as double), 64)"),
+        lambda acc, sv: F.zip_with(
+            acc,
+            sv["embedding"],
+            lambda a, x: a + x.cast("double"),
+        ),
+    )
+    pooled = F.transform(summed, lambda s: F.round(s / n, 6))
+    out = agged.select(
+        "group_id", "n_chunks", pooled.alias("_pv")
+    )
+    return out.select(
+        "group_id",
+        "n_chunks",
+        F.round(F.sqrt(V.dot("_pv", "_pv")), 6).alias("pooled_norm"),
+        F.element_at("_pv", 1).alias("dim1"),
+        F.element_at("_pv", 32).alias("dim32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval: keep the first 16 of 64 dims, re-rank by
+# truncated cosine, measure recall@5 vs the full-dim truth — the MRL
+# "how much cheaper can retrieval get" knob, same harness as the int8
+# and PQ recall evals.
+# ---------------------------------------------------------------------------
+
+_COS_TRUNC = (
+    "round(list_dot_product(q.tv, c.tv) / "
+    "(sqrt(list_dot_product(q.tv, q.tv)) * "
+    "sqrt(list_dot_product(c.tv, c.tv))), 6)"
+)
+
+
+@query(
+    "ann_matryoshka_recall",
+    f"""
+WITH cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           (embedding::DOUBLE[])[1:16] AS tv
+    FROM embeddings
+),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v) /
+                                  (sqrt(list_dot_product(q.v, q.v)) *
+                                   sqrt(list_dot_product(c.v, c.v))), 6)
+                            DESC, c.vec_id
+               ) AS rnk
+        FROM cd q JOIN cd c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rnk <= 5
+), cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_TRUNC} DESC, c.vec_id
+               ) AS rnk
+        FROM cd q JOIN cd c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 20 = 0
+    ) WHERE rnk <= 5
+), hit AS (
+    SELECT * FROM truth INTERSECT SELECT * FROM cand
+)
+SELECT
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM hit) AS n_hit,
+    CAST(round(CAST((SELECT count(*) FROM hit)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS recall_at_5
+""",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = _load(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    q_trunc = trunc.filter(F.col("vec_id") % 20 == 0)
+    truth = (
+        S.brute_force_topk(queries, emb, k=5, metric="cosine")
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        S.brute_force_topk(q_trunc, trunc, k=5, metric="cosine")
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hit = truth.join(cand, ["query_id", "neighbor_id"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return nt.crossJoin(nh).select(
+        "n_truth",
+        "n_hit",
+        F.round(
+            (F.col("n_hit") / F.col("n_truth")).cast("decimal(38,10)"), 6
+        )
+        .cast("double")
+        .alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus vocabulary: token frequency top-k (the vocab-building scan).
 # ---------------------------------------------------------------------------
 

@@ -362,3 +362,12 @@ def test_source_token_kl_broadcast_total(spark):
     assert plan.count("CartesianProduct") == 0
     # the only nested-loop is the deliberate one-row broadcast total
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_skew_report_topk_no_global_sort(spark):
+    # the hot-key report must not globally sort the per-key counts: the
+    # top-k is TakeOrderedAndProject (k candidates per partition) and the
+    # count aggregation is partial/final (map-side combined)
+    plan = plan_of(spark, "skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
