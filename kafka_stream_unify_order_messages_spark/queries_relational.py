@@ -229,6 +229,49 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trending top-k per tumbling window (streaming/windowed.py:trending_topk
+# batch path; the streaming path aggregates in the stream and ranks in
+# foreachBatch — tests/test_windowed_stream.py drives that wiring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trending_topk",
+    """
+WITH counts AS (
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+               AS window_start_epoch,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY window_start_epoch ORDER BY n DESC, event_type
+    ) AS rnk
+    FROM counts
+)
+SELECT window_start_epoch, event_type, n, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+        trending_topk as _tt,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = _tt(events, ts_col="ts", key_col="event_type",
+              window="1 day", k=3)
+    return out.select(
+        F.col("window_start").cast("timestamp").cast("long").alias(
+            "window_start_epoch"
+        ),
+        "event_type",
+        "n",
+        "rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tumbling-window aggregation (batch analogue of streaming windowed aggs)
 # ---------------------------------------------------------------------------
 

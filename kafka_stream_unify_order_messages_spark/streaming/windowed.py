@@ -99,3 +99,48 @@ def session_windows(
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+def rank_topk(
+    counts: DataFrame, k: int = 3, by: str = "n"
+) -> DataFrame:
+    """Per-window top-k over a (window_start, window_end, key, n) count
+    frame — ties break on the key so the cut is deterministic. A literal
+    rank filter over row_number becomes a WindowGroupLimit (map-side
+    prune), so a window with a million keys ships k rows per partition.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc(by), *[c for c in counts.columns
+                      if c not in ("window_start", "window_end", by)]
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def trending_topk(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "type",
+    window: str = "10 seconds",
+    k: int = 3,
+    watermark_delay: str = "5 seconds",
+) -> DataFrame:
+    """Trending keys: top-``k`` keys per tumbling window by event count.
+
+    Batch: windowed counts + per-window rank in one plan. Streaming:
+    ranking inside an append-mode stream would re-rank on every update,
+    so compose ``tumbling_counts`` (watermark-managed state) with
+    ``rank_topk`` applied in a ``foreachBatch`` sink — the standard
+    "aggregate in the stream, rank at the edge" split; see
+    tests/test_windowed_stream.py for the wiring.
+    """
+    counts = tumbling_counts(
+        events, ts_col, key_col, window, watermark_delay
+    )
+    if events.isStreaming:
+        return counts
+    return rank_topk(counts, k=k)

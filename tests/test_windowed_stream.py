@@ -145,3 +145,54 @@ def test_sliding_counts_overlapping_windows(spark, tmp_path):
         assert (0, 1) in rows and (5, 1) in rows
     finally:
         q.stop()
+
+
+def test_trending_topk_stream_ranks_in_foreach_batch(spark, tmp_path):
+    """Aggregate in the stream, rank at the edge: tumbling counts flow
+    append-mode into a foreachBatch sink that applies rank_topk per
+    closed window."""
+    from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+        rank_topk,
+        trending_topk,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out: list = []
+
+    def sink(batch_df, batch_id):
+        out.extend(rank_topk(batch_df, k=2).collect())
+
+    events = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        trending_topk(events, window="10 seconds",
+                      key_col="type", watermark_delay="5 seconds")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # window [0,10): a x3, b x2, c x1 -> top-2 = a, b
+        rows = (
+            [ev(f"o{i}", "a", 1) for i in range(3)]
+            + [ev(f"p{i}", "b", 2) for i in range(2)]
+            + [ev("q0", "c", 3)]
+        )
+        write_batch(src, rows, 0)
+        q.processAllAvailable()
+        # advance the watermark past window end so [0,10) closes
+        write_batch(src, [ev("z0", "a", 40)], 1)
+        q.processAllAvailable()
+        write_batch(src, [ev("z1", "a", 80)], 2)
+        q.processAllAvailable()
+        got = {
+            (r["type"], r["n"], r["rnk"])
+            for r in out
+            if r["window_start"].second == 0 and r["window_start"].minute == 0
+        }
+        assert ("a", 3, 1) in got
+        assert ("b", 2, 2) in got
+        assert not any(t == "c" for t, _, _ in got)
+    finally:
+        q.stop()
