@@ -390,6 +390,123 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GDPR delete-propagation audit: given a deletion list (every 50th
+# customer), count the rows each dependent table sheds — the
+# right-to-be-forgotten sweep plan. Delete keys broadcast; each table is
+# one scan + broadcast semi join; counts are one-row aggregates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gdpr_delete_audit",
+    """
+WITH del AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0
+), o AS (
+    SELECT o_orderkey FROM orders
+    JOIN del ON o_custkey = c_custkey
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deleted
+UNION ALL
+SELECT 'orders', CAST((SELECT count(*) FROM o) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem
+             JOIN o ON l_orderkey = o_orderkey) AS BIGINT)
+""",
+)
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_keys = cust.filter(F.col("c_custkey") % 50 == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(del_keys),
+        orders["o_custkey"] == del_keys["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_orders),
+        li["l_orderkey"] == del_orders["o_orderkey"],
+        "left_semi",
+    )
+    n_c = del_keys.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    n_o = del_orders.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    n_l = del_li.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    return (
+        n_c.select(F.lit("customer").alias("table_name"), "n_deleted")
+        .unionByName(
+            n_o.select(F.lit("orders").alias("table_name"), "n_deleted")
+        )
+        .unionByName(
+            n_l.select(F.lit("lineitem").alias("table_name"), "n_deleted")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity report: orphan foreign keys across the star
+# schema in one audit frame (anti joins; dimensions broadcast).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "integrity_report",
+    """
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT count(*) FROM customer
+             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer) AS BIGINT)
+""",
+)
+def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(fact, fk, dim, pk, name):
+        # no broadcast hint: the referenced side may itself be a fact
+        # table (lineitem->orders) — AQE broadcasts when it fits and
+        # falls back to a shuffled anti join when it does not
+        orphans = fact.join(
+            dim.select(pk).distinct(),
+            fact[fk] == dim[pk],
+            "left_anti",
+        )
+        return orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        ).crossJoin(
+            fact.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        ).select(F.lit(name).alias("relation"), "n_orphans", "n_rows")
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        audit(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionByName(
+            audit(li, "l_orderkey", orders, "o_orderkey",
+                  "lineitem->orders")
+        )
+        .unionByName(
+            audit(cust, "c_nationkey", nation, "n_nationkey",
+                  "customer->nation")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hot-key skew report: the diagnostic behind salting decisions. Integer
 # arithmetic only (ppm floor-div, ceiling-div salt factor).
 # ---------------------------------------------------------------------------
