@@ -185,6 +185,45 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-RANGE window frame: trailing 1-hour rolling aggregates per key —
+# the rangeBetween complement to window_functions' ROWS frames (peers
+# enter the frame by timestamp distance, not row position). Epoch-second
+# ordering keys keep the frame boundaries integer-exact on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_time_window",
+    """
+SELECT event_id, user_id,
+       epoch_us(ts) // 1000000 AS epoch_s,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        epoch_s.alias("epoch_s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window aggregation: each event lands in window/slide overlapping
 # windows (F.window with slide in Spark; explicit 2-window expansion in the
 # oracle). Epoch-second window keys dodge timestamp-type mismatches.
