@@ -306,3 +306,160 @@ def hll_merge_groups(
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch (Bar-Yossef et al.
+# 2002; Beyer et al. 2007). md5-derived like the CMS/HLL above so every
+# retained hash — and every estimate — is value-checkable against DuckDB.
+#
+# Why it exists next to HLL: KMV supports set INTERSECTION. The bottom-k
+# of a union is computable from per-set bottom-k sketches, and the
+# fraction of union minima present in both sets is an unbiased Jaccard
+# estimator — the cross-source vocabulary-overlap question HLL's
+# union-only registers cannot answer.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_SPACE = float(2**60)  # 15 hex chars of md5 -> 60-bit hash space
+
+
+def _kmv_hash(item_col) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), _str(item_col))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+
+
+def _str(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, item_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group, h): the k smallest distinct item hashes per group — the
+    mergeable KMV form (union = union rows, re-take bottom-k).
+
+    Scale shape: one distinct over (group, h) — the same vocabulary-
+    sized shuffle class as ``token_counts``, map-side combinable — then
+    a row_number window on the group key that Spark's WindowGroupLimit
+    rewrites into a per-task bottom-k BEFORE the window exchange, so no
+    task ever holds more than k rows per group. Everything downstream
+    of this function is sketch-sized (<= k rows per group).
+    """
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        F.col(group_col), _kmv_hash(item_col).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_pair_overlap(
+    df: DataFrame, group_col: str, item_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups, estimated purely
+    from KMV sketches and audited against the exact answer.
+
+    For each unordered group pair (a < b) the estimator takes U = the
+    k smallest hashes of sketch(a) ∪ sketch(b) (a valid KMV sketch of
+    the union), then:
+
+        jaccard_est = |{h in U : h in a AND h in b}| / |U|
+        union_est   = |U| < k ? |U| : (k-1) * 2^60 / max(U)
+        inter_est   = jaccard_est * union_est
+
+    Exact columns ride along (the accuracy-eval pattern of
+    ``cms_estimate_error`` / ``hll_source_distinct``): the exact side is
+    the vocabulary-sized computation the sketch replaces at 100 TB,
+    where per-source sketches would be built incrementally per
+    partition/day and only the <= k-row frames ever meet.
+
+    Scale shape: after ``kmv_sketch`` every frame is bounded by
+    |pairs| x 2k rows; the pair grid itself is |groups|^2 (sources,
+    languages — small by construction).
+    """
+    from pyspark.sql.window import Window
+
+    sk = kmv_sketch(df, group_col, item_col, k).persist()
+    groups = sk.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    side_a = pairs.join(
+        sk.select(F.col(group_col).alias("ga"), "h"), "ga"
+    ).select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        sk.select(F.col(group_col).alias("gb"), "h"), "gb"
+    ).select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    member = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    u = member.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    est = u.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("h_max"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+    )
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(F.lit((k - 1) * KMV_SPACE) / F.col("h_max"))
+    jac = F.col("matches") / F.col("n_u")
+
+    exact_sets = df.select(
+        F.col(group_col).alias("g"), _str(item_col).alias("item")
+    ).distinct().persist()
+    sizes = exact_sets.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        exact_sets.select(F.col("g").alias("ga"), "item")
+        .join(exact_sets.select(F.col("g").alias("gb"), "item"), "item")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("g").alias("ga"), F.col("n").alias("na")), "ga")
+        .join(sizes.select(F.col("g").alias("gb"), F.col("n").alias("nb")), "gb")
+        .select(
+            "ga",
+            "gb",
+            "exact_inter",
+            (F.col("na") + F.col("nb") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+        )
+    )
+    return (
+        est.join(exact, ["ga", "gb"])
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.round(jac, 6).alias("kmv_jaccard"),
+            F.round(
+                F.col("exact_inter") / F.col("exact_union"), 6
+            ).alias("exact_jaccard"),
+            F.round(union_est, 6).alias("kmv_union_est"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.round(jac * union_est, 6).alias("kmv_inter_est"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+        )
+    )

@@ -3911,3 +3911,90 @@ def hll_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch: pairwise cross-source 3-gram-shingle overlap
+# (the content-duplication / contamination signal between corpus
+# sources). Intersection is the one distinct-set question HLL cannot
+# answer — here estimated from <= k retained hashes per source and
+# audited against the exact pairwise Jaccard/union/intersection (the
+# shingle-set-sized computation the sketch replaces at 100 TB). Shingles
+# (~10k distinct per source here) rather than raw tokens, so the k=256
+# sketch is a genuine approximation, not a disguised exact set.
+# ---------------------------------------------------------------------------
+
+_KMV_SCALE = repr((SK.KMV_K - 1) * SK.KMV_SPACE)
+
+
+@query(
+    "kmv_source_overlap",
+    f"""
+WITH sh AS (
+    SELECT source, unnest({_SHINGLES}) AS item FROM documents
+), hashed AS (
+    SELECT DISTINCT source,
+           CAST('0x' || substr(md5('kmv|' || item), 1, 15) AS BIGINT) AS h
+    FROM sh
+), sk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {SK.KMV_K}
+), grps AS (
+    SELECT DISTINCT source FROM documents
+), pairs AS (
+    SELECT a.source AS ga, b.source AS gb
+    FROM grps a JOIN grps b ON a.source < b.source
+), member AS (
+    SELECT p.ga, p.gb, s.h,
+           max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.ga OR s.source = p.gb
+    GROUP BY p.ga, p.gb, s.h
+), u AS (
+    SELECT ga, gb, h, in_a, in_b FROM (
+        SELECT ga, gb, h, in_a, in_b,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        FROM member
+    ) WHERE rn <= {SK.KMV_K}
+), est AS (
+    SELECT ga, gb, count(*) AS n_u, max(h) AS h_max,
+           CAST(sum(in_a * in_b) AS BIGINT) AS matches
+    FROM u GROUP BY ga, gb
+), sets AS (
+    SELECT DISTINCT source AS g, item FROM sh
+), sizes AS (
+    SELECT g, count(*) AS n FROM sets GROUP BY g
+), inter AS (
+    SELECT a.g AS ga, b.g AS gb, count(*) AS exact_inter
+    FROM sets a JOIN sets b ON a.item = b.item AND a.g < b.g
+    GROUP BY a.g, b.g
+)
+SELECT e.ga AS group_a, e.gb AS group_b,
+       round(e.matches / CAST(e.n_u AS DOUBLE), 6) AS kmv_jaccard,
+       round(i.exact_inter
+             / CAST(sa.n + sb.n - i.exact_inter AS DOUBLE), 6)
+           AS exact_jaccard,
+       round(CASE WHEN e.n_u < {SK.KMV_K} THEN CAST(e.n_u AS DOUBLE)
+                  ELSE {_KMV_SCALE} / e.h_max END, 6) AS kmv_union_est,
+       CAST(sa.n + sb.n - i.exact_inter AS BIGINT) AS exact_union,
+       round((e.matches / CAST(e.n_u AS DOUBLE))
+             * CASE WHEN e.n_u < {SK.KMV_K} THEN CAST(e.n_u AS DOUBLE)
+                    ELSE {_KMV_SCALE} / e.h_max END, 6) AS kmv_inter_est,
+       CAST(i.exact_inter AS BIGINT) AS exact_inter
+FROM est e
+JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+JOIN sizes sa ON sa.g = e.ga
+JOIN sizes sb ON sb.g = e.gb
+""",
+)
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toked = docs.select("source", T.tokens("text").alias("_toks"))
+    sh = toked.select(
+        "source",
+        F.explode(D.shingles_from_tokens(F.col("_toks"), 3)).alias("shingle"),
+    )
+    return SK.kmv_pair_overlap(sh, "source", "shingle")

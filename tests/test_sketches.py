@@ -82,3 +82,59 @@ def test_hll_estimate_tracks_exact_distinct(spark):
         r["grp"]: r for r in SK.hll_distinct_per_group(df2, "grp", "item").collect()
     }
     assert out2["A"]["hll_estimate"] == out["A"]["hll_estimate"]
+
+
+def test_kmv_sketch_is_mergeable_and_exact_below_k(spark):
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    # two groups with known overlap: a = 0..59, b = 40..99 (inter = 20)
+    rows = [("a", i) for i in range(60)] + [("b", i) for i in range(40, 100)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+
+    # below k the sketch IS the distinct hash set -> estimates are exact
+    out = {
+        (r.group_a, r.group_b): r
+        for r in SK.kmv_pair_overlap(df, "g", "item", k=256).collect()
+    }
+    r = out[("a", "b")]
+    assert r.exact_inter == 20 and r.exact_union == 100
+    assert r.kmv_union_est == 100.0
+    assert r.kmv_inter_est == 20.0
+    assert r.kmv_jaccard == r.exact_jaccard == 0.2
+
+    # mergeability: bottom-k of (sketch(a) UNION sketch(b)) equals the
+    # sketch of the union built directly from the raw data
+    import pyspark.sql.functions as F
+
+    k = 16
+    sk = SK.kmv_sketch(df, "g", "item", k=k)
+    merged = sorted(
+        h.h
+        for h in sk.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    direct = sorted(
+        h.h
+        for h in SK.kmv_sketch(
+            df.select(F.lit("all").alias("g"), "item"), "g", "item", k=k
+        ).collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_jaccard_error_within_bound(spark):
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    # 2000-item sets with true jaccard 1000/3000 = 1/3; k = 256 gives a
+    # ~1/sqrt(k) ≈ 0.0625 standard error — assert 3 sigma
+    rows = [("a", i) for i in range(2000)] + [
+        ("b", i) for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    r = SK.kmv_pair_overlap(df, "g", "item", k=256).collect()[0]
+    assert abs(r.exact_jaccard - round(1000 / 3000, 6)) < 1e-9
+    assert abs(r.kmv_jaccard - r.exact_jaccard) < 3 / 16
+    assert abs(r.kmv_union_est - 3000) / 3000 < 0.25
