@@ -19,18 +19,41 @@ def write_partitioned_parquet(
     path: str,
     partition_cols: list[str] | None = None,
     sort_cols: list[str] | None = None,
+    range_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
     compression: str = "zstd",
     mode: str = "overwrite",
 ) -> None:
-    """Batch parquet write with partitioning + in-file clustering."""
+    """Batch parquet write with partitioning + in-file clustering.
+
+    ``range_cols`` range-repartitions before writing, giving a GLOBAL
+    sort layout across files (file k's key range ends before file
+    k+1's begins) — the layout that makes parquet row-group min/max
+    stats non-overlapping across the whole table, so a point or range
+    predicate prunes to O(1) files instead of one row-group per file.
+    ``partition_cols`` (directory pruning) and ``range_cols`` (in-
+    directory file pruning) compose; ``sort_cols`` defaults to
+    ``range_cols`` so rows inside each file are clustered too.
+
+    ``target_file_rows`` bounds output file size via Spark's
+    maxRecordsPerFile (a task exceeding it rolls to a new file), the
+    guard against both giant files (task-retry cost, reader
+    parallelism) and the many-small-files failure mode.
+    """
     out = df
-    if partition_cols:
+    if range_cols:
+        out = out.repartitionByRange(*[F.col(c) for c in range_cols])
+        if sort_cols is None:
+            sort_cols = range_cols
+    elif partition_cols:
         # co-locate each partition's rows so every task writes one file
         # per directory instead of #tasks files per directory
         out = out.repartition(*[F.col(c) for c in partition_cols])
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     writer = out.write.mode(mode).option("compression", compression)
+    if target_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)

@@ -371,3 +371,39 @@ def test_skew_report_topk_no_global_sort(spark):
     plan = plan_of(spark, "skew_report")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_parquet_v2_aggregate_pushdown(spark):
+    # footer-only scans: with the v2 parquet source, min/max/count
+    # aggregates with no filter are answered from parquet metadata —
+    # the statistics path a 100 TB profile query should take instead of
+    # reading data pages. session.py enables aggregatePushdown; the v2
+    # source is opt-in per query because v1 is the engine default.
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.sources.files import (
+        load_table,
+    )
+
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = load_table(spark, SF, "lineitem")
+        # numeric/integer columns only: parquet footer stats don't cover
+        # timestamp_ntz, so a min(l_shipdate) would NOT push (the scan
+        # falls back to reading data pages — PushedAggregation: [])
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # the pushed form's scan OUTPUT is the aggregate values themselves
+        assert re.search(
+            r"BatchScan parquet [^\[]*\[count\(\*\)\S*, min\(l_orderkey\)",
+            plan,
+        ), plan
+        row = agg.collect()[0]
+        assert row.n == 6000 and row.mn == 0
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)

@@ -56,3 +56,40 @@ def test_kafka_record_shaping_and_routing(spark):
     assert [f.name for f in to_kafka_records(df, topic=topic).schema] == [
         "key", "value", "topic",
     ]
+
+
+def test_range_layout_write_globally_sorted_and_file_bounded(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from kafka_stream_unify_order_messages_spark.sources.files import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_ranged")
+    write_partitioned_parquet(
+        events,
+        out,
+        range_cols=["user_id"],
+        target_file_rows=200,
+    )
+
+    files = sorted(Path(out).glob("*.parquet"))
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        t = pq.read_table(f, columns=["user_id"])
+        ids = t.column("user_id").to_pylist()
+        assert len(ids) <= 200  # maxRecordsPerFile honored
+        assert ids == sorted(ids)  # in-file clustering
+        spans.append((min(ids), max(ids)))
+    # global sort layout: key ranges of distinct range-buckets overlap
+    # only via maxRecordsPerFile splits of the SAME bucket, so when
+    # sorted by min the ranges are non-decreasing
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_lo <= b_lo and a_hi <= b_hi
+
+    # roundtrip: nothing lost, schema stable
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
