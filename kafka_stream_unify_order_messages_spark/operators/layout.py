@@ -144,3 +144,85 @@ def zonemap_skipping_eval(
             ).alias("skip_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: the locality-optimal space-filling alternative to the
+# Morton/Z-order code above. Consecutive Hilbert positions are always
+# spatially adjacent (Morton jumps across the square at power-of-two
+# boundaries), so range-partitioning by Hilbert code yields tiles with
+# strictly tighter per-file bounding boxes — what Iceberg's hilbert
+# clustering and scientific array stores use for the same reason.
+#
+# The rotation state of the classic recursive construction would unroll
+# exponentially as a Column expression; instead the code runs the
+# standard 4-state FSM over the Morton quads MSB->LSB (digit/transition
+# tables derived from the recursive definition and verified against it
+# in tests/test_layout.py), folded linearly with F.aggregate — codegen,
+# no UDF, O(bits) expression size.
+# ---------------------------------------------------------------------------
+
+HILBERT_DIG = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+HILBERT_NXT = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+
+
+def hilbert_code(x: Column, y: Column, bits: int = 16) -> Column:
+    """Hilbert-curve position of (x, y) on a 2^bits x 2^bits grid.
+
+    Quads (2 bits per level, MSB first) are materialized as a bound
+    array, then folded through the (state, digit) FSM: d = 4*d + DIG[
+    state*4+quad]; state = NXT[state*4+quad]. One pass, table lookups
+    via element_at on 16-element literal arrays.
+    """
+    xl, yl = x.cast("long"), y.cast("long")
+    quads = F.array(
+        *[
+            F.shiftright(xl, lev).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(yl, lev).bitwiseAND(F.lit(1))
+            for lev in range(bits - 1, -1, -1)
+        ]
+    )
+    dig = F.array(*[F.lit(v) for v in HILBERT_DIG])
+    nxt = F.array(*[F.lit(v) for v in HILBERT_NXT])
+    acc0 = F.struct(
+        F.lit(0).alias("st"), F.lit(0).cast("long").alias("d")
+    )
+    folded = F.aggregate(
+        quads,
+        acc0,
+        lambda acc, q: F.struct(
+            F.element_at(
+                nxt, (acc["st"] * 4 + q + 1).cast("int")
+            ).alias("st"),
+            (
+                acc["d"] * 4
+                + F.element_at(
+                    dig, (acc["st"] * 4 + q + 1).cast("int")
+                ).cast("long")
+            ).alias("d"),
+        ),
+    )
+    return folded.getField("d")
+
+
+def hilbert_code_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """The identical Hilbert FSM as engine-neutral chained-CTE SQL text
+    (for the DuckDB oracle): one CTE per level carrying (st_k, d_k).
+    Returns the CTE chain body; the caller supplies the base CTE named
+    ``h0`` with columns (..., hx, hy) and selects ``d{bits}`` from
+    ``h{bits}``."""
+    dig = "[" + ", ".join(str(v) for v in HILBERT_DIG) + "]"
+    nxt = "[" + ", ".join(str(v) for v in HILBERT_NXT) + "]"
+    parts = []
+    for k in range(bits):
+        lev = bits - 1 - k
+        q = f"((({x_expr} >> {lev}) & 1) * 2 + (({y_expr} >> {lev}) & 1))"
+        prev_st = "0" if k == 0 else f"st{k - 1}"
+        prev_d = "CAST(0 AS BIGINT)" if k == 0 else f"d{k - 1}"
+        parts.append(
+            f"h{k + 1} AS (SELECT *, "
+            f"({nxt})[{prev_st} * 4 + {q} + 1] AS st{k}, "
+            f"{prev_d} * 4 + ({dig})[{prev_st} * 4 + {q} + 1] AS d{k} "
+            f"FROM h{k})"
+        )
+    return ", ".join(parts)

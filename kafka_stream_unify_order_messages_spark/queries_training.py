@@ -715,3 +715,41 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("((rank - 1) * 10) div _n").cast("long").alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering codes — the locality-optimal alternative to
+# zorder_codes (consecutive Hilbert positions are always spatially
+# adjacent; Morton jumps at power-of-two seams). The oracle runs the
+# identical 4-state FSM as machine-generated chained CTEs; the Spark
+# side folds it with F.aggregate in codegen.
+# ---------------------------------------------------------------------------
+
+_HILBERT_BITS = 16
+
+
+@query(
+    "hilbert_codes",
+    f"""
+WITH h0 AS (
+    SELECT o_orderkey,
+           o_custkey % 65536 AS hx, o_orderkey % 65536 AS hy
+    FROM orders
+), {L.hilbert_code_sql('hx', 'hy', _HILBERT_BITS)}
+SELECT o_orderkey, CAST(d{_HILBERT_BITS - 1} AS BIGINT) AS hcode
+FROM h{_HILBERT_BITS}
+""",
+)
+def hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert position of (custkey, orderkey) low bits — drop-in for
+    the Morton key in zorder_write when tighter per-file bounding boxes
+    are worth bits x table-lookup fold cost."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        L.hilbert_code(
+            F.col("o_custkey") % 65536,
+            F.col("o_orderkey") % 65536,
+            bits=_HILBERT_BITS,
+        ).alias("hcode"),
+    )

@@ -80,3 +80,68 @@ def test_zorder_write_narrows_stat_ranges_in_both_dims(spark, tmp_path):
         if not (xhi < lo or xlo > hi or yhi < lo or ylo > hi)
     )
     assert touched <= 4, touched  # vs all 8 for the unsorted layout
+
+
+def _xy2d(n, x, y):
+    # classic recursive-rotation reference implementation
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_recursive_reference(spark):
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import layout as L
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select(
+        "x", "y", L.hilbert_code(F.col("x"), F.col("y"), bits=5).alias("h")
+    ).collect()
+    assert all(r.h == _xy2d(32, r.x, r.y) for r in out)
+    # bijection: every grid cell gets a distinct curve position
+    assert sorted(r.h for r in out) == list(range(32 * 32))
+
+
+def test_hilbert_consecutive_positions_are_adjacent(spark):
+    # THE Hilbert property (and why its tiles beat Morton's): walking
+    # the curve moves one grid step at a time, so any contiguous code
+    # range covers a connected blob -> tight per-file bounding boxes.
+    # Morton violates this at every power-of-two seam.
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import layout as L
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select(
+        "x", "y", L.hilbert_code(F.col("x"), F.col("y"), bits=5).alias("h")
+    ).collect()
+    by_d = {r.h: (r.x, r.y) for r in out}
+    manhattan = [
+        abs(by_d[d][0] - by_d[d + 1][0]) + abs(by_d[d][1] - by_d[d + 1][1])
+        for d in range(32 * 32 - 1)
+    ]
+    assert max(manhattan) == 1
+
+    morton = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", L.morton_code(F.col("x"), F.col("y"), bits=5).alias("z")
+        ).collect()
+    }
+    by_z = {z: xy for xy, z in morton.items()}
+    z_steps = [
+        abs(by_z[z][0] - by_z[z + 1][0]) + abs(by_z[z][1] - by_z[z + 1][1])
+        for z in range(32 * 32 - 1)
+    ]
+    assert max(z_steps) > 1  # Morton's seam jumps — the gap Hilbert closes
