@@ -1169,3 +1169,56 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate rollup reuse (the Timescale/Druid materialization
+# pattern): the daily frame is derived by RE-AGGREGATING the hourly
+# materialization — count/sum/min/max all compose — while the oracle
+# computes daily DIRECTLY from raw events. Hash equality between the two
+# is the correctness proof that lets a 100 TB pipeline maintain only the
+# fine-grain aggregate and serve every coarser grain from it (one scan of
+# hours per day instead of one scan of events per query). Sums go through
+# DECIMAL so re-aggregation order cannot perturb the double result.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "continuous_rollup",
+    """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       count(*) AS n_events,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+       round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE), 2)
+           AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY day_epoch
+""",
+)
+def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour")
+            .cast("timestamp")
+            .cast("long")
+            .alias("day_epoch")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(F.sum("s").cast("double"), 2).alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )

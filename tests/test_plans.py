@@ -407,3 +407,20 @@ def test_parquet_v2_aggregate_pushdown(spark):
         assert row.n == 6000 and row.mn == 0
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_hilbert_codes_scan_local(spark):
+    # the FSM fold is a pure projection: no exchange, no UDF — the code
+    # computes where the data already sits
+    plan = plan_of(spark, "hilbert_codes")
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_overlap_bottomk_pruned_and_no_cartesian(spark):
+    # the per-group bottom-k must prune map-side (WindowGroupLimit
+    # before the exchange), and the pair grid joins hash-wise — a
+    # cartesian or nested-loop pair expansion would be corpus-sized
+    plan = plan_of(spark, "kmv_source_overlap")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
