@@ -192,3 +192,53 @@ def clustering_coefficient(
     return degrees.join(tri, "node").select(
         "node", "degree", "n_triangles", coeff.alias("clustering")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """(node, hop): shortest hop distance from a seed set, capped at
+    ``max_hops`` — frontier-expansion BFS as the iterative DataFrame
+    loop Spark uses where a warehouse would write WITH RECURSIVE (the
+    oracle does exactly that). Reachability-with-distance is the
+    "blast radius" question on a dup/similarity graph: how far does a
+    contamination seed spread through near-dup links.
+
+    ``edges`` is directed (src, dst) — symmetrize() first for
+    undirected graphs; ``seeds``' first column is the node id. Per
+    iteration: one equi-join of the frontier onto edges, a distinct,
+    and an anti-join against the visited set; the frontier is
+    localCheckpoint()ed each hop (lineage stays O(1) deep, and the
+    emptiness probe that stops early reuses the checkpointed frame
+    rather than recomputing the join chain). Frontier size is bounded
+    by the reachable set, never the edge count; at 100 TB both joins
+    are hash shuffles on the node key, and the early exit caps the
+    number of rounds at the graph's (small-world) effective diameter.
+    """
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                edges, frontier["node"] == edges["src"], "inner"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        frontier = nxt
+    return visited

@@ -1222,3 +1222,72 @@ def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-hop distance — the WITH RECURSIVE surface. Spark has no
+# recursive CTE; the engine provides the equivalent as frontier-
+# expansion iteration (graph.bfs_hops), and the oracle IS a recursive
+# CTE, so the parity check covers the translation a warehouse user
+# needs most. The graph is the shared dup graph (3-cliques — hop 1)
+# UNIONed with deterministic reference edges doc -> doc*2 (binary-tree
+# chains — genuine multi-hop depth), modeling contamination spreading
+# through both near-dup links and document references. Seeds = node id
+# divisible by 100; hop capped at 6; min(hop) over the enumerated walk
+# is the BFS distance.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_bfs_hops",
+    f"""
+WITH RECURSIVE aug AS ({_TRI_AUG}),
+edges0 AS (
+    SELECT id_a AS a, id_b AS b
+    FROM ({_PAIRS_SQL.replace("FROM documents", "FROM aug")})
+    UNION ALL
+    SELECT da.doc_id AS a, db.doc_id AS b
+    FROM documents da JOIN documents db ON db.doc_id = da.doc_id * 2
+    WHERE da.doc_id >= 1
+), edges AS (
+    SELECT a AS src, b AS dst FROM edges0
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges0
+), seeds AS (
+    SELECT DISTINCT src AS node FROM edges WHERE src % 100 = 0
+), walk(node, hop) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT e.dst, w.hop + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hop < 6
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node
+""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _load(spark, sf_dir, "documents").select("doc_id")
+    refs = (
+        ids.filter(F.col("doc_id") >= 1)
+        .alias("a")
+        .join(
+            ids.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") * 2,
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    pairs = (
+        _aug_dup_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .unionByName(refs)
+    )
+    edges = G.symmetrize(pairs)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 100 == 0)
+    )
+    return G.bfs_hops(edges, seeds, max_hops=6)

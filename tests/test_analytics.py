@@ -292,3 +292,37 @@ def test_rolling_active_users_windows(spark):
     assert got[dt.date(2024, 1, 1)] == (1, 1, 1)
     # on day 5: both users active that day; trailing 7 covers day 1 too
     assert got[dt.date(2024, 1, 5)] == (2, 2, 2)
+
+
+def test_bfs_hops_path_graph_and_unreachable(spark):
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import graph as G
+
+    # path 1-2-3-4-5, disconnected pair 10-11, isolated seedless node 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    edges = G.symmetrize(pairs)
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r.node: r.hop for r in G.bfs_hops(edges, seeds, max_hops=6).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # 10/11 unreachable
+
+    # cap respected: max_hops=2 stops the frontier
+    capped = {
+        r.node: r.hop for r in G.bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+    # shortest distance wins on a cycle: 1-2-3-4-5 plus chord 1-5
+    cyc = G.symmetrize(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)], ["id_a", "id_b"]
+        )
+    )
+    short = {
+        r.node: r.hop for r in G.bfs_hops(cyc, seeds, max_hops=6).collect()
+    }
+    assert short == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
