@@ -100,3 +100,23 @@ def register_temp_views(
     """Register each table as a temp view so spark.sql can reference it."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def read_evolving_dataset(
+    spark: SparkSession, path: str, merge_schema: bool = True
+) -> DataFrame:
+    """Read a parquet dataset whose schema evolved across writes (newer
+    files carry added columns). ``mergeSchema`` reconciles the footers —
+    union of columns, older files surface the added columns as null —
+    the append-only schema-evolution contract (add-only, no renames /
+    type changes) a long-lived 100 TB table relies on.
+
+    Cost note: schema merging reads every file's FOOTER at planning
+    time (no data pages); on tables with many files, pin the merged
+    schema once and pass ``merge_schema=False`` thereafter — Spark then
+    trusts the requested schema and older files still null-fill.
+    """
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower())
+        .parquet(path)
+    )

@@ -93,3 +93,52 @@ def test_range_layout_write_globally_sorted_and_file_bounded(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == events.count()
     assert set(back.columns) == set(events.columns)
+
+
+def test_schema_evolution_merge_and_partition_pruning(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.sources.files import (
+        load_table,
+        read_evolving_dataset,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "evolving")
+    # v1 writer: original columns, partitioned by event_type
+    write_partitioned_parquet(
+        events.select("event_id", "user_id", "value", "event_type"),
+        out,
+        partition_cols=["event_type"],
+        mode="overwrite",
+    )
+    # v2 writer: schema evolved — a quality_score column was added
+    write_partitioned_parquet(
+        events.select(
+            (F.col("event_id") + 1_000_000).alias("event_id"),
+            "user_id",
+            "value",
+            F.round(F.col("value") / 10.0, 3).alias("quality_score"),
+            "event_type",
+        ),
+        out,
+        partition_cols=["event_type"],
+        mode="append",
+    )
+
+    df = read_evolving_dataset(spark, out)
+    assert "quality_score" in df.columns
+    assert df.count() == 2 * events.count()
+    # old rows surface the added column as null, new rows carry values
+    old = df.filter(F.col("event_id") < 1_000_000)
+    assert old.filter(F.col("quality_score").isNotNull()).count() == 0
+    new = df.filter(F.col("event_id") >= 1_000_000)
+    assert new.filter(F.col("quality_score").isNull()).count() == 0
+
+    # directory-partition pruning: a filter on the partition column must
+    # become a PartitionFilters entry, not a data-page predicate
+    q = df.filter(F.col("event_type") == "view")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
