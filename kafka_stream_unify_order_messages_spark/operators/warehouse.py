@@ -154,3 +154,69 @@ def compaction_plan(
             F.sum(size_col).cast("long").alias("group_bytes"),
         )
     )
+
+
+def apply_compaction(
+    spark,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    compression: str = "zstd",
+) -> tuple[int, int]:
+    """Execute ``compaction_plan`` against a real (flat) parquet
+    directory: list file metadata driver-side (names + sizes — O(files),
+    no data), plan merge groups, then rewrite the data with one range
+    exchange on the group id so each planned group lands in its own
+    task → its own output file. Returns (n_files_before, n_groups).
+
+    The rewrite goes to ``out_path`` rather than in place: swapping the
+    directory after a successful write is the caller's transaction
+    boundary (the same reason Delta/Iceberg commit a new snapshot
+    instead of mutating files a reader may hold open).
+
+    Scale shape: only the data REWRITE is data-sized, and it is exactly
+    one exchange; planning moves metadata rows. Partitioned (nested)
+    directories should be compacted per partition directory — this
+    executor refuses them rather than silently flattening the layout.
+    """
+    import os
+
+    entries = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if os.path.isdir(full):
+            raise ValueError(
+                f"{path} is partitioned; compact each partition dir"
+            )
+        if name.endswith(".parquet"):
+            entries.append(("", name, os.path.getsize(full)))
+    files = spark.createDataFrame(
+        entries, ["part_key", "file_id", "size_bytes"]
+    )
+    groups = files.withColumn(
+        "compact_group",
+        F.expr(
+            f"coalesce(sum(size_bytes) over "
+            f"(partition by part_key order by file_id "
+            f"rows between unbounded preceding and 1 preceding), 0) "
+            f"div {target_bytes}"
+        ).cast("long"),
+    ).select("file_id", "compact_group")
+    n_groups = groups.select("compact_group").distinct().count()
+
+    tagged = spark.read.parquet(path).withColumn(
+        "_file",
+        F.element_at(F.split(F.input_file_name(), "/"), -1),
+    )
+    (
+        tagged.join(
+            F.broadcast(groups.withColumnRenamed("file_id", "_file")),
+            "_file",
+        )
+        .repartitionByRange(max(n_groups, 1), "compact_group")
+        .drop("_file", "compact_group")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(out_path)
+    )
+    return len(entries), n_groups

@@ -165,3 +165,50 @@ def test_compaction_plan_bin_packs_per_partition(spark):
         ("a", 1): (1, 60),
         ("b", 0): (1, 10),
     }
+
+
+def test_apply_compaction_rewrites_small_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pathlib import Path
+
+    from kafka_stream_unify_order_messages_spark.operators.warehouse import (
+        apply_compaction,
+    )
+    from kafka_stream_unify_order_messages_spark.sources.files import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "fragmented")
+    # fragment: ~20 small files
+    (
+        events.repartition(4)
+        .write.option("maxRecordsPerFile", 60)
+        .parquet(src)
+    )
+    n_small = len(list(Path(src).glob("*.parquet")))
+    assert n_small >= 10
+
+    out = str(tmp_path / "compacted")
+    n_before, n_groups = apply_compaction(
+        spark, src, out, target_bytes=64 * 1024
+    )
+    assert n_before == n_small
+    n_after = len(list(Path(out).glob("*.parquet")))
+    assert n_after < n_small
+    assert abs(n_after - n_groups) <= 1  # one file per planned group
+
+    # rewrite is lossless
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count()
+    assert set(b.columns) == set(a.columns)
+    sa = a.agg(F.sum("value"), F.sum("event_id")).collect()[0]
+    sb = b.agg(F.sum("value"), F.sum("event_id")).collect()[0]
+    assert sa == sb
+
+    # partitioned layout refused, not flattened
+    part = str(tmp_path / "parted")
+    events.write.partitionBy("event_type").parquet(part)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_compaction(spark, part, str(tmp_path / "x"))
