@@ -442,6 +442,34 @@ def ivf_assign(
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def _query_probes(
+    q_raw: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """(n_queries, nprobe) probed cell ids: nprobe nearest centroids per
+    query, using the same rank-equivalent ``-2·q·c + |c|²`` distances as
+    ``ivf_assign``, with a probe-boundary guard — when the nprobe-th and
+    (nprobe+1)-th nearest cells are within 1e-9, that query's distances
+    are recomputed with an exact fold so the probe cut is summation-
+    order-independent. Stable argsort ties break on the lower cell id,
+    matching SQL ORDER BY (d, cell)."""
+    import math
+
+    cent_norm2 = np.asarray(
+        [math.fsum(x * x for x in c) for c in centroids]
+    )
+    dq = -2.0 * (q_raw @ centroids.T) + cent_norm2[None, :]
+    if centroids.shape[0] > nprobe:
+        ranked = np.sort(dq, axis=1)
+        for qi in np.flatnonzero(
+            ranked[:, nprobe] - ranked[:, nprobe - 1] < 1e-9
+        ):
+            dq[qi] = [
+                -2.0 * math.fsum(q_raw[qi] * centroids[c]) + cent_norm2[c]
+                for c in range(centroids.shape[0])
+            ]
+    return np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -472,26 +500,7 @@ def ivf_topk(
     q_ids = [r[0] for r in q_rows]
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     q_mat = _normalized_matrix(q_raw)
-    # per-query probe set: nprobe nearest centroids (same rank-equivalent
-    # -2·q·c + |c|² distances as ivf_assign, with a probe-boundary guard:
-    # when the nprobe-th and (nprobe+1)-th nearest cells are within 1e-9,
-    # recompute that query's distances with an exact fold so the probe
-    # cut is summation-order-independent). Stable argsort ties break on
-    # the lower cell id, matching SQL ORDER BY (d, cell).
-    cent_norm2 = np.asarray(
-        [math.fsum(x * x for x in c) for c in centroids]
-    )
-    dq = -2.0 * (q_raw @ centroids.T) + cent_norm2[None, :]
-    if centroids.shape[0] > nprobe:
-        ranked = np.sort(dq, axis=1)
-        for qi in np.flatnonzero(
-            ranked[:, nprobe] - ranked[:, nprobe - 1] < 1e-9
-        ):
-            dq[qi] = [
-                -2.0 * math.fsum(q_raw[qi] * centroids[c]) + cent_norm2[c]
-                for c in range(centroids.shape[0])
-            ]
-    probes = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
+    probes = _query_probes(q_raw, centroids, nprobe)
     probe_map = _probe_map(probes)
 
     id_field = corpus.schema[id_col]
@@ -1143,3 +1152,101 @@ def random_projection(
             yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(project, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: build once, search many. The inverted lists are
+# written PARTITIONED BY centroid_id, so a search's cell filter becomes
+# directory-level partition pruning — the probe reads ~nprobe/n_centroids
+# of the index from disk, the storage-side analogue of the grouped-GEMM
+# compute pruning above. Centroids ride along as a tiny parquet so the
+# index is self-contained (no retraining, no driver memo needed across
+# processes).
+# ---------------------------------------------------------------------------
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Train (or take) centroids, assign every corpus vector to its
+    cell, and persist both halves: ``<path>/cells`` (inverted lists,
+    partitioned by centroid_id) and ``<path>/centroids``. Returns the
+    centroid matrix. Build cost = one assignment pass over the corpus +
+    one shuffle-free partitioned write."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids
+        )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/cells")
+    )
+    cent_rows = [
+        (int(i), [float(v) for v in c]) for i, c in enumerate(centroids)
+    ]
+    (
+        spark.createDataFrame(
+            cent_rows, "centroid_id int, centroid array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/centroids")
+    )
+    return centroids
+
+
+def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroids, cells): the persisted index halves. The cells frame
+    keeps its centroid_id partition column for pruned probes."""
+    cent_rows = (
+        spark.read.parquet(path + "/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    cells = spark.read.parquet(path + "/cells")
+    return centroids, cells
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index: the union of all queries'
+    probed cells becomes an ``isin`` filter on the partition column, so
+    the scan touches only those directories (partition pruning — no
+    other file of the index is opened), then the standard grouped-probe
+    scoring runs on the survivors. Identical results to ``ivf_topk``
+    over the full corpus with the same centroids, because rows outside
+    probed cells can never be scored."""
+    centroids, cells = load_ivf_index(spark, path)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    probes = _query_probes(q_raw, centroids, nprobe)
+    probed = sorted({int(c) for row in probes for c in row})
+    pruned = cells.filter(
+        F.col("centroid_id").isin(probed)
+    ).select(id_col, vec_col)
+    return ivf_topk(
+        queries,
+        pruned,
+        id_col,
+        vec_col,
+        k=k,
+        n_centroids=centroids.shape[0],
+        nprobe=nprobe,
+        centroids=centroids,
+    )

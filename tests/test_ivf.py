@@ -93,3 +93,40 @@ def test_lsh_multi_probe_improves_recall(spark, emb, queries):
     )
     assert multi >= single
     assert multi >= 0.3, f"multi-probe recall@5 = {multi:.2f} (single {single:.2f})"
+
+
+def test_persisted_index_search_matches_live_ivf(spark, emb, queries, tmp_path):
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    cents = S.save_ivf_index(emb, path, n_centroids=8)
+
+    # layout: inverted lists are directory-partitioned by cell
+    from pathlib import Path
+
+    cell_dirs = sorted(
+        p.name for p in Path(path, "cells").iterdir() if p.is_dir()
+    )
+    assert all(d.startswith("centroid_id=") for d in cell_dirs)
+    assert len(cell_dirs) == 8
+
+    # identical results to live ivf_topk with the same centroids
+    live = S.ivf_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=3, centroids=cents
+    )
+    persisted = S.search_ivf_index(spark, path, queries, k=5, nprobe=3)
+    lv = sorted(map(tuple, live.collect()))
+    pv = sorted(map(tuple, persisted.collect()))
+    assert lv == pv
+
+    # the probe scan is partition-pruned to the probed cells only
+    loaded_cents, cells = S.load_ivf_index(spark, path)
+    assert (loaded_cents == cents).all()
+    import pyspark.sql.functions as F
+
+    pruned = cells.filter(F.col("centroid_id").isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    sec = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "centroid_id" in sec
