@@ -1794,3 +1794,93 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function sweep: the window ranking surface beyond
+# window_functions' lag/lead/row_number — ntile, percent_rank,
+# cume_dist, dense_rank, nth/first value. Unique (ts, event_id)
+# ordering makes every peer group a single row, so the default RANGE
+# frame agrees bit-for-bit across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ranking_function_sweep",
+    """
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       first_value(event_id) OVER w AS first_event,
+       nth_value(event_id, 2) OVER w AS second_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def ranking_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order function sweep: transform, filter, aggregate,
+# sort+distinct+slice — the list-processing surface over a bound token
+# array (materialized once per row; see the HOF binding note in
+# operators/dedup.shingles_from_tokens).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_function_sweep",
+    """
+WITH t AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER)
+           AS max_len,
+       CAST(len(list_filter(toks, x -> length(x) >= 6)) AS INTEGER)
+           AS n_long,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS sum_len,
+       array_to_string(
+           list_slice(list_sort(list_distinct(toks)), 1, 5), ' '
+       ) AS first_uniq
+FROM t
+""",
+)
+def array_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bound = docs.select("doc_id", tokens("text").alias("toks"))
+    lens = F.transform(F.col("toks"), lambda x: F.length(x))
+    return bound.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.array_max(lens).alias("max_len"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: F.length(x) >= 6)
+        ).alias("n_long"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_len"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), " "
+        ).alias("first_uniq"),
+    )
