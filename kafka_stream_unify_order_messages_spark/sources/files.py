@@ -120,3 +120,39 @@ def read_evolving_dataset(
         spark.read.option("mergeSchema", str(merge_schema).lower())
         .parquet(path)
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-enforced JSONL file source with the reference's
+    strict/reject deserializer semantics (kafka.py:json_deserialize is
+    the Kafka-column twin; this is the file-landing-zone path):
+
+    - ``PERMISSIVE`` — malformed lines survive with every schema column
+      null and the raw line captured in ``corrupt_col`` (quarantine-
+      and-audit: count them, route them, never lose them)
+    - ``DROPMALFORMED`` — malformed lines silently dropped (the lossy
+      mode; prefer PERMISSIVE + explicit filter so the drop is audited)
+    - ``FAILFAST`` — first malformed line fails the job (the strict
+      contract for sources that must be clean)
+
+    The schema is REQUIRED: schema inference reads the data twice and
+    silently widens types on dirty files — never acceptable on a
+    100 TB landing zone.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    full = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema.names:
+        full = StructType(schema.fields).add(corrupt_col, StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", mode.upper())
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
