@@ -1884,3 +1884,54 @@ def array_function_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), " "
         ).alias("first_uniq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured VARIANT path: each order serializes to a nested JSON
+# payload, parses into Spark's VARIANT type, and is read back with typed
+# path extraction (variant_get / try_variant_get). The oracle computes
+# the same values straight from the base table — hash equality proves
+# the JSON -> VARIANT -> typed-read round-trip is lossless, including
+# doubles (Jackson shortest-round-trip printing) and missing-path null
+# semantics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_extract",
+    """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       o_totalprice AS total,
+       o_orderkey % 7 AS code0,
+       CAST(NULL AS VARCHAR) AS missing
+FROM orders
+WHERE o_orderkey % 5 = 0
+""",
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            ).alias("meta"),
+            F.array(
+                F.col("o_orderkey") % 7, F.col("o_orderkey") % 11
+            ).alias("codes"),
+        )
+    )
+    v = orders.select(
+        "o_orderkey", F.parse_json(payload).alias("v")
+    )
+    return v.select(
+        "o_orderkey",
+        F.variant_get("v", "$.meta.status", "string").alias("status"),
+        F.variant_get("v", "$.meta.total", "double").alias("total"),
+        F.variant_get("v", "$.codes[0]", "bigint").alias("code0"),
+        F.try_variant_get("v", "$.nope.deep", "string").alias("missing"),
+    )
