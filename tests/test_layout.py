@@ -145,3 +145,49 @@ def test_hilbert_consecutive_positions_are_adjacent(spark):
         for z in range(32 * 32 - 1)
     ]
     assert max(z_steps) > 1  # Morton's seam jumps — the gap Hilbert closes
+
+
+def test_hilbert16_vectorized_equals_fsm_fold(spark):
+    # the two 16-bit implementations — Arrow-batched branchless numpy
+    # and the FSM fold the oracle replicates — must agree bit-for-bit
+    import random
+
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import layout as L
+
+    random.seed(11)
+    pts = [
+        (random.randrange(65536), random.randrange(65536))
+        for _ in range(2000)
+    ] + [(0, 0), (65535, 65535), (0, 65535), (65535, 0)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    quads = F.array(
+        *[
+            F.shiftright(F.col("x"), lev).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(F.col("y"), lev).bitwiseAND(F.lit(1))
+            for lev in range(15, -1, -1)
+        ]
+    )
+    dig = F.array(*[F.lit(v) for v in L.HILBERT_DIG])
+    nxt = F.array(*[F.lit(v) for v in L.HILBERT_NXT])
+    fold = F.aggregate(
+        quads,
+        F.struct(F.lit(0).alias("st"), F.lit(0).cast("long").alias("d")),
+        lambda acc, q: F.struct(
+            F.element_at(nxt, (acc["st"] * 4 + q + 1).cast("int")).alias(
+                "st"
+            ),
+            (
+                acc["d"] * 4
+                + F.element_at(
+                    dig, (acc["st"] * 4 + q + 1).cast("int")
+                ).cast("long")
+            ).alias("d"),
+        ),
+    ).getField("d")
+    out = df.select(
+        L.hilbert_code16(F.col("x"), F.col("y")).alias("fast"),
+        fold.alias("slow"),
+    ).collect()
+    assert all(r.fast == r.slow for r in out)
