@@ -468,6 +468,26 @@ WHERE doc_id % 19 = 0
 """
 
 
+def _derive_new_snapshot(docs: DataFrame) -> DataFrame:
+    """The synthetic second crawl shared by snapshot_diff (row-level)
+    and table_diff (column-level): every 17th doc removed, every 13th
+    revised, every 19th re-added under a new id — matches _NEW_SNAPSHOT
+    on the oracle side."""
+    kept = docs.filter(F.col("doc_id") % 17 != 0)
+    return (
+        kept.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text")
+        )
+        .unionByName(kept.filter(F.col("doc_id") % 13 != 0))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+
 @query(
     "snapshot_diff",
     f"""
@@ -490,22 +510,10 @@ WHERE (CASE WHEN h_old IS NULL THEN 'added'
             ELSE 'unchanged' END) != 'unchanged'
 """,
 )
+
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    kept = docs.filter(F.col("doc_id") % 17 != 0)
-    new_snap = (
-        kept.filter(F.col("doc_id") % 13 == 0)
-        .select(
-            "doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text")
-        )
-        .unionByName(kept.filter(F.col("doc_id") % 13 != 0))
-        .unionByName(
-            docs.filter(F.col("doc_id") % 19 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
-            )
-        )
-    )
-    return C.snapshot_diff(docs, new_snap)
+    return C.snapshot_diff(docs, _derive_new_snapshot(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -752,4 +760,103 @@ def hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 65536,
             bits=_HILBERT_BITS,
         ).alias("hcode"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-level statistical table diff — the drift complement to
+# snapshot_diff's row-level change detection: per column, how row count,
+# null count, and distinct cardinality moved between two crawls. One
+# aggregation pass per side (counts map-side combinable, distincts share
+# one Expand), then a |columns|-row join — nothing data-sized after the
+# scans. The "new" snapshot is the same derivation snapshot_diff uses.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_diff",
+    f"""
+WITH new_snap AS ({_NEW_SNAPSHOT}),
+o AS (
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_doc_id,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_text,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS d_doc_id,
+           CAST(count(DISTINCT text) AS BIGINT) AS d_text
+    FROM documents
+), n AS (
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_doc_id,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_text,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS d_doc_id,
+           CAST(count(DISTINCT text) AS BIGINT) AS d_text
+    FROM new_snap
+), sides AS (
+    SELECT 'doc_id' AS col,
+           o.n_rows AS rows_old, n.n_rows AS rows_new,
+           o.null_doc_id AS nulls_old, n.null_doc_id AS nulls_new,
+           o.d_doc_id AS distinct_old, n.d_doc_id AS distinct_new
+    FROM o, n
+    UNION ALL
+    SELECT 'text',
+           o.n_rows, n.n_rows,
+           o.null_text, n.null_text,
+           o.d_text, n.d_text
+    FROM o, n
+)
+SELECT col, rows_old, rows_new, nulls_old, nulls_new,
+       distinct_old, distinct_new,
+       distinct_new - distinct_old AS distinct_delta
+FROM sides
+""",
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_snap = _derive_new_snapshot(docs)
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias(
+                "null_doc_id"
+            ),
+            F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+            F.count_distinct("doc_id").alias("d_doc_id"),
+            F.count_distinct("text").alias("d_text"),
+        )
+
+    o, n = profile(docs), profile(new_snap)
+    sides = None
+    for col in ("doc_id", "text"):
+        row = (
+            o.select(
+                F.lit(col).alias("col"),
+                F.col("n_rows").alias("rows_old"),
+                F.col(f"null_{col}").alias("nulls_old"),
+                F.col(f"d_{col}").alias("distinct_old"),
+            )
+            .crossJoin(
+                n.select(
+                    F.col("n_rows").alias("rows_new"),
+                    F.col(f"null_{col}").alias("nulls_new"),
+                    F.col(f"d_{col}").alias("distinct_new"),
+                )
+            )
+        )
+        sides = row if sides is None else sides.unionByName(row)
+    return sides.select(
+        "col",
+        "rows_old",
+        "rows_new",
+        "nulls_old",
+        "nulls_new",
+        "distinct_old",
+        "distinct_new",
+        (F.col("distinct_new") - F.col("distinct_old")).alias(
+            "distinct_delta"
+        ),
     )
