@@ -1291,3 +1291,66 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") % 100 == 0)
     )
     return G.bfs_hops(edges, seeds, max_hops=6)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly screen: the time-of-day complement to robust_outliers'
+# global median/MAD — each event is judged against the exact p01/p99
+# band of its OWN (event_type, hour-of-day) stratum, so a value that is
+# normal at peak hour but extreme at 3am is caught, and vice versa.
+# Exact percentiles (not mean/std) keep the comparison float-sum-order-
+# independent across engines. Scale shape: one (type, hour) aggregation
+# — a 24 x |types| frame — broadcast back onto the scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_extremes",
+    """
+WITH strata AS (
+    SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+           quantile_cont(value, 0.01) AS p01,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type, hr
+)
+SELECT e.event_id, e.event_type,
+       CAST(extract(hour FROM e.ts) AS INTEGER) AS hr,
+       e.value, round(s.p01, 6) AS p01, round(s.p99, 6) AS p99,
+       CASE WHEN e.value < s.p01 THEN 'low' ELSE 'high' END AS side
+FROM events e
+JOIN strata s
+  ON s.event_type = e.event_type
+ AND s.hr = CAST(extract(hour FROM e.ts) AS INTEGER)
+WHERE e.value < s.p01 OR e.value > s.p99
+""",
+)
+def seasonal_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    strata = (
+        events.groupBy(F.col("event_type"), hr.alias("hr"))
+        .agg(
+            F.expr("percentile(value, 0.01)").alias("p01_raw"),
+            F.expr("percentile(value, 0.99)").alias("p99_raw"),
+        )
+    )
+    joined = events.select(
+        "event_id", "event_type", hr.alias("hr"), "value"
+    ).join(F.broadcast(strata), ["event_type", "hr"])
+    return (
+        joined.filter(
+            (F.col("value") < F.col("p01_raw"))
+            | (F.col("value") > F.col("p99_raw"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            "value",
+            F.round("p01_raw", 6).alias("p01"),
+            F.round("p99_raw", 6).alias("p99"),
+            F.when(F.col("value") < F.col("p01_raw"), F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("side"),
+        )
+    )
