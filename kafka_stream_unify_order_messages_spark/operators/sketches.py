@@ -434,18 +434,24 @@ def kmv_pair_overlap(
         .join(exact_sets.select(F.col("g").alias("gb"), "item"), "item")
         .filter(F.col("ga") < F.col("gb"))
         .groupBy("ga", "gb")
-        .agg(F.count(F.lit(1)).alias("exact_inter"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # LEFT join from the pair grid: a pair with ZERO intersection must
+    # still appear (jaccard 0), not silently vanish from the report
     exact = (
-        inter.join(sizes.select(F.col("g").alias("ga"), F.col("n").alias("na")), "ga")
+        pairs
+        .join(sizes.select(F.col("g").alias("ga"), F.col("n").alias("na")), "ga")
         .join(sizes.select(F.col("g").alias("gb"), F.col("n").alias("nb")), "gb")
+        .join(inter, ["ga", "gb"], "left")
         .select(
             "ga",
             "gb",
-            "exact_inter",
-            (F.col("na") + F.col("nb") - F.col("exact_inter")).alias(
-                "exact_union"
-            ),
+            F.coalesce("n_inter", F.lit(0)).alias("exact_inter"),
+            (
+                F.col("na")
+                + F.col("nb")
+                - F.coalesce("n_inter", F.lit(0))
+            ).alias("exact_union"),
         )
     )
     return (

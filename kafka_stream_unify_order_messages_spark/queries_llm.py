@@ -3967,10 +3967,14 @@ WITH sh AS (
     SELECT DISTINCT source AS g, item FROM sh
 ), sizes AS (
     SELECT g, count(*) AS n FROM sets GROUP BY g
-), inter AS (
-    SELECT a.g AS ga, b.g AS gb, count(*) AS exact_inter
+), inter0 AS (
+    SELECT a.g AS ga, b.g AS gb, count(*) AS n_inter
     FROM sets a JOIN sets b ON a.item = b.item AND a.g < b.g
     GROUP BY a.g, b.g
+), inter AS (
+    -- LEFT from the pair grid: zero-intersection pairs still report
+    SELECT p.ga, p.gb, coalesce(i.n_inter, 0) AS exact_inter
+    FROM pairs p LEFT JOIN inter0 i ON i.ga = p.ga AND i.gb = p.gb
 )
 SELECT e.ga AS group_a, e.gb AS group_b,
        round(e.matches / CAST(e.n_u AS DOUBLE), 6) AS kmv_jaccard,

@@ -219,3 +219,44 @@ def test_tws_processor_matches_v1_semantics(plan):
             assert e["order_details"] == {"arrival": firsts[e["type"]]}
     else:
         assert emissions == []
+
+
+# ---------------------------------------------------------------------------
+# 3. hypothesis on the KMV sketch: for ANY pair of integer sets, the
+# sketch with k >= |union| degenerates to the exact answer, and the
+# small-k estimator stays inside its hard bounds.
+# ---------------------------------------------------------------------------
+
+set_pairs = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(set_pairs)
+def test_kmv_exact_below_k_and_bounded_above(spark, pair):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    sa, sb = pair
+    rows = [("a", i) for i in sa] + [("b", i) for i in sb]
+    df = spark.createDataFrame(rows, ["g", "item"])
+
+    exact_inter = len(sa & sb)
+    exact_union = len(sa | sb)
+
+    # k >= |union| -> every estimate is exactly the true value
+    big = SK.kmv_pair_overlap(df, "g", "item", k=512).collect()[0]
+    assert big.exact_inter == exact_inter
+    assert big.exact_union == exact_union
+    assert big.kmv_union_est == float(exact_union)
+    assert big.kmv_inter_est == float(exact_inter)
+
+    # small k -> hard bounds that hold for EVERY input, not on average
+    small = SK.kmv_pair_overlap(df, "g", "item", k=8).collect()[0]
+    assert 0.0 <= small.kmv_jaccard <= 1.0
+    assert small.kmv_union_est > 0.0
+    assert small.exact_inter == exact_inter  # audit side always exact
+    assert small.exact_union == exact_union
