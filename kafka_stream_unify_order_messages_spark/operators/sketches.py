@@ -387,13 +387,31 @@ def kmv_pair_overlap(
     where per-source sketches would be built incrementally per
     partition/day and only the <= k-row frames ever meet.
 
-    Scale shape: after ``kmv_sketch`` every frame is bounded by
-    |pairs| x 2k rows; the pair grid itself is |groups|^2 (sources,
+    Scale shape: ONE pass over the input — the distinct (group, item)
+    frame is persisted and BOTH halves derive from it (the sketch
+    hashes it; the exact audit counts it), so the corpus is tokenized/
+    exploded once, not twice. After the bottom-k every frame is bounded
+    by |pairs| x 2k rows; the pair grid itself is |groups|^2 (sources,
     languages — small by construction).
     """
     from pyspark.sql.window import Window
 
-    sk = kmv_sketch(df, group_col, item_col, k).persist()
+    exact_sets = df.select(
+        F.col(group_col).alias("g"), _str(item_col).alias("item")
+    ).distinct().persist()
+    # sketch from the persisted distinct frame: items are unique per
+    # group, but two items may COLLIDE to one hash — the (g, h) distinct
+    # keeps the bottom-k over distinct hash VALUES, as KMV requires
+    hashed = exact_sets.select(
+        "g", _kmv_hash(F.col("item")).alias("h")
+    ).distinct()
+    w0 = Window.partitionBy("g").orderBy("h")
+    sk = (
+        hashed.withColumn("_rn", F.row_number().over(w0))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("g").alias(group_col), "h")
+        .persist()
+    )
     groups = sk.select(F.col(group_col).alias("g")).distinct()
     pairs = (
         groups.select(F.col("g").alias("ga"))
@@ -425,9 +443,6 @@ def kmv_pair_overlap(
     ).otherwise(F.lit((k - 1) * KMV_SPACE) / F.col("h_max"))
     jac = F.col("matches") / F.col("n_u")
 
-    exact_sets = df.select(
-        F.col(group_col).alias("g"), _str(item_col).alias("item")
-    ).distinct().persist()
     sizes = exact_sets.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         exact_sets.select(F.col("g").alias("ga"), "item")
