@@ -1354,3 +1354,75 @@ def seasonal_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency distribution: for every user who completed the
+# full view -> click -> purchase funnel (greedy earliest chain), the
+# time from first qualifying view to the purchase that completed the
+# chain — reported as exact percentiles per funnel cohort size. The
+# latency question every funnel report begs next; reuses funnel_stages'
+# fold (stage_ts = deepest stage's completion time).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conversion_latency",
+    """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS ts1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, min(e.ts) AS ts2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, min(e.ts) AS ts3
+    FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), lat AS (
+    SELECT t1.user_id,
+           epoch_us(t3.ts3) // 1000000 - epoch_us(t1.ts1) // 1000000
+               AS latency_s
+    FROM t3 JOIN t1 ON t1.user_id = t3.user_id
+)
+SELECT count(*) AS n_converted,
+       CAST(round(quantile_cont(latency_s, 0.5), 0) AS BIGINT) AS p50_s,
+       CAST(round(quantile_cont(latency_s, 0.9), 0) AS BIGINT) AS p90_s,
+       CAST(round(quantile_cont(latency_s, 0.99), 0) AS BIGINT) AS p99_s,
+       CAST(min(latency_s) AS BIGINT) AS min_s,
+       CAST(max(latency_s) AS BIGINT) AS max_s
+FROM lat
+""",
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    stages = A.funnel_stages(events, _FUNNEL_STEPS)
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    done = stages.filter(F.col("stage") == len(_FUNNEL_STEPS)).join(
+        first_view, "user_id"
+    )
+    lat = done.select(
+        (
+            F.col("stage_ts").cast("timestamp").cast("long")
+            - F.col("ts1").cast("timestamp").cast("long")
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 0)
+        .cast("long")
+        .alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 0)
+        .cast("long")
+        .alias("p90_s"),
+        F.round(F.expr("percentile(latency_s, 0.99)"), 0)
+        .cast("long")
+        .alias("p99_s"),
+        F.min("latency_s").alias("min_s"),
+        F.max("latency_s").alias("max_s"),
+    )
