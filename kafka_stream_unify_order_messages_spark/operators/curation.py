@@ -295,3 +295,85 @@ def global_rank(
         )
         .drop("_pid", "_local_rank", "_offset")
     )
+
+
+def deterministic_token_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_bp: int = 1500,
+    seed: str = "mask42",
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT-style masked-LM corruption, fully deterministic: token i of
+    document d is masked iff md5('<seed>:<d>:<i>') mod 10000 < rate_bp
+    — the md5-draw convention of hash_sample, per position. Returns
+    (id, n_tokens, n_masked, masked_text, targets) where targets is
+    '<pos>:<token>' pairs space-joined in position order (the labels a
+    masked-LM trains against).
+
+    Scan-local: tokens materialize once per row (bound array — the HOF
+    binding rule in dedup.shingles_from_tokens), positions come from one
+    ``transform`` over sequence(1, n), and both outputs are filters/
+    joins over that bound pair array. Zero shuffles, zero Python; the
+    same augmentation runs identically on any engine with md5 — which
+    is what makes seeded corpus corruption reproducible across reruns
+    and backfills at 100 TB.
+    """
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    draw = lambda i: (  # noqa: E731 — bound per position below
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"),
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_toks")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at("_toks", i).alias("tok"),
+            (draw(i) < rate_bp).alias("masked"),
+        ),
+    )
+    bound = toked.select(id_col, F.size("_toks").alias("n_tokens"), pairs.alias("_p"))
+    masked_text = F.array_join(
+        F.transform(
+            "_p",
+            lambda s: F.when(s["masked"], F.lit(mask_token)).otherwise(
+                s["tok"]
+            ),
+        ),
+        " ",
+    )
+    hits = F.filter("_p", lambda s: s["masked"])
+    targets = F.array_join(
+        F.transform(
+            hits,
+            lambda s: F.concat(
+                s["pos"].cast("string"), F.lit(":"), s["tok"]
+            ),
+        ),
+        " ",
+    )
+    return bound.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(hits).cast("long").alias("n_masked"),
+        masked_text.alias("masked_text"),
+        targets.alias("targets"),
+    )

@@ -4002,3 +4002,52 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(D.shingles_from_tokens(F.col("_toks"), 3)).alias("shingle"),
     )
     return SK.kmv_pair_overlap(sh, "source", "shingle")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic masked-LM corruption (BERT-style): seeded md5 draw per
+# (doc, position) decides each token's fate, so the augmentation is
+# bit-reproducible across reruns/backfills — the property that makes
+# corpus corruption auditable at scale. Scan-local; zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mlm_token_mask",
+    f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), paired AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           list_transform(
+               generate_series(1, len(toks)),
+               i -> struct_pack(
+                   pos := i,
+                   tok := toks[i],
+                   masked := CAST('0x' || substr(
+                       md5('mask42:' || CAST(doc_id AS VARCHAR)
+                           || ':' || CAST(i AS VARCHAR)), 1, 7)
+                       AS BIGINT) % 10000 < 1500)
+           ) AS p
+    FROM toked
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(p, s -> s.masked)) AS BIGINT) AS n_masked,
+       array_to_string(list_transform(
+           p, s -> CASE WHEN s.masked THEN '[MASK]' ELSE s.tok END), ' ')
+           AS masked_text,
+       coalesce(array_to_string(list_transform(
+           list_filter(p, s -> s.masked),
+           s -> CAST(s.pos AS VARCHAR) || ':' || s.tok), ' '), '')
+           AS targets
+FROM paired
+""",
+)
+def mlm_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import (
+        curation as CU,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return CU.deterministic_token_mask(docs, rate_bp=1500, seed="mask42")
