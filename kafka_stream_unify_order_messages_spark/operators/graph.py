@@ -217,6 +217,7 @@ def bfs_hops(
     are hash shuffles on the node key, and the early exit caps the
     number of rounds at the graph's (small-world) effective diameter.
     """
+    ed = edges.persist(StorageLevel.MEMORY_AND_DISK)
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
@@ -226,9 +227,7 @@ def bfs_hops(
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
-            frontier.join(
-                edges, frontier["node"] == edges["src"], "inner"
-            )
+            frontier.join(ed, frontier["node"] == ed["src"], "inner")
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
@@ -241,4 +240,5 @@ def bfs_hops(
             StorageLevel.MEMORY_AND_DISK
         )
         frontier = nxt
+    ed.unpersist()
     return visited
