@@ -377,3 +377,104 @@ def deterministic_token_mask(
         masked_text.alias("masked_text"),
         targets.alias("targets"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_bp: int = 500,
+    span_len: int = 3,
+    seed: str = "t5span",
+) -> DataFrame:
+    """T5-style span corruption, fully deterministic: a seeded md5 draw
+    per (doc, position) marks SPAN STARTS (rate_bp basis points); each
+    start masks ``span_len`` consecutive tokens; runs of masked tokens
+    (overlapping spans merge) collapse to ONE sentinel ``<extra_id_k>``
+    in the input, and the target spells each sentinel followed by the
+    tokens it hides — the denoising objective's (input, target) pair.
+
+    Returns (id, n_tokens, n_spans, corrupted_text, target_text).
+
+    Scan-local: one ``F.aggregate`` fold over the bound token array
+    carries (sentinel counter, prev-masked flag, both output strings);
+    the masked flag for position i re-derives the <= span_len seed
+    draws behind it directly (constant md5s per position — sharing a
+    draws array across lambda accesses would re-evaluate the whole
+    array per element_at, the no-CSE HOF rule). Zero shuffles; the
+    DuckDB oracle states the same semantics relationally
+    (explode -> gaps-and-islands -> string_agg).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+
+    def draw_lt(i) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed + ":"),
+                            F.col(id_col).cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+            < rate_bp
+        )
+
+    def masked(i) -> Column:
+        conds = [draw_lt(i)]
+        for back in range(1, span_len):
+            conds.append((i > back) & draw_lt(i - back))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    sentinel = lambda k: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+    acc0 = F.struct(
+        F.lit(-1).alias("k"),
+        F.lit(False).alias("pm"),
+        F.lit("").alias("src"),
+        F.lit("").alias("tgt"),
+    )
+
+    def step(acc, i):
+        tok = F.element_at("_toks", i)
+        m = masked(i)
+        start = m & ~acc["pm"]
+        k2 = F.when(start, acc["k"] + 1).otherwise(acc["k"])
+        src2 = F.when(
+            m & start, F.concat(acc["src"], F.lit(" "), sentinel(k2))
+        ).when(m, acc["src"]).otherwise(
+            F.concat(acc["src"], F.lit(" "), tok)
+        )
+        tgt2 = F.when(
+            start,
+            F.concat(acc["tgt"], F.lit(" "), sentinel(k2), F.lit(" "), tok),
+        ).when(m, F.concat(acc["tgt"], F.lit(" "), tok)).otherwise(
+            acc["tgt"]
+        )
+        return F.struct(
+            k2.alias("k"), m.alias("pm"), src2.alias("src"), tgt2.alias("tgt")
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.size("_toks")), acc0, step
+    )
+    return toked.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (folded.getField("k") + 1).cast("long").alias("n_spans"),
+        F.ltrim(folded.getField("src")).alias("corrupted_text"),
+        F.ltrim(folded.getField("tgt")).alias("target_text"),
+    )

@@ -4051,3 +4051,74 @@ def mlm_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return CU.deterministic_token_mask(docs, rate_bp=1500, seed="mask42")
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption: seeded span starts, overlapping spans merge,
+# each masked run collapses to one <extra_id_k> sentinel in the input
+# while the target spells the hidden tokens — the denoising-objective
+# (input, target) pair, bit-reproducible like mlm_token_mask. The Spark
+# side is one scan-local fold; the oracle states the identical
+# semantics relationally (explode -> windowed mask -> gaps-and-islands
+# -> ordered string_agg), so the hash match proves the two
+# formulations equivalent.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t5_span_corruption",
+    f"""
+WITH toked AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), pos AS (
+    SELECT doc_id, len(toks) AS n_tokens, i, toks[i] AS tok,
+           CAST('0x' || substr(
+               md5('t5span:' || CAST(doc_id AS VARCHAR)
+                   || ':' || CAST(i AS VARCHAR)), 1, 7)
+               AS BIGINT) % 10000 < 500 AS is_seed
+    FROM toked, unnest(generate_series(1, len(toks))) t(i)
+), flags AS (
+    SELECT *, bool_or(is_seed) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+    FROM pos
+), runs AS (
+    SELECT *, CASE WHEN m AND NOT coalesce(
+                  lag(m) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+              THEN 1 ELSE 0 END AS run_start
+    FROM flags
+), ks AS (
+    SELECT *, sum(run_start) OVER (
+                  PARTITION BY doc_id ORDER BY i) - 1 AS k
+    FROM runs
+), pieces AS (
+    SELECT doc_id, n_tokens, i, k,
+           CASE WHEN m AND run_start = 1
+                THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                WHEN m THEN NULL
+                ELSE tok END AS src_piece,
+           CASE WHEN run_start = 1
+                THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' || ' ' || tok
+                WHEN m THEN tok
+                ELSE NULL END AS tgt_piece
+    FROM ks
+)
+SELECT doc_id,
+       CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(k) + 1 AS BIGINT) AS n_spans,
+       coalesce(string_agg(src_piece, ' ' ORDER BY i), '')
+           AS corrupted_text,
+       coalesce(string_agg(tgt_piece, ' ' ORDER BY i), '')
+           AS target_text
+FROM pieces GROUP BY doc_id
+""",
+)
+def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import (
+        curation as CU,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return CU.span_corruption(
+        docs, rate_bp=500, span_len=3, seed="t5span"
+    )

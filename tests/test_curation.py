@@ -389,3 +389,45 @@ def test_cap_per_group_bounds_and_determinism(spark):
         assert len(by_group["small"]) == 3
         # grp_rank enumerates the kept subset 1..k in md5 order
         assert sorted(r["grp_rank"] for r in by_group["big"]) == [1, 2, 3, 4, 5]
+
+
+def test_span_corruption_reconstructs_original(spark):
+    import re
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        curation as CU,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = CU.span_corruption(docs, rate_bp=2000, span_len=3).collect()
+    assert any(r.n_spans > 0 for r in out)
+    for r in out:
+        src, tgt = r.corrupted_text.split(), r.target_text.split()
+        sent = re.compile(r"<extra_id_(\d+)>$")
+        # sentinels appear once each, numbered 0..n_spans-1, same order
+        # in input and target
+        src_ids = [int(sent.match(t).group(1)) for t in src if sent.match(t)]
+        tgt_ids = [int(sent.match(t).group(1)) for t in tgt if sent.match(t)]
+        assert src_ids == tgt_ids == list(range(r.n_spans))
+        # splicing each target span back over its sentinel reconstructs
+        # the original document exactly
+        spans = {}
+        cur = None
+        for t in tgt:
+            m = sent.match(t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in src:
+            m = sent.match(t)
+            rebuilt.extend(spans[int(m.group(1))] if m else [t])
+        assert rebuilt == [f"w{r.doc_id}_{j}" for j in range(40)]
+        # every masked run is >= span_len unless clipped by doc end
+        for k, s in spans.items():
+            assert len(s) >= 3 or rebuilt[-len(s):] == s
