@@ -1250,3 +1250,42 @@ def search_ivf_index(
         nprobe=nprobe,
         centroids=centroids,
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-dimension z-scores: (id, dim, z) with z = (x - mean_d)/std_d
+    over the whole corpus — the whitening-lite step that stops a few
+    high-variance dimensions from dominating cosine/L2 before ANN.
+
+    Scale shape: one posexplode feeding a per-dimension aggregate
+    (map-side combinable — only |dims| rows per task cross the wire),
+    then the |dims|-row stats frame broadcasts back onto the exploded
+    scan. z rounds to 6 decimals so cross-engine summation-order drift
+    in the means cannot flip the comparison.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.avg("x").alias("mu"),
+        F.avg(F.col("x") * F.col("x")).alias("ex2"),
+    ).select(
+        "dim",
+        "mu",
+        F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu")).alias("sd"),
+    )
+    return ex.join(F.broadcast(stats), "dim").select(
+        id_col,
+        F.col("dim").cast("long").alias("dim"),
+        F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )

@@ -4122,3 +4122,30 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.span_corruption(
         docs, rate_bp=500, span_len=3, seed="t5span"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding standardization (whitening-lite before ANN):
+# corpus-wide mean/std per dimension, z-scores back onto every vector.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_standardize",
+    """
+WITH ex AS (
+    SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+    FROM embeddings, unnest(generate_series(1, 64)) t(i)
+), stats AS (
+    SELECT dim, avg(x) AS mu,
+           sqrt(avg(x * x) - avg(x) * avg(x)) AS sd
+    FROM ex GROUP BY dim
+)
+SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+       round((e.x - s.mu) / s.sd, 6) AS z
+FROM ex e JOIN stats s USING (dim)
+""",
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.standardize_embeddings(emb, dim=64)
