@@ -4149,3 +4149,69 @@ FROM ex e JOIN stats s USING (dim)
 def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     return S.standardize_embeddings(emb, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Caption-embedding pair filter (the LAION-style multimodal pre-screen):
+# each document joins its vector 1:1, and a pair survives only if the
+# caption is long enough and the embedding norm sits inside the exact
+# [p01, p99] corpus band (degenerate/exploded vectors out). The kept
+# flag plus a drop reason per pair — the audit columns a curation run
+# reports. One equi-join + a 1-row percentile frame broadcast back.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "caption_pair_filter",
+    f"""
+WITH pairs AS (
+    SELECT d.doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           round(sqrt(list_dot_product(
+               e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS nrm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), band AS (
+    SELECT quantile_cont(nrm, 0.01) AS p01,
+           quantile_cont(nrm, 0.99) AS p99
+    FROM pairs
+)
+SELECT p.doc_id, p.n_tokens, p.nrm,
+       CASE WHEN p.n_tokens < 5 THEN 'caption_too_short'
+            WHEN p.nrm < b.p01 THEN 'norm_low'
+            WHEN p.nrm > b.p99 THEN 'norm_high'
+            END AS drop_reason,
+       (p.n_tokens >= 5 AND p.nrm >= b.p01 AND p.nrm <= b.p99) AS keep
+FROM pairs p, band b
+""",
+)
+def caption_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.functions.vectors import norm
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"]
+    ).select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(norm("embedding"), 6).alias("nrm"),
+    )
+    band = pairs.agg(
+        F.expr("percentile(nrm, 0.01)").alias("p01"),
+        F.expr("percentile(nrm, 0.99)").alias("p99"),
+    )
+    out = pairs.crossJoin(F.broadcast(band))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "nrm",
+        F.when(F.col("n_tokens") < 5, F.lit("caption_too_short"))
+        .when(F.col("nrm") < F.col("p01"), F.lit("norm_low"))
+        .when(F.col("nrm") > F.col("p99"), F.lit("norm_high"))
+        .alias("drop_reason"),
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("nrm") >= F.col("p01"))
+            & (F.col("nrm") <= F.col("p99"))
+        ).alias("keep"),
+    )
