@@ -4215,3 +4215,51 @@ def caption_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("nrm") <= F.col("p99"))
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining: for every query vector, its top-3
+# most-similar vectors with a DIFFERENT label — the negatives that sit
+# closest to the decision boundary, which is exactly what contrastive /
+# metric-learning training wants paired with each anchor. One
+# brute-force pass per label stratum (10 labels -> 10 broadcast-sized
+# query groups against label-pruned corpus slices, unioned); scores and
+# ranking reuse the ann machinery, so every per-partition GEMM still
+# prunes to batch-local top-k before the one ranking shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+WITH q AS (
+    SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS} AS score
+    FROM q JOIN embeddings c
+      ON q.vec_id != c.vec_id AND q.label != c.label
+)
+SELECT query_id, neighbor_id, score, rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= 3
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings").persist()
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    labels = [r.label for r in queries.select("label").distinct().collect()]
+    out = None
+    for lab in sorted(labels):
+        part = S.brute_force_topk(
+            queries.filter(F.col("label") == lab),
+            emb.filter(F.col("label") != lab),
+            k=3,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
