@@ -1426,3 +1426,91 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("latency_s").alias("min_s"),
         F.max("latency_s").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped funnel: a conversion only counts if view -> click ->
+# purchase completes INSIDE one session (30-minute inactivity rule, the
+# sessionize query's islands) — the product-analytics form, where
+# cross-day wandering is not a funnel. Composition of the two existing
+# cores: gaps-and-islands session ids feed funnel_stages keyed by
+# (user, session), then the same one-row rollup as funnel_report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_funnel",
+    """
+WITH gaps AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) > INTERVAL 30 MINUTE
+                OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM gaps
+), s1 AS (
+    SELECT user_id, session_no, min(ts) AS ts1 FROM sess
+    WHERE event_type = 'view' GROUP BY user_id, session_no
+), s2 AS (
+    SELECT e.user_id, e.session_no, min(e.ts) AS ts2
+    FROM sess e JOIN s1 ON e.user_id = s1.user_id
+        AND e.session_no = s1.session_no AND e.ts > s1.ts1
+    WHERE e.event_type = 'click' GROUP BY e.user_id, e.session_no
+), s3 AS (
+    SELECT e.user_id, e.session_no, min(e.ts) AS ts3
+    FROM sess e JOIN s2 ON e.user_id = s2.user_id
+        AND e.session_no = s2.session_no AND e.ts > s2.ts2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id, e.session_no
+), counts AS (
+    SELECT 1 AS step, 'view' AS step_name,
+           (SELECT count(*) FROM s1) AS sessions
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step, step_name, sessions,
+       round(sessions / CAST((SELECT sessions FROM counts WHERE step = 1)
+                             AS DOUBLE), 4) AS conv_rate
+FROM counts
+""",
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session).over(wsum).alias("session_no"),
+    ).select(
+        F.concat_ws(
+            "#", F.col("user_id").cast("string"),
+            F.col("session_no").cast("string"),
+        ).alias("skey"),
+        "event_id",
+        "ts",
+        "event_type",
+    )
+    report = A.funnel_report(keyed, _FUNNEL_STEPS, key="skey")
+    return report.select(
+        "step", "step_name",
+        F.col("users").alias("sessions"), "conv_rate",
+    )
