@@ -1935,3 +1935,164 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.codes[0]", "bigint").alias("code0"),
         F.try_variant_get("v", "$.nope.deep", "string").alias("missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quartiles per
+# customer — the classic CRM cut. Quartiles via ntile with a customer-
+# id tiebreak so bucket edges are deterministic on both engines; one
+# aggregation shuffle on the customer key, three windows sharing one
+# ordering exchange each.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    """
+WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+base AS (
+    SELECT o_custkey AS custkey,
+           date_diff('day', max(o_orderdate), (SELECT d FROM maxd))
+               AS recency_days,
+           count(*) AS frequency,
+           round(sum(o_totalprice), 2) AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS INTEGER)
+               AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INTEGER)
+               AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INTEGER)
+               AS m_quartile
+    FROM base
+)
+SELECT custkey, recency_days, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR)
+           || CAST(m_quartile AS VARCHAR) AS rfm
+FROM scored
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("d"))
+    scored = base.crossJoin(F.broadcast(maxd)).select(
+        "custkey",
+        F.datediff("d", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # NOTE: global ntile single-partition-sorts the per-customer frame;
+    # acceptable because the input is one row per customer (already the
+    # aggregate, not the fact table) — the same license as funnel
+    # rollups. For per-segment parallel quantiles use quality_rank_
+    # normalize's within-group exact-percentile pattern instead.
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.desc("frequency"), "custkey")
+    wm = Window.orderBy(F.desc("monetary"), "custkey")
+    out = scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+    return out.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence with lift: part pairs bought in the same
+# order, lift = P(a,b) / (P(a)·P(b)). The pair space comes from a self-
+# join on the order key — bounded by (items per order)^2, ~7 lines per
+# TPC-H order, never |parts|^2 — and the per-part supports broadcast
+# back onto the tiny pair frame. min_support prunes before lift math.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_lift",
+    """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), n_orders AS (
+    SELECT count(DISTINCT okey) AS n FROM items
+), pairs AS (
+    SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_both
+    FROM items a JOIN items b
+      ON a.okey = b.okey AND a.part < b.part
+    GROUP BY a.part, b.part
+    HAVING count(*) >= 2
+), support AS (
+    SELECT part, count(*) AS n_part FROM items GROUP BY part
+)
+SELECT p.part_a, p.part_b, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(sa.n_part AS BIGINT) AS n_a,
+       CAST(sb.n_part AS BIGINT) AS n_b,
+       round(p.n_both * (SELECT n FROM n_orders)
+             / CAST(sa.n_part * sb.n_part AS DOUBLE), 4) AS lift
+FROM pairs p
+JOIN support sa ON sa.part = p.part_a
+JOIN support sb ON sb.part = p.part_b
+""",
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(F.count_distinct("okey").alias("n"))
+    a = items.select(F.col("okey"), F.col("part").alias("part_a"))
+    b = items.select(F.col("okey"), F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    support = items.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
+    return (
+        # support joins stay un-hinted: |parts| scales with the data,
+        # so AQE should pick broadcast at bench scale and hash at 100 TB
+        pairs.join(
+            support.select(F.col("part").alias("part_a"),
+                           F.col("n_part").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            support.select(F.col("part").alias("part_b"),
+                           F.col("n_part").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") * F.col("n")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
