@@ -1514,3 +1514,152 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step", "step_name",
         F.col("users").alias("sessions"), "conv_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: users hash deterministically into arms (the
+# md5 convention — assignment is reproducible and audit-able, unlike
+# RNG); the tested proportion is the purchase share of events per arm
+# (user-level "ever purchased" saturates to 1.0 on this data, which
+# would zero the pooled variance); the readout is the two-proportion
+# z statistic. Everything after the one map-side-combinable count is a
+# 2-row frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_readout",
+    """
+WITH tagged AS (
+    SELECT CASE WHEN CAST('0x' || substr(
+               md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 7)
+               AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+    FROM events
+), arms AS (
+    SELECT arm, count(*) AS n_events,
+           CAST(sum(is_conv) AS BIGINT) AS n_converted
+    FROM tagged GROUP BY arm
+), wide AS (
+    SELECT
+        (SELECT n_events FROM arms WHERE arm = 'A') AS na,
+        (SELECT n_converted FROM arms WHERE arm = 'A') AS ca,
+        (SELECT n_events FROM arms WHERE arm = 'B') AS nb,
+        (SELECT n_converted FROM arms WHERE arm = 'B') AS cb
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
+       round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+       round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                    * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                    * (1.0 / na + 1.0 / nb)), 4) AS z_stat
+FROM wide
+""",
+)
+def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    tagged = events.select(
+        arm.alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
+    )
+    arms = tagged.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("is_conv").cast("long").alias("n_conv"),
+    )
+    a = arms.filter("arm = 'A'").select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    b = arms.filter("arm = 'B'").select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    wide = a.crossJoin(b)
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ra - rb) / F.sqrt(
+        pool * (1 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline: predict each day's per-type total as
+# the same weekday's total one week earlier (lag-7 over the daily
+# frame), and score the forecast with MAE and sMAPE. The op every
+# anomaly detector / capacity forecast gets compared against before
+# anything fancier earns its keep. Daily totals go through DECIMAL so
+# the evaluation is summation-order exact; everything after the one
+# (type, day) aggregation is a |types| x |days| frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_baseline",
+    """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS actual
+    FROM events GROUP BY event_type, day
+), lagged AS (
+    SELECT event_type, day, actual,
+           lag(actual, 7) OVER (
+               PARTITION BY event_type ORDER BY day) AS forecast
+    FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_scored,
+       round(avg(abs(actual - forecast)), 4) AS mae,
+       round(avg(2 * abs(actual - forecast)
+                 / (abs(actual) + abs(forecast))), 6) AS smape
+FROM lagged WHERE forecast IS NOT NULL
+GROUP BY event_type
+""",
+)
+def forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("actual")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("forecast", F.lag("actual", 7).over(w))
+    scored = lagged.filter(F.col("forecast").isNotNull())
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(
+            F.avg(
+                2 * err / (F.abs("actual") + F.abs("forecast"))
+            ),
+            6,
+        ).alias("smape"),
+    )
