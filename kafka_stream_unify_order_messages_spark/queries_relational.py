@@ -2096,3 +2096,75 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLA attainment: per ship mode, the on-time rate and the
+# p50/p95 breach size in days — the logistics counterpart of a latency
+# SLO report. The testdata lineitem carries no commit/receipt dates, so
+# both engines derive the same deterministic offsets from the line keys
+# (the shipmode_priority convention); the query's shape — one mode-key
+# aggregation, exact percentiles over the breach subset — is what a
+# real table would run unchanged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shipping_sla",
+    """
+WITH scored AS (
+    SELECT CASE CAST(l_orderkey % 3 AS INTEGER)
+               WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'RAIL' END
+               AS ship_mode,
+           7 + l_orderkey % 5 AS commit_days,
+           5 + (l_linenumber * 3) % 11 AS receipt_days
+    FROM lineitem
+), flagged AS (
+    SELECT ship_mode,
+           CASE WHEN receipt_days <= commit_days THEN 1 ELSE 0 END
+               AS on_time,
+           CASE WHEN receipt_days > commit_days
+                THEN receipt_days - commit_days END AS late_days
+    FROM scored
+)
+SELECT ship_mode,
+       count(*) AS n_shipments,
+       round(avg(CAST(on_time AS DOUBLE)), 4) AS on_time_rate,
+       CAST(round(quantile_cont(late_days, 0.5), 1) * 10 AS BIGINT)
+           AS p50_late_tenths,
+       CAST(round(quantile_cont(late_days, 0.95), 1) * 10 AS BIGINT)
+           AS p95_late_tenths,
+       CAST(max(late_days) AS BIGINT) AS max_late_days
+FROM flagged
+GROUP BY ship_mode
+""",
+)
+def shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mode = (
+        F.when(F.col("l_orderkey") % 3 == 0, "MAIL")
+        .when(F.col("l_orderkey") % 3 == 1, "SHIP")
+        .otherwise("RAIL")
+    )
+    commit_days = F.lit(7) + F.col("l_orderkey") % 5
+    receipt_days = F.lit(5) + (F.col("l_linenumber") * 3) % 11
+    flagged = li.select(
+        mode.alias("ship_mode"),
+        (receipt_days <= commit_days).cast("int").alias("on_time"),
+        F.when(
+            receipt_days > commit_days, receipt_days - commit_days
+        ).alias("late_days"),
+    )
+    return flagged.groupBy("ship_mode").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.round(F.avg(F.col("on_time").cast("double")), 4).alias(
+            "on_time_rate"
+        ),
+        (F.round(F.expr("percentile(late_days, 0.5)"), 1) * 10)
+        .cast("long")
+        .alias("p50_late_tenths"),
+        (F.round(F.expr("percentile(late_days, 0.95)"), 1) * 10)
+        .cast("long")
+        .alias("p95_late_tenths"),
+        F.max("late_days").cast("long").alias("max_late_days"),
+    )
