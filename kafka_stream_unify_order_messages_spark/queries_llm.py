@@ -4263,3 +4263,61 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Power-law tail fit (Hill estimator) over shingle frequencies: alpha =
+# 1 + n / sum(ln(c/xmin)) for counts >= xmin (the exact p90 of the
+# count distribution). Token/shingle/degree distributions being heavy-
+# tailed is WHY dedup banding, per-group caps, and skew salting exist;
+# this measures the exponent those designs assume. Everything after the
+# one (shingle -> count) shuffle is count-distribution-sized.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "powerlaw_fit",
+    f"""
+WITH sh AS (
+    SELECT unnest({_SHINGLES}) AS shingle FROM documents
+), counts AS (
+    SELECT shingle, count(*) AS c FROM sh GROUP BY shingle
+), cut AS (
+    SELECT quantile_cont(c, 0.9) AS xmin FROM counts
+), tail AS (
+    SELECT c, (SELECT xmin FROM cut) AS xmin
+    FROM counts WHERE c >= (SELECT xmin FROM cut)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       round(any_value(xmin), 4) AS xmin,
+       round(1.0 + count(*) / sum(ln(c / xmin)), 4) AS alpha,
+       CAST((SELECT count(*) FROM counts) AS BIGINT) AS n_distinct
+FROM tail
+""",
+)
+def powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toked = docs.select(T.tokens("text").alias("_toks"))
+    sh = toked.select(
+        F.explode(D.shingles_from_tokens(F.col("_toks"), 3)).alias("shingle")
+    )
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    cut = counts.agg(F.expr("percentile(c, 0.9)").alias("xmin"))
+    n_distinct = counts.agg(F.count(F.lit(1)).alias("n_distinct"))
+    tail = counts.crossJoin(F.broadcast(cut)).filter(
+        F.col("c") >= F.col("xmin")
+    )
+    return (
+        tail.agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.round(F.first("xmin"), 4).alias("xmin"),
+            F.round(
+                1.0
+                + F.count(F.lit(1))
+                / F.sum(F.log(F.col("c") / F.col("xmin"))),
+                4,
+            ).alias("alpha"),
+        )
+        .crossJoin(F.broadcast(n_distinct))
+        .select("n_tail", "xmin", "alpha", F.col("n_distinct").cast("long"))
+    )
