@@ -62,17 +62,30 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     metric: str = "cosine",
+    exclude_same_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, score, rnk).
 
     ``queries`` must be broadcast-sized (it is collected into a numpy
     matrix, like the build side of a broadcast join); ``corpus`` can be
     arbitrarily large and is never shuffled at full width.
+
+    ``exclude_same_col`` names a column present on BOTH sides whose
+    equal values disqualify a (query, candidate) pair — the hard-
+    negative-mining form (label-matched pairs masked the same way
+    self-pairs are), in ONE corpus pass instead of one pass per label
+    stratum.
     """
     from pyspark.sql import Window
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_cols = [id_col, vec_col] + (
+        [exclude_same_col] if exclude_same_col else []
+    )
+    q_rows = queries.select(*q_cols).collect()
     q_ids = [r[0] for r in q_rows]
+    q_excl = (
+        np.asarray([r[2] for r in q_rows]) if exclude_same_col else None
+    )
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     if metric == "cosine":
         q_mat = _normalized_matrix(q_mat)
@@ -100,6 +113,11 @@ def brute_force_topk(
             # mask self-pairs before pruning
             self_mask = q_id_arr[:, None] == n_ids[None, :]
             scores = np.where(self_mask, -np.inf, scores)
+            if q_excl is not None:
+                c_excl = pdf[exclude_same_col].to_numpy()
+                scores = np.where(
+                    q_excl[:, None] == c_excl[None, :], -np.inf, scores
+                )
             keep = min(k, scores.shape[1])
             kth = np.partition(scores, -keep, axis=1)[:, -keep] if keep else None
             out_q, out_n, out_s = [], [], []
@@ -117,7 +135,10 @@ def brute_force_topk(
                 }
             )
 
-    pruned = corpus.select(id_col, vec_col).mapInPandas(
+    c_cols = [id_col, vec_col] + (
+        [exclude_same_col] if exclude_same_col else []
+    )
+    pruned = corpus.select(*c_cols).mapInPandas(
         score_partition, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
