@@ -860,3 +860,35 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_delta"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3-dimensional Z-order codes — the clustering key for tables filtered
+# on three dimensions at once (the 2-D morton/hilbert forms above cover
+# pairs). Same pure bit-twiddling codegen, 48 of 63 long bits used.
+# ---------------------------------------------------------------------------
+
+_Z3_SQL = L.morton_code3_sql(
+    "(o_custkey % 65536)",
+    "(o_orderkey % 65536)",
+    "(CAST(floor(o_totalprice) AS BIGINT) % 65536)",
+)
+
+
+@query(
+    "zorder3_codes",
+    f"""
+SELECT o_orderkey, CAST({_Z3_SQL} AS BIGINT) AS zcode3
+FROM orders
+""",
+)
+def zorder3_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        L.morton_code3(
+            F.col("o_custkey") % 65536,
+            F.col("o_orderkey") % 65536,
+            F.floor("o_totalprice").cast("long") % 65536,
+        ).alias("zcode3"),
+    )
