@@ -2168,3 +2168,65 @@ def shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95_late_tenths"),
         F.max("late_days").cast("long").alias("max_late_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-orders backlog over time (concurrent-intervals counting): +1 at
+# each order's open day, -1 the day after its close, prefix-summed over
+# the tiny day frame — O(orders) deltas, never days x orders. The same
+# shape answers concurrent sessions / active tickets / live
+# connections. Close dates are derived deterministically (the testdata
+# carries none): close = open + (orderkey % 90) days.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog",
+    """
+WITH spans AS (
+    SELECT date_trunc('day', o_orderdate) AS open_day,
+           date_trunc('day', o_orderdate)
+               + INTERVAL 1 DAY * CAST(o_orderkey % 90 + 1 AS INTEGER)
+               AS close_next_day
+    FROM orders
+), deltas AS (
+    SELECT open_day AS day, 1 AS d FROM spans
+    UNION ALL
+    SELECT close_next_day AS day, -1 AS d FROM spans
+), daily AS (
+    SELECT day, CAST(sum(d) AS BIGINT) AS net FROM deltas GROUP BY day
+)
+SELECT day,
+       net,
+       CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_orders
+FROM daily
+""",
+)
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_day = F.date_trunc("day", "o_orderdate")
+    close_next = F.date_add(
+        open_day.cast("date"), (F.col("o_orderkey") % 90 + 1).cast("int")
+    ).cast("timestamp_ntz")
+    spans = orders.select(
+        open_day.alias("open_day"), close_next.alias("close_next_day")
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        spans.select(
+            F.col("close_next_day").alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("net"))
+    # the day frame is |distinct days| rows (~years of days, thousands),
+    # so the single-partition running-sum window is licensed — the same
+    # reasoning as the bucket-offset cumsum in operators/packing.py
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "net", F.sum("net").over(w).cast("long").alias("open_orders")
+    )
