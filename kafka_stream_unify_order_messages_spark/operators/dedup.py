@@ -735,18 +735,37 @@ def dedup_clusters(
     union-find — replacing iterative Spark jobs whose fixed per-job
     scheduling cost dominates on small graphs (measured 3.7 s of overhead
     for a 163-edge graph at bench scale). Larger graphs take the
-    distributed large-star/small-star path (``dedup_clusters_star``),
-    whose round count is diameter-independent; the size probe costs one
-    extra execution of the candidate plan in that case, mirroring AQE's
-    reoptimization trade. Set ``driver_edge_limit=0`` to force the
-    distributed path.
+    distributed large-star/small-star path (``dedup_clusters_star``).
+
+    The candidate-pair plan is persisted BEFORE the size probe, so the
+    distributed path reuses the materialized edges instead of
+    re-executing candidate generation (at 100 TB, candidate generation —
+    shingling + the banded join — is the expensive half; the persisted
+    frame is only the surviving (id_a, id_b) edges, tiny by
+    construction). The cache is dropped as soon as the chosen path has
+    consumed it: immediately on the driver path, and right after the
+    star path's eager first localCheckpoint materializes on the
+    distributed path. Set ``driver_edge_limit=0`` to force the
+    distributed path (no probe, no persist).
     """
     if driver_edge_limit:
-        head = pairs.select("id_a", "id_b").take(driver_edge_limit + 1)
+        from pyspark import StorageLevel
+
+        edges = pairs.select("id_a", "id_b").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        head = edges.take(driver_edge_limit + 1)
         if len(head) <= driver_edge_limit:
+            edges.unpersist()
             return _driver_union_find(
                 pairs.sparkSession, head, pairs.schema["id_a"].dataType
             )
+        # dedup_clusters_star localCheckpoints its input EAGERLY, so by
+        # the time it returns the cached edges have been read exactly
+        # once and the cache can go
+        labels = dedup_clusters_star(edges, max_iter=max_iter)
+        edges.unpersist()
+        return labels
     return dedup_clusters_star(pairs, max_iter=max_iter)
 
 

@@ -667,6 +667,38 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     assert slow == expect
 
 
+def test_dedup_clusters_probe_executes_candidate_plan_once(spark):
+    # the size probe must not pay candidate generation twice on the
+    # distributed path: with the pair plan instrumented by a per-row
+    # accumulator, total increments across probe + star clustering must
+    # equal the edge count exactly (persist means every partition is
+    # computed at most once; without it the probe's partitions recount)
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]
+    base = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(4)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    pairs = base.mapInPandas(counted, "id_a long, id_b long")
+    # driver_edge_limit below the edge count forces the distributed path
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs, driver_edge_limit=5).collect()
+    }
+    assert got == {(i, i) for i in range(0, 40, 2)} | {
+        (i + 1, i) for i in range(0, 40, 2)
+    }
+    assert acc.value == len(edges), (
+        f"candidate plan rows computed {acc.value}x, expected "
+        f"{len(edges)} (one execution)"
+    )
+
+
 def test_minhash_edges_same_components_as_pairs(docs, spark):
     pairs = D.minhash_candidate_pairs(docs, num_hashes=16, bands=8, shingle_n=2)
     edges = D.minhash_candidate_edges(docs, num_hashes=16, bands=8, shingle_n=2)

@@ -117,6 +117,47 @@ def test_profile_table_values(spark):
     assert (r["min_value"], r["max_value"]) == ("a", "b")
 
 
+def test_profile_table_modes_share_schema(spark):
+    # the 100 TB knob (approx_count_distinct) must be a drop-in: same
+    # columns, same types, same row set — only n_distinct may differ
+    # (and at these cardinalities HLL++ is exact anyway)
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (2, None)], ["id", "s"]
+    )
+    exact = Q.profile_table(df, ["id", "s"], exact=True)
+    approx = Q.profile_table(df, ["id", "s"], exact=False)
+    assert [f.name for f in exact.schema.fields] == [
+        f.name for f in approx.schema.fields
+    ]
+    assert [f.dataType for f in exact.schema.fields] == [
+        f.dataType for f in approx.schema.fields
+    ]
+    e = {r["column_name"]: r.asDict() for r in exact.collect()}
+    a = {r["column_name"]: r.asDict() for r in approx.collect()}
+    assert e == a
+
+
+def test_profile_table_exact_distinct_binary_and_all_null(spark):
+    # the exploded exact path encodes non-string types via
+    # to_json(struct(col)) — binary must stay injective (plain
+    # cast-to-string is lossy UTF-8 and would collapse distinct blobs),
+    # and an all-null column must report 0 distinct, not vanish
+    df = spark.createDataFrame(
+        [
+            (bytearray(b"\xff\xfe"), None),
+            (bytearray(b"\xff\xfd"), None),
+            (bytearray(b"\xff\xfe"), None),
+        ],
+        "b binary, z string",
+    )
+    out = {
+        r["column_name"]: r
+        for r in Q.profile_table(df, ["b", "z"]).collect()
+    }
+    assert out["b"]["n_distinct"] == 2
+    assert (out["z"]["n_null"], out["z"]["n_distinct"]) == (3, 0)
+
+
 def test_zonemap_eval_zorder_skips_clustered_dimension(spark):
     # x clustered by z-tiles must prune; the "natural" order (y) spreads
     # x uniformly so its zone maps cover everything
