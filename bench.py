@@ -56,16 +56,25 @@ def main() -> None:
     # best-of-N (default 2): a single-shot timing is hostage to transient
     # machine load / GC pauses; the minimum is the reproducible cost of
     # the plan. Same plan both runs — only execution is repeated.
+    # Sub-second queries get one extra run: their timings are dominated
+    # by scheduler jitter (a single 100 ms GC pause is a 30 % swing), so
+    # best-of-3 there shrinks repeat-run variance without meaningfully
+    # lengthening the suite (the extra runs are, by selection, cheap).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name, fn in registry.QUERIES.items():
         best = float("inf")
         try:
-            for _ in range(runs):
+            n = runs
+            done = 0
+            while done < n:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
+                done += 1
+                if done == n and n == runs and best < 1.0:
+                    n += 1
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # wipe the whole benchmark artifact; surface it instead
             failed.append(name)

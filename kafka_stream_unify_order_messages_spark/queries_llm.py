@@ -3220,6 +3220,121 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup agreement eval: the quality bound for the one approximate
+# operator that had none (semantic_dedup is rows-only because its
+# k-means centroids are data-trained). With FIXED md5-derived centroids
+# the entire mechanism — cell assignment, cluster-scoped exact scoring —
+# is deterministic, so this eval is fully value-checked in SQL, unlike
+# lsh_recall_eval-style bounds that only the builder can verify.
+# Truth = exact all-pairs cosine >= threshold (computed by the SAME
+# block-decomposed GEMM operator with ONE centroid: every pair lands in
+# one cluster, exercising the skew-chunking path as a bonus).
+# Agreement = fraction of true near-dup pairs SemDeDup's cluster scoping
+# retains (cluster-scoped pairs are a subset of all-pairs at the same
+# threshold, so this IS recall; precision is 1 by construction).
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_agreement_sql(
+    n_centroids: int = 16, dim: int = 64, thr: float = 0.35
+) -> str:
+    import math
+
+    cents = [S.hyperplane(200 + c, dim) for c in range(n_centroids)]
+    ds = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        n2 = math.fsum(x * x for x in c)
+        ds.append(f"-2 * list_dot_product(v, {lit}) + {n2!r}")
+    dlist = "[" + ",\n        ".join(ds) + "]"
+    return f"""
+WITH cd AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+        {dlist} AS ds
+    FROM embeddings
+), cell AS (
+    SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell,
+           sqrt(list_dot_product(v, v)) AS nrm
+    FROM cd
+), truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM cell a JOIN cell b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+          >= {thr!r}
+), cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM cell a JOIN cell b
+      ON a.vec_id < b.vec_id AND a.cell = b.cell
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+          >= {thr!r}
+), hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+SELECT
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM cand) AS n_semdedup,
+    (SELECT count(*) FROM hit) AS n_hit,
+    CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+        CAST(round(CAST((SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) END AS agreement
+"""
+
+
+@query("semdedup_agreement_eval", _semdedup_agreement_sql())
+def semdedup_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    import numpy as np
+
+    emb = _load(spark, sf_dir, "embeddings")
+    # exact all-pairs truth: one zero centroid puts the whole corpus in
+    # a single cluster, so the block-decomposed GEMM scores every pair
+    truth = (
+        S.semantic_dedup_pairs(
+            emb,
+            "vec_id",
+            "embedding",
+            threshold=0.35,
+            centroids=np.zeros((1, 64), dtype=np.float64),
+        )
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        S.semantic_dedup_pairs(
+            emb,
+            "vec_id",
+            "embedding",
+            threshold=0.35,
+            centroids=_ivf_fixed_centroids(),
+        )
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hit = truth.join(cand, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_semdedup"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_semdedup",
+            "n_hit",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    (F.col("n_hit") / F.col("n_truth")).cast(
+                        "decimal(38,10)"
+                    ),
+                    6,
+                ).cast("double"),
+            ).alias("agreement"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget mixture: temperature re-balancing weighted by TOKENS per
 # source (what production training mixes budget), integer-threshold md5
 # draws for an engine-stable keep boundary.

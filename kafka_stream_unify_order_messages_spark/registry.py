@@ -520,13 +520,29 @@ import kafka_stream_unify_order_messages_spark.queries_analytics  # noqa: E402,F
 
 # ---------------------------------------------------------------------------
 # Registration order doubles as the driver's verification window (the
-# correctness gate samples the first N entries of ``queries()``). Front-load
-# the reference §2 pipeline plus one oracled representative of every
-# LLM-data-pipeline family so each gets a driver-checked row; the TPC-H-style
-# relational tail follows (it is equally oracled, just listed later).
+# correctness gate samples the first N≈50 entries of ``queries()``).
+# Ordering policy (also documented in PARITY.md §"Driver window rotation"):
+#
+# 1. The SURVEY.md §2 reference pipeline (14 queries) is PINNED first —
+#    the reference's own semantics get a driver-checked row every round.
+# 2. Every other ORACLED query follows in a deterministic rotation keyed
+#    on the round number: each round the rotation advances by the
+#    remaining window width (50 - 14 = 36 slots), so successive rounds
+#    verify disjoint 36-query slices and every oracled query lands in the
+#    driver window within ceil(n_oracled / 36) rounds — the builder's
+#    strict sweep stays the per-round safety net, but each query also
+#    eventually earns an independent driver-green row.
+# 3. Rows-only queries (no oracle) sort last: a driver window slot spent
+#    on a rows-only check verifies strictly less than one spent on a
+#    value-hash check.
+#
+# The round number comes from SPARK_GRAFT_ROUND if set, else from the
+# highest CORRECTNESS_r{N}.json the driver has already written into the
+# repo root (+1) — deterministic for the whole round, since the driver
+# records round N's artifact only after running round N's gate.
 # ---------------------------------------------------------------------------
 
-_FRONT_WINDOW = [
+_PINNED = [
     # SURVEY.md §2 reference pipeline (registered above, kept first).
     "unify_projection",
     "canonicalize_types",
@@ -542,56 +558,52 @@ _FRONT_WINDOW = [
     "json_unarchive",
     "topic_routing",
     "tpch_q1",
-    # Dedup family.
-    "dedup_exact",
-    "minhash_dedup_pairs",
-    "ngram_jaccard_subset",
-    "simhash_fingerprints",
-    "winnowing_fingerprints",
-    "dedup_cluster_labels",
-    "incremental_dedup",
-    "incremental_near_dup",
-    "line_dedup",
-    "dup_ngram_spans",
-    # Similarity / embeddings.
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_ivf_fixed",
-    "embedding_near_dup",
-    "random_projection",
-    "fuzzy_customer_pairs",
-    # Text analysis.
-    "text_stats",
-    "lang_id_heuristic",
-    "lang_id_ngram",
-    "quality_scores",
-    "gopher_rules",
-    "repetition_ratio",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "ppl_buckets",
-    # Training-data pipeline.
-    "clean_corpus",
-    "decontaminate",
-    "lm_perplexity",
-    "temperature_sample",
-    "stratified_sample",
-    "training_shuffle",
-    "doc_chunking",
-    "shard_packing",
-    "zorder_codes",
-    # Multimodal.
-    "multimodal_meta",
 ]
 
+_ROTATING_SLOTS = 36  # driver window (~50) minus the pinned block
 
-def _apply_registration_order() -> None:
+
+def _current_round() -> int:
+    import os
+    import re
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env.isdigit():
+        return int(env)
+    root = Path(__file__).resolve().parent.parent
+    rounds = []
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1 if rounds else 1
+
+
+# Canonical base order, captured once at import: rotation must slice a
+# STABLE sequence — rotating the current (already-rotated) dict would
+# compound offsets and break the disjoint-slices-per-round guarantee.
+_BASE_ORDER: list[str] = []
+
+
+def _apply_registration_order(round_no: int | None = None) -> None:
+    if round_no is None:
+        round_no = _current_round()
+    if not _BASE_ORDER:
+        _BASE_ORDER.extend(_PINNED)
+        _BASE_ORDER.extend(n for n in QUERIES if n not in _PINNED)
     ordered: dict[str, QueryFn] = {}
-    for name in _FRONT_WINDOW:
+    for name in _PINNED:
         ordered[name] = QUERIES[name]
-    for name, fn in QUERIES.items():
-        ordered.setdefault(name, fn)
+    oracled = [
+        n for n in _BASE_ORDER if n not in ordered and n in ORACLES
+    ]
+    rows_only = [
+        n for n in _BASE_ORDER if n not in ordered and n not in ORACLES
+    ]
+    off = ((round_no - 1) * _ROTATING_SLOTS) % len(oracled) if oracled else 0
+    for name in oracled[off:] + oracled[:off] + rows_only:
+        ordered[name] = QUERIES[name]
     QUERIES.clear()
     QUERIES.update(ordered)
 

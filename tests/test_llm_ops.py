@@ -410,6 +410,47 @@ def test_semantic_dedup_pairs_within_cluster_exact(spark):
     assert all(s >= 0.99 for s in pairs.values())
 
 
+def test_semdedup_agreement_eval_counts_and_subset(spark):
+    import numpy as np
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    # hand-checkable geometry: pairs (1,2) and (3,4) are true near-dups;
+    # (5,6) are near-dups ACROSS the two centroid directions, so
+    # cluster-scoped SemDeDup must miss exactly that pair -> the
+    # agreement eval's semantics (cand subset of truth, agreement =
+    # retained fraction) are pinned without any fixture data
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.01, 0.999, 0.0]),
+        (5, [0.71, 0.0, 0.7, 0.0]),    # assigned to centroid 0
+        (6, [0.7, 0.0, 0.71, 0.0]),    # assigned to centroid 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in S.semantic_dedup_pairs(
+            df,
+            threshold=0.99,
+            centroids=np.zeros((1, 4), dtype=np.float64),
+        ).collect()
+    }
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in S.semantic_dedup_pairs(
+            df, threshold=0.99, centroids=cents
+        ).collect()
+    }
+    assert truth == {(1, 2), (3, 4), (5, 6)}
+    assert cand == {(1, 2), (3, 4)}
+    assert cand <= truth  # precision 1 by construction
+
+
 def test_semantic_dedup_keeps_one_per_component(spark):
     import numpy as np
 

@@ -51,6 +51,16 @@ def test_media_metadata_prunes_payload(media):
     assert "payload" not in plan.lower().replace("n_bytes", "")
 
 
+try:
+    from PIL import Image as _PIL_IMAGE
+except ImportError:
+    _PIL_IMAGE = None
+
+
+@pytest.mark.skipif(
+    _PIL_IMAGE is not None,
+    reason="Pillow installed: decode_media takes the real codec path",
+)
 def test_decode_stub_raises_without_codec(media):
     from py4j.protocol import Py4JJavaError
 
@@ -60,6 +70,43 @@ def test_decode_stub_raises_without_codec(media):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, Py4JJavaError
     )
+
+
+@pytest.mark.skipif(_PIL_IMAGE is None, reason="Pillow not installed")
+def test_real_decode_and_phash_over_decoded_pixels(spark):
+    # the optional-dependency path: true dims from PIL, identical pixels
+    # under different PNG encodings -> identical aHash, corrupt payloads
+    # quarantined as nulls instead of failing the task
+    import io
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (32, 48, 3)).astype("uint8")
+
+    def png_bytes(arr, **kw):
+        buf = io.BytesIO()
+        _PIL_IMAGE.fromarray(arr).save(buf, format="PNG", **kw)
+        return buf.getvalue()
+
+    rows = [
+        (1, bytearray(png_bytes(px))),
+        (2, bytearray(png_bytes(px, compress_level=9))),  # same pixels
+        (3, bytearray(png_bytes(255 - px))),              # different image
+        (4, bytearray(b"definitely not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dims = {
+        r.doc_id: (r.width, r.height, r.mode)
+        for r in M.decode_media(df).collect()
+    }
+    assert dims[1] == (48, 32, "RGB")
+    assert dims[2] == (48, 32, "RGB")
+    assert dims[4] == (None, None, None)
+    ph = {r.doc_id: r.phash for r in M.decoded_phash(df).collect()}
+    assert ph[1] == ph[2]      # lossless re-encode, same decoded pixels
+    assert ph[1] != ph[3]
+    assert ph[4] is None
 
 
 def test_fake_decode_deterministic(media):

@@ -15,6 +15,44 @@ def test_oracles_subset_of_queries():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
+def test_driver_window_rotation_covers_all_oracled():
+    # ordering policy (registry.py / PARITY.md): 14 pinned §2 queries
+    # first every round; the next 36 slots rotate deterministically so
+    # every oracled query reaches the driver window within
+    # ceil(n_oracled/36) rounds; rows-only queries always sort last
+    pinned = registry._PINNED
+    slots = registry._ROTATING_SLOTS
+    rotatable = [
+        n for n in registry.QUERIES
+        if n in registry.ORACLES and n not in pinned
+    ]
+    try:
+        seen: set[str] = set()
+        rounds_needed = -(-len(rotatable) // slots)
+        for rnd in range(1, rounds_needed + 1):
+            registry._apply_registration_order(rnd)
+            window = list(registry.QUERIES)[: len(pinned) + slots]
+            assert window[: len(pinned)] == pinned
+            tail = window[len(pinned):]
+            assert all(n in registry.ORACLES for n in tail)
+            seen.update(tail)
+        assert seen == set(rotatable)
+        # rows-only queries after every oracled one
+        names = list(registry.QUERIES)
+        idx_rows_only = [
+            i for i, n in enumerate(names) if n not in registry.ORACLES
+        ]
+        if idx_rows_only:
+            assert min(idx_rows_only) >= len(names) - len(idx_rows_only)
+        # same round -> same order (the driver imports more than once)
+        registry._apply_registration_order(3)
+        once = list(registry.QUERIES)
+        registry._apply_registration_order(3)
+        assert list(registry.QUERIES) == once
+    finally:
+        registry._apply_registration_order()  # restore real-round order
+
+
 # Queries allowed to run without a SQL oracle (rows-only driver check).
 # Every entry must have a reason and a stronger pytest pinning correctness.
 ROWS_ONLY_ALLOWED = {
