@@ -80,6 +80,17 @@ def main() -> None:
             failed.append(name)
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             continue
+        finally:
+            # drop ALL cached blocks between queries: operators persist /
+            # localCheckpoint intermediates they reuse within one query;
+            # across ~200 queries those blocks (checkpoints are not
+            # evictable) accumulate into an eventual JVM OOM — observed
+            # on the x100 scale ramp before this housekeeping existed
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist(False)
         timings[name] = round(best, 3)
 
     result = {

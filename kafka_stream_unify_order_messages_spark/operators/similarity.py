@@ -264,9 +264,20 @@ def _grouped_probe_scores(
         sub = np.where(
             q_id_arr[q_sel][:, None] == ids_g[None, :], -np.inf, sub
         )
-        q_parts.append(np.repeat(q_sel, len(c_idx)))
-        n_parts.append(np.tile(c_idx, len(q_sel)))
-        s_parts.append(sub.ravel())
+        # prune to per-query top-k IMMEDIATELY, inside the group loop:
+        # accumulating raw |Q_g|·|C_g| pair arrays across groups held
+        # O(batch-pairs) memory per worker (observed ~3.5 GB/worker ->
+        # fleet OOM at the 200k-vector ramp tier). Safe: a group's k-th
+        # best is <= the batch's k-th best, so nothing within the margin
+        # of the batch top-k is dropped — the group sub-matrix itself
+        # stays transient.
+        keep_n = min(k, sub.shape[1])
+        kth = np.partition(sub, -keep_n, axis=1)[:, -keep_n]
+        mask = (sub >= (kth[:, None] - _ROUND_MARGIN)) & np.isfinite(sub)
+        qi_idx, ci_idx = np.nonzero(mask)
+        q_parts.append(q_sel[qi_idx])
+        n_parts.append(c_idx[ci_idx])
+        s_parts.append(sub[qi_idx, ci_idx])
     if not q_parts:
         return None
     qi_all = np.concatenate(q_parts)
@@ -360,6 +371,171 @@ def lsh_topk(
 
     pruned = corpus.select(id_col, vec_col).mapInPandas(
         score_partition, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("score", F.round("score", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    multi_probe: bool = False,
+    max_block: int = 4096,
+) -> DataFrame:
+    """Fully-DISTRIBUTED approximate kNN join: top-k cosine neighbors per
+    query restricted to shared LSH buckets, with NEITHER side collected
+    to the driver. This is the corpus-vs-corpus form (`lsh_topk` /
+    `brute_force_topk` broadcast the query matrix, which is right for
+    serving batches and wrong when the "queries" are themselves a
+    data-sized table — linking one crawl snapshot against another, or
+    self-joining a corpus for retrieval-augmented labeling).
+
+    Same candidate semantics as ``lsh_topk`` (identical hyperplanes,
+    buckets, probes), so the two operators are interchangeable and share
+    one oracle; only the physical plan differs.
+
+    Plan shape (100 TB discipline):
+    - both sides compute their bucket scan-locally via the deterministic
+      ``lsh_signature`` Column expression (whole-stage codegen, no UDF);
+      with ``multi_probe`` the QUERY side explodes to the 1 + n_planes
+      Hamming-1 probe buckets.
+    - per-bucket row counts (<= 2^n_planes rows) broadcast back; hot
+      buckets chunk-decompose on BOTH sides so each task's GEMM is
+      bounded by ~``max_block``² regardless of bucket skew — the same
+      guard as ``semantic_dedup_pairs``. Replication is the block
+      nested-loop minimum: each row duplicates once per opposite-side
+      chunk of its bucket (1 in the unskewed common case).
+    - ONE shuffle co-groups (bucket, qchunk, cchunk) blocks; each block
+      GEMMs and emits block-local top-k (with the rounding-quantum
+      margin), so the final global ranking window sees O(|Q|·k·chunks)
+      rows, never candidate sets.
+    """
+    from pyspark.sql import Window
+
+    qb = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        lsh_signature(vec_col, n_planes, dim).alias("_b"),
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("_b"),
+            *[
+                F.col("_b").bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(n_planes)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes)).drop("_b")
+    else:
+        qb = qb.withColumnRenamed("_b", "bucket")
+    cb = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        lsh_signature(vec_col, n_planes, dim).alias("bucket"),
+    )
+
+    # bucket population census: tiny (<= 2^n_planes rows), broadcast back.
+    # Buckets present on only one side drop out of the inner join — a
+    # query probing an empty bucket has no candidates there, a corpus
+    # row no query probes is never scored.
+    sizes = (
+        qb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_qn"))
+        .join(
+            cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cn")),
+            "bucket",
+        )
+        .select(
+            "bucket",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_qn") / max_block)
+            ).cast("int").alias("_nq"),
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_cn") / max_block)
+            ).cast("int").alias("_nc"),
+        )
+    )
+    q_blocks = (
+        qb.join(F.broadcast(sizes), "bucket")
+        .withColumn(
+            "qchunk", F.pmod(F.xxhash64("qid"), F.col("_nq")).cast("int")
+        )
+        .withColumn(
+            "cchunk", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+        )
+        .select("bucket", "qchunk", "cchunk", "qid", "qvec")
+    )
+    c_blocks = (
+        cb.join(F.broadcast(sizes), "bucket")
+        .withColumn(
+            "cchunk", F.pmod(F.xxhash64("cid"), F.col("_nc")).cast("int")
+        )
+        .withColumn(
+            "qchunk", F.explode(F.sequence(F.lit(0), F.col("_nq") - 1))
+        )
+        .select("bucket", "qchunk", "cchunk", "cid", "cvec")
+    )
+
+    id_field = queries.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field.__class__("query_id", id_field.dataType, True),
+            id_field.__class__("neighbor_id", id_field.dataType, True),
+        ]
+    ).add("score", "double")
+
+    def score_block(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=object),
+                    "neighbor_id": np.array([], dtype=object),
+                    "score": np.array([], dtype=np.float64),
+                }
+            )
+        q_ids = qpdf["qid"].to_numpy()
+        c_ids = cpdf["cid"].to_numpy()
+        qm = _normalized_matrix(
+            np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+        )
+        cm = _normalized_matrix(
+            np.stack(cpdf["cvec"].to_numpy()).astype(np.float64)
+        )
+        sc = qm @ cm.T
+        sc = np.where(q_ids[:, None] == c_ids[None, :], -np.inf, sc)
+        out_q, out_n, out_s = [], [], []
+        keep_n = min(k, sc.shape[1])
+        for qi in range(sc.shape[0]):
+            row = sc[qi]
+            kth = np.partition(row, -keep_n)[-keep_n]
+            sel = (row >= kth - _ROUND_MARGIN) & np.isfinite(row)
+            out_q.append(np.full(int(sel.sum()), q_ids[qi]))
+            out_n.append(c_ids[sel])
+            out_s.append(row[sel])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    keys = ["bucket", "qchunk", "cchunk"]
+    pruned = (
+        q_blocks.groupBy(*keys)
+        .cogroup(c_blocks.groupBy(*keys))
+        .applyInPandas(score_block, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

@@ -947,9 +947,11 @@ def _bucket_expr_sql(alias: str, n_planes: int = 8, dim: int = 64) -> str:
     return " + ".join(terms)
 
 
-@query(
-    "ann_lsh_topk",
-    f"""
+# Shared by ann_lsh_topk (broadcast-query physical plan) and
+# knn_join_topk (fully-distributed cogrouped-block plan): identical
+# candidate semantics — same hyperplanes, buckets, ranking — so one
+# oracle value-checks BOTH physical strategies.
+_LSH_TOPK_SQL = f"""
 WITH tagged AS (
     SELECT vec_id, embedding, {_bucket_expr_sql('embeddings')} AS bucket
     FROM embeddings
@@ -972,12 +974,24 @@ FROM (
     FROM scored
 )
 WHERE rnk <= 5
-""",
-)
+"""
+
+
+@query("ann_lsh_topk", _LSH_TOPK_SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.lsh_topk(queries, emb, k=5, n_planes=8, dim=64)
+
+
+@query("knn_join_topk", _LSH_TOPK_SQL)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-both-sides form of ann_lsh_topk: no driver-resident
+    query matrix, so it stays correct when the query side is itself a
+    data-sized table (crawl-vs-crawl linkage, corpus self-retrieval)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.knn_join(queries, emb, k=5, n_planes=8, dim=64)
 
 
 @query("ann_ivf_topk")  # rows-only check: centroids are data-trained, so a

@@ -1,0 +1,232 @@
+"""Scale-ramp study: run the dedup / ANN / text-curation families across
+a 1000x row-count range and fit per-step scaling exponents, backing the
+"would this hold at 100 TB" design claims with measured growth rates
+instead of plan-shape arguments.
+
+Scales: sf0.01 and sf0.1 from the driver's testdata, plus x3/x10/x100
+synthetic supersets of sf0.1 built by scripts/gen_ramp_data.py
+(duplicate DENSITY held constant — see that script's docstring for why
+verbatim replication would corrupt the measurement). At x100 (500k docs,
+200k vectors, 10M events) per-row data work finally dominates the
+fixed per-job overhead on local[32], so the top-step exponent is the
+honest linearity measurement; quadratic-by-design evals cap at x10
+(their cost is O(n^2) on purpose).
+
+Exponent per step = log(t_next/t_prev) / log(size_next/size_prev):
+e ~= 1 is linear scaling, e < 1 means fixed overhead (scheduling,
+codegen, Python worker startup) still dominates, e > ~1.2 on a query's
+top data-bound step flags super-linear growth worth explaining.
+
+Usage:
+    python scripts/gen_ramp_data.py           # once, builds .ramp_data/
+    python scripts/scaling_ramp.py            # writes SCALING.md + json
+    RAMP_RUNS=3 python scripts/scaling_ramp.py
+
+Keep the machine otherwise idle; timings are best-of-N wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kafka_stream_unify_order_messages_spark import get_spark, registry
+
+_ROOT = Path(__file__).resolve().parent.parent
+SF_DIRS = [
+    # (label, dir, relative size)
+    ("sf0.01", "/root/testdata/sf0.01", 0.1),
+    ("sf0.1", "/root/testdata/sf0.1", 1.0),
+    ("x3", str(_ROOT / ".ramp_data" / "x3"), 3.0),
+    ("x10", str(_ROOT / ".ramp_data" / "x10"), 10.0),
+    ("x100", str(_ROOT / ".ramp_data" / "x100"), 100.0),
+]
+_LABELS = [s[0] for s in SF_DIRS]
+
+# (query, expected scale shape, max scale label) — "linear" families must
+# stay near e<=~1.2 on their top step; "quadratic-by-design" are the
+# exact-truth baselines whose cost is O(n^2) on purpose (they exist to
+# BOUND the linear-path approximations, run on eval samples at production
+# scale, and are capped at x10 here).
+RAMP_QUERIES = [
+    ("dedup_exact", "linear", "x100"),
+    ("line_dedup", "linear", "x100"),
+    ("minhash_signatures", "linear", "x100"),
+    ("minhash_dedup_pairs", "linear", "x100"),
+    ("minhash_jaccard_estimate", "linear", "x100"),
+    ("simhash_near_dup_pairs", "linear", "x100"),
+    ("dedup_cluster_labels", "linear", "x100"),
+    ("incremental_near_dup", "linear", "x100"),
+    ("dup_ngram_spans", "linear", "x100"),
+    ("clean_corpus", "linear", "x100"),
+    ("text_stats", "linear", "x100"),
+    ("table_profile", "linear", "x100"),
+    ("ann_lsh_buckets", "linear", "x100"),
+    ("ann_lsh_topk", "linear+q", "x100"),
+    ("knn_join_topk", "linear+q", "x100"),
+    ("ann_ivf_fixed", "linear+q", "x100"),
+    ("ann_pq_fixed", "linear+q", "x100"),
+    ("semantic_dedup", "cluster-bounded", "x100"),
+    ("ann_cosine_topk", "quadratic-by-design", "x10"),
+    ("semdedup_agreement_eval", "quadratic-by-design", "x10"),
+]
+
+
+def _drop_cached(spark) -> None:
+    """Release ALL cached blocks between queries. Several operators
+    persist()/localCheckpoint() intermediates they legitimately reuse
+    WITHIN one query; across a 170-execution ramp those blocks accumulate
+    (localCheckpoint data is not evictable) until the OS OOM-kills the
+    JVM — observed at the x100 tier. A long-lived production session
+    would do the same housekeeping per pipeline stage."""
+    spark.catalog.clearCache()
+    for rdd in list(
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    ):
+        rdd.unpersist(False)
+
+
+def main() -> None:
+    runs = max(1, int(os.environ.get("RAMP_RUNS", "2")))
+    for _, d, _s in SF_DIRS:
+        if not Path(d).exists():
+            raise SystemExit(
+                f"missing scale dir {d}; run scripts/gen_ramp_data.py first"
+            )
+    spark = get_spark(
+        "scaling-ramp",
+        master="local[32]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # warm the JVM/codegen once per scale with a throwaway pass
+    from kafka_stream_unify_order_messages_spark.sources.files import load_table
+
+    for _, sf_dir, _s in SF_DIRS:
+        for t in ("documents", "embeddings", "events"):
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    results: dict[str, dict[str, float]] = {}
+    for name, _shape, max_label in RAMP_QUERIES:
+        fn = registry.QUERIES[name]
+        results[name] = {}
+        top = _LABELS.index(max_label)
+        for sf_name, sf_dir, _s in SF_DIRS[: top + 1]:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            results[name][sf_name] = round(best, 3)
+            print(f"{name:30s} {sf_name:8s} {best:7.3f}s", file=sys.stderr)
+            _drop_cached(spark)
+    spark.stop()
+
+    sizes = {lbl: s for lbl, _, s in SF_DIRS}
+    rows = []
+    for name, shape, _max_label in RAMP_QUERIES:
+        r = results[name]
+        es: list[float | None] = []
+        for a, b in zip(_LABELS, _LABELS[1:]):
+            if a in r and b in r:
+                es.append(
+                    round(
+                        math.log10(r[b] / r[a])
+                        / math.log10(sizes[b] / sizes[a]),
+                        2,
+                    )
+                )
+            else:
+                es.append(None)
+        rows.append((name, shape, r, es))
+
+    out = {
+        "runs": runs,
+        "scales": sizes,
+        "results": results,
+        "exponents": {n: es for n, _, _, es in rows},
+    }
+    (_ROOT / "SCALING.json").write_text(json.dumps(out, indent=1) + "\n")
+
+    def cell(v):
+        return "—" if v is None else f"{v:.2f}"
+
+    lines = [
+        "# SCALING — measured scale-ramp for the dedup / ANN / curation families",
+        "",
+        f"Wall-clock best-of-{runs} per query across a 1000x size range"
+        " (documents",
+        "500 -> 5,000 -> 15,000 -> 50,000 -> 500,000; embeddings 200 -> 2,000 ->",
+        "6,000 -> 20,000 -> 200,000; events 10k -> 100k -> 300k -> 1M -> 10M),",
+        "on local[32]. x3/x10/x100 are synthetic supersets of sf0.1 with",
+        "duplicate density held constant (scripts/gen_ramp_data.py documents why",
+        "verbatim replication would corrupt the measurement). Per-step exponent",
+        "e = log(t2/t1)/log(n2/n1): e ~= 1 is linear in data size, e < 1 means",
+        "per-job fixed overhead (scheduling, codegen, Python worker startup —",
+        "amortized away on a real cluster) still dominates, e > ~1.2 on the top",
+        "data-bound step (x10 -> x100) is super-linear. Quadratic-by-design",
+        "evals cap at x10.",
+        "",
+        "| query | shape | sf0.01 | sf0.1 | x3 | x10 | x100 "
+        "| e(0.01→0.1) | e(0.1→x3) | e(x3→x10) | e(x10→x100) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, shape, r, es in rows:
+        t = [f"{r[lbl]:.2f}" if lbl in r else "—" for lbl in _LABELS]
+        lines.append(
+            f"| {name} | {shape} | " + " | ".join(t) + " | "
+            + " | ".join(cell(e) for e in es) + " |"
+        )
+    lines += [
+        "",
+        "Shape legend:",
+        "",
+        "- **linear** — banded/blocked/bucketed paths that must stay near-linear:",
+        "  exact dedup (hash groupBy), MinHash banding (bucket equi-join, never",
+        "  all-pairs), SimHash (Hamming on band-bucketed candidates), connected",
+        "  components (large-star rounds on surviving edges), span removal, text",
+        "  scoring, the profiler.",
+        "- **linear+q** — ANN serving paths whose query side is a fixed fraction",
+        "  of the corpus in this harness (`vec_id % 20 = 0`), so measured growth",
+        "  includes |Q| growing 10x alongside the corpus; with a production",
+        "  fixed-size query batch these are linear in corpus size (probed",
+        "  cells/buckets only).",
+        "- **cluster-bounded** — SemDeDup scores pairs only within k-means",
+        "  clusters (chunk-decomposed above max_cluster_size), so cost tracks",
+        "  sum(cluster_size^2) ~ n^2/k for fixed k; production runs scale k with",
+        "  n (the SemDeDup paper uses k ~ n/10k) which restores linearity.",
+        "- **quadratic-by-design** — exact all-pairs / brute-force baselines that",
+        "  exist to BOUND the approximate paths (recall/agreement evals). At",
+        "  production scale these run on eval samples, never the full corpus.",
+        "",
+    ]
+    flags = [
+        (n, es[-1])
+        for n, shape, _, es in rows
+        if shape == "linear" and es[-1] is not None and es[-1] > 1.2
+    ]
+    if flags:
+        lines.append("**Flagged super-linear (investigate):** " + ", ".join(
+            f"{n} (e={e})" for n, e in flags
+        ))
+    else:
+        lines.append(
+            "**No linear-family query exceeded e=1.2 on its top step.**"
+        )
+    lines.append("")
+    (_ROOT / "SCALING.md").write_text("\n".join(lines))
+    print(json.dumps({"flagged": flags, "written": "SCALING.md"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -451,6 +451,46 @@ def test_semdedup_agreement_eval_counts_and_subset(spark):
     assert cand <= truth  # precision 1 by construction
 
 
+def test_knn_join_matches_lsh_topk_including_chunked_blocks(spark):
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    # the distributed-both-sides kNN join must reproduce the broadcast-
+    # query lsh_topk exactly — same hyperplanes, buckets, ranking — and
+    # max_block small enough to force the skew chunk-decomposition must
+    # not change a single row (every (q,c) pair scored in exactly one
+    # block, partial block top-k merged by the global window)
+    rows = [
+        (i, [float(x) for x in S.hyperplane(500 + i, 8)]) for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") % 5 == 0)
+
+    def as_set(df):
+        return {
+            (r["query_id"], r["neighbor_id"], r["score"], r["rnk"])
+            for r in df.collect()
+        }
+
+    base = as_set(S.lsh_topk(queries, corpus, k=3, n_planes=4, dim=8))
+    dist = as_set(S.knn_join(queries, corpus, k=3, n_planes=4, dim=8))
+    chunked = as_set(
+        S.knn_join(queries, corpus, k=3, n_planes=4, dim=8, max_block=4)
+    )
+    assert base == dist
+    assert base == chunked
+    # multi-probe parity too (query side explodes to Hamming-1 buckets)
+    base_mp = as_set(
+        S.lsh_topk(queries, corpus, k=3, n_planes=4, dim=8, multi_probe=True)
+    )
+    dist_mp = as_set(
+        S.knn_join(queries, corpus, k=3, n_planes=4, dim=8, multi_probe=True)
+    )
+    assert base_mp == dist_mp
+    assert len({q for q, *_ in base_mp}) >= len({q for q, *_ in base})
+
+
 def test_semantic_dedup_keeps_one_per_component(spark):
     import numpy as np
 

@@ -61,7 +61,8 @@ ROWS_ONLY_ALLOWED = {
     "ann_ivf_topk",
     # same centroid-training limitation; within-cluster pair exactness
     # and keep-one-per-component pinned by
-    # test_llm_ops.py::test_semantic_dedup_*
+    # test_llm_ops.py::test_semantic_dedup_*; retention quality bounded
+    # by the fully-oracled semdedup_agreement_eval (fixed centroids)
     "semantic_dedup",
     # iterative data-dependent argmax loop (BPE training) is not
     # SQL-expressible; pinned against a pure-Python BPE oracle in
