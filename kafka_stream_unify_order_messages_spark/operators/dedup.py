@@ -8,8 +8,12 @@ Four families, all shuffle-disciplined for the 100 TB design point:
                 candidate generation never compares all pairs, only
                 same-bucket ones. Signatures/bands are md5-based and
                 portable to DuckDB for oracle checking.
-- simhash     — 32-bit sign-aggregated token-hash fingerprint computed as
-                32 independent aggregate expressions (no per-bit explode).
+- simhash     — sign-aggregated token-hash fingerprint (32 or 64 bit)
+                computed as N independent aggregate expressions (no
+                per-bit explode). Use 64-bit beyond ~10^4 docs: banding
+                slices the fingerprint into equality keys, and 8-bit
+                slices (256 buckets) saturate — measured quadratic at
+                the 500k-doc ramp tier (SCALING.md).
 - n-gram Jaccard — exact pairwise similarity on a *candidate subset*
                 (LSH output or an explicit filter); the only quadratic
                 piece, deliberately bounded.
@@ -448,31 +452,59 @@ def simhash(
     text_col: str = "text",
     bits: int = 32,
 ) -> DataFrame:
-    """(id, simhash) — sign-aggregated 32-bit token-hash fingerprint.
+    """(id, simhash) — sign-aggregated token-hash fingerprint, up to 64
+    bits.
 
-    Per token: h = first 8 md5 hex digits as a 32-bit int. Per bit j the
-    corpus-side vote is sum(2*bit_j(h)-1) over tokens; simhash sets bit j
-    iff the vote is positive. Computed as ``bits`` independent aggregate
-    expressions — one shuffle, no per-bit row explosion.
+    Per token: bits 0-31 come from the first 8 md5 hex digits, bits
+    32-63 from the next 8 — two independent 32-bit words of the same
+    digest, so any engine reproduces them (the portable-md5 convention).
+    Per bit j the corpus-side vote is sum(2*bit_j(h)-1) over tokens;
+    simhash sets bit j iff the vote is positive. Computed as ``bits``
+    independent aggregate expressions — one shuffle, no per-bit row
+    explosion. The fingerprint assembles via bitwise OR of shifted bits
+    so bit 63 (the long sign bit) is usable.
+
+    SIZE THE FINGERPRINT TO THE CORPUS: pigeonhole blocking slices it
+    into ``bands`` equality keys of bits/bands bits, and the slice space
+    must stay large relative to the corpus or candidate generation goes
+    quadratic. 32-bit/4-band = 8-bit slices (256 slots) saturates around
+    10^5 docs — measured 341 s vs 14 s for 64-bit/16-bit bands at the
+    500k-doc ramp tier (SCALING.md). Use ``bits=64`` beyond ~10^4 docs.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
-    tok = tok.select(id_col, h.alias("h"))
+    h_lo = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    cols = [F.col(id_col), h_lo.alias("h_lo")]
+    if bits > 32:
+        cols.append(
+            F.conv(F.substring(F.md5("token"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h_hi")
+        )
+    tok = tok.select(*cols)
     votes = [
         F.sum(
-            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            (
+                F.shiftright(
+                    F.col("h_lo" if j < 32 else "h_hi"), j % 32
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            )
         ).alias(f"v{j}")
         for j in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    sim = None
+    sim = F.lit(0).cast("long")
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = bit if sim is None else sim + bit
+        bit = F.when(
+            F.col(f"v{j}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = sim.bitwiseOR(bit)
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -503,7 +535,7 @@ def simhash_near_dup_pairs(
     from pyspark import StorageLevel
 
     # the fingerprint frame feeds both sides of the candidate self-join;
-    # persist it (2 longs per doc) so the 32-vote aggregation runs once
+    # persist it (2 longs per doc) so the vote aggregation runs once
     sims = simhash(df, id_col, text_col, bits=bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -772,12 +772,22 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql(bits: int = 32, source: str = "documents") -> str:
-    h = "CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)"
+    # bits 0-31 come from the first 8 md5 hex digits, 32-63 from the
+    # next 8 — the same two independent 32-bit words the Spark operator
+    # uses (dedup.py simhash). Bit 63 is the long sign bit: 2^63
+    # overflows BIGINT (and DuckDB rejects 1<<63), so its term is the
+    # min-long literal — with disjoint bits, signed + IS bitwise OR.
+    h_lo = "CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)"
+    h_hi = "CAST('0x' || substr(md5(token), 9, 8) AS BIGINT)"
     votes = ", ".join(
-        f"sum((({h} >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits)
+        f"sum(((({h_lo if j < 32 else h_hi}) >> {j % 32}) & 1) * 2 - 1)"
+        f" AS v{j}"
+        for j in range(bits)
     )
     val = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN v{j} > 0 THEN CAST("
+        + ("-9223372036854775808" if j == 63 else str(2**j))
+        + " AS BIGINT) ELSE 0 END)"
         for j in range(bits)
     )
     return f"""
@@ -840,6 +850,52 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.simhash_near_dup_pairs(aug, bits=32, bands=4, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — 64-bit simhash near-dup pairs, the at-scale fingerprint width.
+# Same Manku pigeonhole blocking, but 16-bit band slices (65,536 slots
+# per band vs 256): the measured fix for the 32-bit variant's blocking
+# saturation — with only 256 slots per band every bucket holds n/256
+# docs around 10^5 rows and the candidate equi-join goes quadratic
+# (SCALING.md: 341 s vs 14 s at the 500k-doc ramp tier). Width is the
+# ONLY change; recall guarantee (hamming <= bands-1) is identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "simhash64_near_dup_pairs",
+    f"""
+WITH aug AS ({_AUG_DOCS}),
+sims AS ({_simhash_sql(64, source="aug")}),
+banded AS (
+    SELECT doc_id, simhash, g.band,
+           (simhash >> (g.band * 16)) & 65535 AS band_val
+    FROM sims,
+         (SELECT unnest(generate_series(0, 3)) AS band) g
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM banded a
+    JOIN banded b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+)
+def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    return D.simhash_near_dup_pairs(aug, bits=64, bands=4, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

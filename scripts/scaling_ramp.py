@@ -21,6 +21,9 @@ Usage:
     python scripts/gen_ramp_data.py           # once, builds .ramp_data/
     python scripts/scaling_ramp.py            # writes SCALING.md + json
     RAMP_RUNS=3 python scripts/scaling_ramp.py
+    RAMP_ONLY=q1,q2 python scripts/scaling_ramp.py   # re-measure a
+        # subset; other queries keep their timings from the existing
+        # SCALING.json and the report is regenerated over the union
 
 Keep the machine otherwise idle; timings are best-of-N wall clock.
 """
@@ -60,7 +63,12 @@ RAMP_QUERIES = [
     ("minhash_signatures", "linear", "x100"),
     ("minhash_dedup_pairs", "linear", "x100"),
     ("minhash_jaccard_estimate", "linear", "x100"),
-    ("simhash_near_dup_pairs", "linear", "x100"),
+    # 32-bit simhash saturates its 8-bit band slices around 10^5 docs
+    # (256 buckets -> quadratic candidate join); kept in the ramp as the
+    # measured WHY for the 64-bit default at scale. The 64-bit row is
+    # the fix: 16-bit slices, 65,536 buckets.
+    ("simhash_near_dup_pairs", "blocking-saturated", "x100"),
+    ("simhash64_near_dup_pairs", "linear", "x100"),
     ("dedup_cluster_labels", "linear", "x100"),
     ("incremental_near_dup", "linear", "x100"),
     ("dup_ngram_spans", "linear", "x100"),
@@ -71,7 +79,19 @@ RAMP_QUERIES = [
     ("ann_lsh_topk", "linear+q", "x100"),
     ("knn_join_topk", "linear+q", "x100"),
     ("ann_ivf_fixed", "linear+q", "x100"),
-    ("ann_pq_fixed", "linear+q", "x100"),
+    # PQ-only ADC is an exhaustive scan — every query scores every code
+    # (|Q|x|C| by construction); with |Q| growing alongside the corpus
+    # in this harness its growth is quadratic ON PURPOSE. The scale path
+    # is IVFPQ (next row): coarse cells bound the codes each query
+    # touches.
+    ("ann_pq_fixed", "exhaustive+q", "x100"),
+    # the ORACLE-geometry IVFPQ (16 cells, nprobe=4): each query probes
+    # a CONSTANT 1/4 of the corpus, times the per-subspace LUT join, so
+    # with |Q| growing alongside n the pair work is quadratic by the
+    # fixed small geometry, not by the algorithm — production scales
+    # n_centroids with sqrt(n) (operators/retrieval.py's trained path).
+    # Capped at x10 like the other fixed-geometry baselines.
+    ("ann_ivfpq_fixed", "linear+q", "x10"),
     ("semantic_dedup", "cluster-bounded", "x100"),
     ("ann_cosine_topk", "quadratic-by-design", "x10"),
     ("semdedup_agreement_eval", "quadratic-by-design", "x10"),
@@ -94,6 +114,18 @@ def _drop_cached(spark) -> None:
 
 def main() -> None:
     runs = max(1, int(os.environ.get("RAMP_RUNS", "2")))
+    only = {
+        q.strip()
+        for q in os.environ.get("RAMP_ONLY", "").split(",")
+        if q.strip()
+    }
+    if only:
+        unknown = only - {n for n, _, _ in RAMP_QUERIES}
+        if unknown:
+            raise SystemExit(f"RAMP_ONLY names not in RAMP_QUERIES: {unknown}")
+    to_run = [
+        q for q in RAMP_QUERIES if not only or q[0] in only
+    ]
     for _, d, _s in SF_DIRS:
         if not Path(d).exists():
             raise SystemExit(
@@ -115,7 +147,16 @@ def main() -> None:
             ).save()
 
     results: dict[str, dict[str, float]] = {}
-    for name, _shape, max_label in RAMP_QUERIES:
+    if only and (_ROOT / "SCALING.json").exists():
+        prior = json.loads((_ROOT / "SCALING.json").read_text())
+        results.update(
+            {
+                n: t
+                for n, t in prior.get("results", {}).items()
+                if n not in only
+            }
+        )
+    for name, _shape, max_label in to_run:
         fn = registry.QUERIES[name]
         results[name] = {}
         top = _LABELS.index(max_label)
@@ -135,6 +176,8 @@ def main() -> None:
     sizes = {lbl: s for lbl, _, s in SF_DIRS}
     rows = []
     for name, shape, _max_label in RAMP_QUERIES:
+        if name not in results:  # RAMP_ONLY run with no prior timings
+            continue
         r = results[name]
         es: list[float | None] = []
         for a, b in zip(_LABELS, _LABELS[1:]):
@@ -175,7 +218,8 @@ def main() -> None:
         "per-job fixed overhead (scheduling, codegen, Python worker startup —",
         "amortized away on a real cluster) still dominates, e > ~1.2 on the top",
         "data-bound step (x10 -> x100) is super-linear. Quadratic-by-design",
-        "evals cap at x10.",
+        "evals and the fixed-oracle-geometry IVFPQ cap at x10 (their cost",
+        "is O(n^2) on purpose — see the shape legend).",
         "",
         "| query | shape | sf0.01 | sf0.1 | x3 | x10 | x100 "
         "| e(0.01→0.1) | e(0.1→x3) | e(x3→x10) | e(x10→x100) |",
@@ -201,6 +245,16 @@ def main() -> None:
         "  includes |Q| growing 10x alongside the corpus; with a production",
         "  fixed-size query batch these are linear in corpus size (probed",
         "  cells/buckets only).",
+        "- **exhaustive+q** — PQ-only ADC scores every (query, code) pair",
+        "  by construction; with the harness's query side growing with the",
+        "  corpus the measured growth is quadratic on purpose. The scale",
+        "  path is IVFPQ (probed cells only), measured in the next row.",
+        "- **blocking-saturated** — kept as a measured negative result:",
+        "  32-bit simhash's 8-bit band slices give only 256 blocking",
+        "  buckets, which saturate around 10^5 docs and turn the candidate",
+        "  equi-join quadratic (e=2.12 on the top step). The fix is the",
+        "  64-bit row directly below it (16-bit slices, 65,536 buckets) —",
+        "  use `bits=64` beyond ~10^4 docs; the operator docstring says so.",
         "- **cluster-bounded** — SemDeDup scores pairs only within k-means",
         "  clusters (chunk-decomposed above max_cluster_size), so cost tracks",
         "  sum(cluster_size^2) ~ n^2/k for fixed k; production runs scale k with",

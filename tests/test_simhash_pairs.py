@@ -29,7 +29,11 @@ def brute_force_pairs(sims: dict[int, int], max_hamming: int):
     out = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            h = bin(sims[a] ^ sims[b]).count("1")
+            # mask to 64 bits: fingerprints arrive as SIGNED longs (bit
+            # 63 makes them negative) and Python's ^ on negatives is
+            # infinite-precision two's complement
+            x = (sims[a] ^ sims[b]) & ((1 << 64) - 1)
+            h = bin(x).count("1")
             if h <= max_hamming:
                 out.add((a, b, h))
     return out
@@ -54,3 +58,43 @@ def test_banded_pairs_equal_brute_force(spark, docs):
 def test_recall_guard_rejects_bad_geometry(spark, docs):
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, bands=4, max_hamming=4)
+
+
+def test_banded_pairs_equal_brute_force_64bit(spark, docs):
+    # the at-scale width (16-bit band slices, SCALING.md): banding must
+    # keep exact recall with the sign bit in play
+    sims = {
+        r.doc_id: r.simhash for r in simhash(docs, bits=64).collect()
+    }
+    expected = brute_force_pairs(sims, max_hamming=3)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            docs, bits=64, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_64bit_uses_the_sign_bit(spark, docs):
+    # bit 63 is an independent fair-coin vote per doc, so a 200-doc
+    # corpus with none set would mean the OR assembly silently dropped
+    # it (the old sum-of-2^j assembly could not represent it at all)
+    sims = [r.simhash for r in simhash(docs, bits=64).collect()]
+    assert any(s < 0 for s in sims)
+    # and the low 32 bits must be EXACTLY the 32-bit fingerprint (same
+    # md5 word, same votes) — widening never changes existing bits
+    sims32 = {
+        r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()
+    }
+    sims64 = {
+        r.doc_id: r.simhash for r in simhash(docs, bits=64).collect()
+    }
+    for d, s in sims32.items():
+        assert sims64[d] & 0xFFFFFFFF == s
+
+
+def test_simhash_rejects_bad_width(spark, docs):
+    for bad in (0, 65, -1):
+        with pytest.raises(ValueError):
+            simhash(docs, bits=bad)
