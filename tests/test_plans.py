@@ -216,6 +216,14 @@ def test_simhash_pairs_equi_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash64_pairs_equi_join_no_nested_loop(spark):
+    # the at-scale width must keep the same join shape: widening the
+    # fingerprint only widens band_val, never the join strategy
+    plan = plan_of(spark, "simhash64_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_keep_best_no_text_in_wide_stages(spark):
     # the keep-best window runs on (id, cluster, n_chars) only; document
     # text must never reach an exchange
