@@ -58,6 +58,11 @@ _LABELS = [s[0] for s in SF_DIRS]
 # BOUND the linear-path approximations, run on eval samples at production
 # scale, and are capped at x10 here).
 RAMP_QUERIES = [
+    # the reference topology's flagship batch analogue: one shuffle on
+    # order_id (T2), first-wins dedup + completeness gate + projection.
+    # Ramped over the events table (10k -> 10M rows at x100).
+    ("unify_projection", "linear", "x100"),
+    ("first_wins_dedup", "linear", "x100"),
     ("dedup_exact", "linear", "x100"),
     ("line_dedup", "linear", "x100"),
     ("minhash_signatures", "linear", "x100"),
