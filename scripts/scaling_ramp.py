@@ -98,6 +98,13 @@ RAMP_QUERIES = [
     # Capped at x10 like the other fixed-geometry baselines.
     ("ann_ivfpq_fixed", "linear+q", "x10"),
     ("semantic_dedup", "cluster-bounded", "x100"),
+    # text retrieval: fixed query set, per-query work linear in the
+    # corpus scan (DF/length stats + postings agg)
+    ("bm25_topk", "linear", "x100"),
+    # iterative graph ops: fixed (pagerank) or diameter-bounded (BFS)
+    # round count; per-round work linear in surviving edges/frontier
+    ("pagerank_dup_graph", "iterative", "x100"),
+    ("graph_bfs_hops", "iterative", "x100"),
     ("ann_cosine_topk", "quadratic-by-design", "x10"),
     ("semdedup_agreement_eval", "quadratic-by-design", "x10"),
     # not registry surface — see _ivf_trained_serve below.
@@ -313,6 +320,13 @@ def main() -> None:
         "  equi-join quadratic (e=2.12 on the top step). The fix is the",
         "  64-bit row directly below it (16-bit slices, 65,536 buckets) —",
         "  use `bits=64` beyond ~10^4 docs; the operator docstring says so.",
+        "- **iterative** — fixed-round (pagerank: 5 power iterations) or",
+        "  diameter-bounded (BFS: early exit on empty frontier) loops;",
+        "  per-round work is one join + one aggregate, linear in surviving",
+        "  edges/frontier, with localCheckpoint lineage truncation. Growth",
+        "  should track edge count (~linear here: dup density is held",
+        "  constant); at sf<=x10 the measured time is dominated by per-round",
+        "  job scheduling, which a cluster amortizes identically.",
         "- **sublinear-serve** — ramp-local (not registry surface): IVF",
         "  serving at production geometry against the PERSISTED index",
         "  (`save_ivf_index`/`search_ivf_index`): fixed 20-query batch,",
