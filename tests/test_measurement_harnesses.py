@@ -1,0 +1,79 @@
+"""Unit coverage for the measurement harnesses' load-bearing helpers
+(scripts/streaming_latency.py, scripts/streaming_throughput.py): the
+measured numbers are only meaningful if the harness feeds the stream
+byte-identical wire data and never splits an order across files.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.sources.generator import (
+    generate_order_events,
+    generate_order_events_distributed,
+    order_events_df,
+)
+
+_SCRIPTS = Path(__file__).resolve().parent.parent / "scripts"
+
+
+def _load_module(name: str):
+    spec = importlib.util.spec_from_file_location(name, _SCRIPTS / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_latency_iso_matches_wire_format(spark):
+    """_iso must produce byte-identical timestamps to order_events_df's
+    wire form — otherwise the latency harness measures a different
+    serde path than the one the reference parity tests pin."""
+    lat = _load_module("streaming_latency")
+    events = generate_order_events(20, seed=5)
+    wire = {
+        (r["order_id"], r["type"]): r["timestamp"]
+        for r in order_events_df(spark, events)
+        .select("order_id", "type", "timestamp")
+        .collect()
+    }
+    for e in events:
+        assert lat._iso(e["timestamp_ms"]) == wire[(e["order_id"], e["type"])]
+
+
+def test_latency_wave_table_schema_and_grouping():
+    lat = _load_module("streaming_latency")
+    events = generate_order_events(5, seed=7)
+    t = lat._wave_table(events)
+    assert t.column_names == list(lat.COLS)
+    assert t.num_rows == len(events)
+    # all-string wire schema (the stream reader's schema contract)
+    assert all(str(f.type) == "string" for f in t.schema)
+
+
+def test_throughput_slices_never_split_an_order(spark):
+    """The throughput harness's lifecycle-aligned slicing is load-bearing
+    (random order + short buffer drops ~everything — see the script
+    docstring): every order's 3 events must land in ONE slice."""
+    n_files = 10
+    df = (
+        generate_order_events_distributed(spark, 500)
+        .select("order_id", "type", "timestamp", "order_details")
+        .withColumn(
+            "slice",
+            (F.unix_millis(F.to_timestamp("timestamp")) / 1000).cast("long"),
+        )
+        .repartitionByRange(n_files, "slice")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    split = (
+        df.groupBy("order_id")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .filter(F.col("n_parts") > 1)
+        .count()
+    )
+    assert split == 0
