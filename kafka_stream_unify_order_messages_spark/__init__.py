@@ -16,8 +16,11 @@ Layout:
     streaming/  — Structured Streaming stateful unify (applyInPandasWithState)
 """
 
-from kafka_stream_unify_order_messages_spark.session import get_spark
+from kafka_stream_unify_order_messages_spark.session import (
+    drop_cached_blocks,
+    get_spark,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "drop_cached_blocks", "__version__"]

@@ -149,15 +149,26 @@ def profile_table(
         )
 
         def _encode(c: str):
+            from pyspark.sql.types import DoubleType, FloatType
+
             col = F.col(c)
-            if isinstance(df.schema[c].dataType, StringType):
+            dtype = df.schema[c].dataType
+            if isinstance(dtype, StringType):
                 enc = col
             else:
                 # injective, lossless per-type encoding (binary/array/
                 # struct/timestamp safe); plain cast-to-string is NOT
-                # (binary is lossy UTF-8)
+                # (binary is lossy UTF-8). Top-level floats normalize
+                # -0.0 -> 0.0 first: SQL grouping (and countDistinct,
+                # and the approx mode's HLL) treats them as one value,
+                # but to_json renders two different strings. NaN needs
+                # no special case — all NaNs encode to one "NaN".
+                if isinstance(dtype, (DoubleType, FloatType)):
+                    col = F.when(
+                        F.col(c) == 0.0, F.lit(0.0).cast(dtype)
+                    ).otherwise(F.col(c))
                 enc = F.to_json(F.struct(col.alias("v")))
-            return F.when(col.isNotNull(), enc)
+            return F.when(F.col(c).isNotNull(), enc)
 
         pairs = df.select(
             F.explode(

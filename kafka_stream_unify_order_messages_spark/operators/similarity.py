@@ -37,6 +37,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.types import StructType
@@ -444,6 +445,12 @@ def knn_join(
         F.col(vec_col).alias("cvec"),
         lsh_signature(vec_col, n_planes, dim).alias("bucket"),
     )
+    # each side feeds BOTH the census below and its block frame; persist
+    # so the input scan + signature computation run once per side, not
+    # twice (the same recompute guard as dedup_clusters' candidate
+    # frame; blocks are released by the session's per-stage housekeeping)
+    qb = qb.persist(StorageLevel.MEMORY_AND_DISK)
+    cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
 
     # bucket population census: tiny (<= 2^n_planes rows), broadcast back.
     # Buckets present on only one side drop out of the inner join — a

@@ -592,6 +592,11 @@ def _apply_registration_order(round_no: int | None = None) -> None:
     if not _BASE_ORDER:
         _BASE_ORDER.extend(_PINNED)
         _BASE_ORDER.extend(n for n in QUERIES if n not in _PINNED)
+    else:
+        # queries registered after the first ordering pass (late module
+        # import, test fixture) append to the stable base instead of
+        # silently vanishing on the next rebuild
+        _BASE_ORDER.extend(n for n in QUERIES if n not in _BASE_ORDER)
     ordered: dict[str, QueryFn] = {}
     for name in _PINNED:
         ordered[name] = QUERIES[name]

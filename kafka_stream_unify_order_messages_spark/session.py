@@ -65,3 +65,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def drop_cached_blocks(spark: SparkSession) -> None:
+    """Release every cached/persisted block in the session.
+
+    Operators legitimately persist()/localCheckpoint() intermediates they
+    reuse WITHIN one query; a long-lived session (bench sweep, scale
+    ramp, notebook) must drop them between measurements for two reasons:
+    (a) localCheckpoint data is not evictable, so hundreds of queries
+    accumulate blocks until the JVM OOMs (observed on the x100 ramp),
+    and (b) Spark's CacheManager rewrites ANY later plan that
+    canonically matches a cached one to read the InMemoryRelation — so
+    a repeat timing of the same query silently measures a warm cache,
+    not the plan. Measurement harnesses call this between RUNS, not
+    just between queries.
+    """
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)

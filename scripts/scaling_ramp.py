@@ -163,18 +163,11 @@ def _ivf_trained_serve(spark, sf_dir: str):
 RAMP_EXTRA = {"ivf_trained_serve": _ivf_trained_serve}
 
 
-def _drop_cached(spark) -> None:
-    """Release ALL cached blocks between queries. Several operators
-    persist()/localCheckpoint() intermediates they legitimately reuse
-    WITHIN one query; across a 170-execution ramp those blocks accumulate
-    (localCheckpoint data is not evictable) until the OS OOM-kills the
-    JVM — observed at the x100 tier. A long-lived production session
-    would do the same housekeeping per pipeline stage."""
-    spark.catalog.clearCache()
-    for rdd in list(
-        spark.sparkContext._jsc.getPersistentRDDs().values()
-    ):
-        rdd.unpersist(False)
+# release cached blocks between RUNS (see session.drop_cached_blocks):
+# localCheckpoint blocks accumulate into an OOM across a 170-execution
+# ramp, and CacheManager would otherwise rewrite run 2's identical plan
+# to read run 1's InMemoryRelation — a warm-cache timing, not the plan
+from kafka_stream_unify_order_messages_spark import drop_cached_blocks
 
 
 def main() -> None:
@@ -233,9 +226,9 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.time() - t0)
+                drop_cached_blocks(spark)
             results[name][sf_name] = round(best, 3)
             print(f"{name:30s} {sf_name:8s} {best:7.3f}s", file=sys.stderr)
-            _drop_cached(spark)
     spark.stop()
 
     sizes = {lbl: s for lbl, _, s in SF_DIRS}

@@ -117,8 +117,13 @@ def main() -> None:
     # one tiny collect per micro-batch (projections are a handful of
     # rows), instead of a polling job every 100 ms racing the stream
     def on_batch(bdf, _bid) -> None:
+        rows = bdf.select("order_id").collect()
+        # stamp AFTER collect: bdf is lazy, so the batch's own source
+        # read + stateful shuffle + state commit happen inside the
+        # collect — stamping before it would record emissions early by
+        # one batch's processing time and bias the envelope check low
         now = time.time()
-        for row in bdf.select("order_id").collect():
+        for row in rows:
             emitted.setdefault(row[0], now)
 
     q = (
@@ -178,6 +183,13 @@ def main() -> None:
     measured = {oid: t for oid, t in emitted.items() if oid in arrival}
     missing = len(arrival) - len(measured)
     lats = sorted(measured[oid] - arrival[oid] for oid in measured)
+    if not lats:
+        (_ROOT / "LATENCY.json").write_text(
+            json.dumps({"n_orders": N_LIFECYCLES, "emitted": 0,
+                        "missing": missing, "error": "nothing emitted"},
+                       indent=1) + "\n"
+        )
+        raise SystemExit("latency run emitted nothing; see LATENCY.json")
 
     def pct(p: float) -> float:
         return lats[min(len(lats) - 1, int(p * len(lats)))]
@@ -212,10 +224,10 @@ The reference's behavioral promise (BASELINE.md): projection emitted
 within ~6 s of an order's first event — 5 s buffer + up to 1 s
 punctuation delay. Measured here end-to-end on the Spark rebuild's
 real streaming path (file source -> `unify_stream`, 5 s buffer ->
-foreachBatch sink, 8 state partitions vs the reference's 3 topic
-partitions) with {WAVE} lifecycles/s arriving as one atomically-renamed
-parquet file per second ({N_LIFECYCLES} orders, ~60x the reference
-demo's event rate). Latency = first appearance in the sink minus the
+foreachBatch sink, 3 state partitions — parity with the reference's
+3-partition topics) with {WAVE} lifecycles/s arriving as one
+atomically-renamed parquet file per second ({N_LIFECYCLES} orders,
+60 events/s, ~20x the reference demo's ~3 events/s). Latency = first appearance in the sink minus the
 wall-clock instant the order's file became visible; it includes source
 discovery, the stateful shuffle, the designed 5 s buffer wait,
 micro-batch turnaround (the punctuator-tick analogue), and sink (batch-commit) stamping.
