@@ -4381,6 +4381,11 @@ def caption_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count("text").alias("n_tokens"),
         F.round(norm("embedding"), 6).alias("nrm"),
     )
+    # feeds both the band aggregate and the output projection; persist so
+    # the regex tokenization + norm fold run once, not once per consumer
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     band = pairs.agg(
         F.expr("percentile(nrm, 0.01)").alias("p01"),
         F.expr("percentile(nrm, 0.99)").alias("p99"),
