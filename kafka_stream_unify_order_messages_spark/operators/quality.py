@@ -110,9 +110,16 @@ def profile_table(
     them map-side, and a second tiny agg counts per column. Measured
     2.8x faster than the Expand plan at sf0.1 (0.56 s vs 1.57 s) and
     still bit-exact: string columns are compared as-is and every other
-    type is encoded via ``to_json(struct(col))``, which is injective
-    per type (binary -> base64, timestamps -> full micros) so distinct
-    native values never collapse.
+    type is encoded via ``to_json(struct(col))`` with an explicit
+    microsecond+offset timestampFormat (the default JSON format
+    truncates to millis, which would collapse micros-distinct
+    timestamps — top-level AND nested), so distinct native values
+    never collapse. Columns whose type NESTS a float/double inside an
+    array/map/struct fall back to ``countDistinct`` in the same wide
+    agg: SQL grouping normalizes -0.0/0.0 and NaNs at any depth, while
+    to_json renders them distinctly, so the JSON encoding would
+    overcount there. (Top-level floats are cheaper: normalize -0.0 ->
+    0.0 before encoding.)
 
     ``exact=False``: the 100 TB mode — ``approx_count_distinct`` (HLL++,
     ~2 % relative error) folds into the single null/min/max aggregation
@@ -122,6 +129,33 @@ def profile_table(
     if not cols:
         raise ValueError("no columns given")
     from pyspark.sql.types import StringType
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        MapType,
+        StructType,
+    )
+
+    def _nests_float(dt) -> bool:
+        # float/double anywhere BELOW the top level: SQL grouping
+        # normalizes -0.0/NaN at any depth but to_json renders them
+        # distinctly, so those columns can't use the JSON encoding.
+        if isinstance(dt, ArrayType):
+            return _has_float(dt.elementType)
+        if isinstance(dt, MapType):
+            return _has_float(dt.keyType) or _has_float(dt.valueType)
+        if isinstance(dt, StructType):
+            return any(_has_float(f.dataType) for f in dt.fields)
+        return False
+
+    def _has_float(dt) -> bool:
+        return isinstance(dt, (DoubleType, FloatType)) or _nests_float(dt)
+
+    # countDistinct fallbacks ride the same wide agg (one Expand sized
+    # by just these columns, usually zero of them).
+    fallback = {c for c in cols if exact and _nests_float(df.schema[c].dataType)}
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
@@ -134,23 +168,25 @@ def profile_table(
             aggs.append(
                 F.approx_count_distinct(F.col(c)).alias(f"_dist{i}")
             )
+        elif c in fallback:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_dist{i}"))
     wide = df.agg(*aggs)
     if exact:
         stack_args = ", ".join(
-            f"'{c}', _null{i}, _min{i}, _max{i}"
+            f"'{c}', _null{i}, "
+            + (f"_dist{i}, " if c in fallback else "CAST(NULL AS BIGINT), ")
+            + f"_min{i}, _max{i}"
             for i, c in enumerate(cols)
         )
         base = wide.select(
             F.col("_n").alias("n_rows"),
             F.expr(
                 f"stack({len(cols)}, {stack_args})"
-                " AS (column_name, n_null, min_value, max_value)"
+                " AS (column_name, n_null, _cd, min_value, max_value)"
             ),
         )
 
         def _encode(c: str):
-            from pyspark.sql.types import DoubleType, FloatType
-
             col = F.col(c)
             dtype = df.schema[c].dataType
             if isinstance(dtype, StringType):
@@ -163,13 +199,23 @@ def profile_table(
                 # and the approx mode's HLL) treats them as one value,
                 # but to_json renders two different strings. NaN needs
                 # no special case — all NaNs encode to one "NaN".
+                # Timestamps need an explicit format: the JSON default
+                # truncates to millis; SSSSSS keeps full micros and
+                # XXX disambiguates DST-overlapped instants.
                 if isinstance(dtype, (DoubleType, FloatType)):
                     col = F.when(
                         F.col(c) == 0.0, F.lit(0.0).cast(dtype)
                     ).otherwise(F.col(c))
-                enc = F.to_json(F.struct(col.alias("v")))
+                enc = F.to_json(
+                    F.struct(col.alias("v")),
+                    {
+                        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                        "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                    },
+                )
             return F.when(F.col(c).isNotNull(), enc)
 
+        enc_cols = [c for c in cols if c not in fallback]
         pairs = df.select(
             F.explode(
                 F.array(
@@ -178,22 +224,26 @@ def profile_table(
                             F.lit(c).alias("column_name"),
                             _encode(c).alias("v"),
                         )
-                        for c in cols
+                        for c in enc_cols
                     ]
                 )
             ).alias("p")
         ).select("p.*").filter(F.col("v").isNotNull())
-        dist = (
-            pairs.groupBy("column_name", "v")
-            .agg(F.lit(1))
-            .groupBy("column_name")
-            .agg(F.count(F.lit(1)).alias("n_distinct"))
-        )
-        profiled = base.join(F.broadcast(dist), "column_name", "left").select(
+        if enc_cols:
+            dist = (
+                pairs.groupBy("column_name", "v")
+                .agg(F.lit(1))
+                .groupBy("column_name")
+                .agg(F.count(F.lit(1)).alias("n_distinct"))
+            )
+            base = base.join(F.broadcast(dist), "column_name", "left")
+        else:
+            base = base.withColumn("n_distinct", F.lit(None).cast("long"))
+        profiled = base.select(
             "column_name",
             "n_rows",
             "n_null",
-            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("_cd", "n_distinct", F.lit(0)).alias("n_distinct"),
             "min_value",
             "max_value",
         )

@@ -445,18 +445,18 @@ def knn_join(
         F.col(vec_col).alias("cvec"),
         lsh_signature(vec_col, n_planes, dim).alias("bucket"),
     )
-    # each side feeds BOTH the census below and its block frame; persist
-    # so the input scan + signature computation run once per side, not
-    # twice (the same recompute guard as dedup_clusters' candidate
-    # frame; blocks are released by the session's per-stage housekeeping)
-    qb = qb.persist(StorageLevel.MEMORY_AND_DISK)
-    cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # bucket population census: tiny (<= 2^n_planes rows), broadcast back.
-    # Buckets present on only one side drop out of the inner join — a
-    # query probing an empty bucket has no candidates there, a corpus
-    # row no query probes is never scored.
-    sizes = (
+    # bucket population census: tiny (<= 2^n_planes rows), materialized
+    # EAGERLY to a local relation. Each side therefore scans twice (the
+    # census agg is map-side-combined and returns a handful of rows, the
+    # block frame is the real pass) — deliberately NOT persist(): caching
+    # a 100 TB corpus MEMORY_AND_DISK to save one columnar re-scan is a
+    # bad trade, and a lazily-shared persist would leak cached blocks
+    # past this call in long-lived sessions. Buckets present on only one
+    # side drop out of the inner join — a query probing an empty bucket
+    # has no candidates there, a corpus row no query probes is never
+    # scored.
+    sizes_plan = (
         qb.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_qn"))
         .join(
@@ -472,6 +472,9 @@ def knn_join(
                 F.lit(1), F.ceil(F.col("_cn") / max_block)
             ).cast("int").alias("_nc"),
         )
+    )
+    sizes = queries.sparkSession.createDataFrame(
+        sizes_plan.collect(), schema=sizes_plan.schema
     )
     q_blocks = (
         qb.join(F.broadcast(sizes), "bucket")

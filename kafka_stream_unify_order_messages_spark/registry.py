@@ -571,12 +571,17 @@ def _current_round() -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND", "")
     if env.isdigit():
         return int(env)
-    root = Path(__file__).resolve().parent.parent
+    # source checkout: package parent IS the repo root; installed
+    # package: it's site-packages, so also probe the working directory
+    # instead of silently pinning round 1
     rounds = []
-    for p in root.glob("CORRECTNESS_r*.json"):
-        m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
-        if m:
-            rounds.append(int(m.group(1)))
+    for root in (Path(__file__).resolve().parent.parent, Path.cwd()):
+        for p in root.glob("CORRECTNESS_r*.json"):
+            m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
+            if m:
+                rounds.append(int(m.group(1)))
+        if rounds:
+            break
     return max(rounds) + 1 if rounds else 1
 
 
@@ -597,9 +602,14 @@ def _apply_registration_order(round_no: int | None = None) -> None:
         # import, test fixture) append to the stable base instead of
         # silently vanishing on the next rebuild
         _BASE_ORDER.extend(n for n in QUERIES if n not in _BASE_ORDER)
+    # deregistered queries (fixture teardown, conditional registration)
+    # must not survive in the base order — indexing QUERIES[stale] on
+    # the next rebuild would raise KeyError
+    _BASE_ORDER[:] = [n for n in _BASE_ORDER if n in QUERIES]
     ordered: dict[str, QueryFn] = {}
     for name in _PINNED:
-        ordered[name] = QUERIES[name]
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
     oracled = [
         n for n in _BASE_ORDER if n not in ordered and n in ORACLES
     ]

@@ -158,6 +158,34 @@ def test_profile_table_exact_distinct_binary_and_all_null(spark):
     assert (out["z"]["n_null"], out["z"]["n_distinct"]) == (3, 0)
 
 
+def test_profile_table_exact_micros_timestamps_and_nested_floats(spark):
+    # two regressions the default to_json encoding hides:
+    # 1) timestamps differing only in MICROseconds — the default JSON
+    #    timestampFormat truncates to millis and collapses them;
+    # 2) -0.0 vs 0.0 NESTED inside an array — SQL grouping normalizes
+    #    them to one value at any depth, but to_json renders two
+    #    distinct strings, overcounting. (Those columns fall back to
+    #    countDistinct.)
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (ts.replace(microsecond=1000), [0.0, 1.0]),
+            (ts.replace(microsecond=1001), [-0.0, 1.0]),
+            (ts.replace(microsecond=1002), [float("nan")]),
+            (ts.replace(microsecond=1002), [float("nan")]),
+        ],
+        "t timestamp, a array<double>",
+    )
+    out = {
+        r["column_name"]: r
+        for r in Q.profile_table(df, ["t", "a"]).collect()
+    }
+    assert out["t"]["n_distinct"] == 3  # micros-distinct must not collapse
+    assert out["a"]["n_distinct"] == 2  # [0.0,1.0]==[-0.0,1.0]; NaN==NaN
+
+
 def test_zonemap_eval_zorder_skips_clustered_dimension(spark):
     # x clustered by z-tiles must prune; the "natural" order (y) spreads
     # x uniformly so its zone maps cover everything
