@@ -515,6 +515,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    allow_saturated_bands: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash Hamming distance:
     (id_a, id_b, hamming) with id_a < id_b and hamming <= ``max_hamming``.
@@ -531,6 +532,14 @@ def simhash_near_dup_pairs(
     shuffle-partitioned on (band, band_val) with AQE absorbing skewed
     slices. Verification (bit_count of xor) runs in codegen on the joined
     longs — no text ever crosses the candidate join.
+
+    SATURATION GUARD: when the corpus outgrows the band-slice space
+    (measured cliff: 32-bit/8-bit slices = 256 buckets went 438 s vs
+    23 s for 64-bit at the 500k-doc ramp tier, SCALING.md) this raises
+    instead of silently running a near-quadratic candidate join — pass
+    ``bits=64`` (16-bit slices) or ``allow_saturated_bands=True`` to
+    proceed anyway (e.g. an oracle fixture that needs the exact 32-bit
+    geometry on a small corpus that sits just over the guard line).
     """
     from pyspark import StorageLevel
 
@@ -542,6 +551,8 @@ def simhash_near_dup_pairs(
     return hamming_pairs(
         sims, id_col, "simhash", bits=bits, bands=bands,
         max_hamming=max_hamming,
+        allow_saturated_bands=allow_saturated_bands,
+        _probe=df.select(id_col),  # probe the INPUT, not the agg
     )
 
 
@@ -552,12 +563,24 @@ def hamming_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    allow_saturated_bands: bool = False,
+    _probe: DataFrame | None = None,
 ) -> DataFrame:
     """Pigeonhole-blocked Hamming near-neighbor pairs over ANY integer
     fingerprint column (simhash, perceptual aHash, ...): (id_a, id_b,
     hamming) with id_a < id_b and hamming <= ``max_hamming``. See
     :func:`simhash_near_dup_pairs` for the blocking argument; requires
     ``max_hamming < bands`` for exact recall.
+
+    Unless ``allow_saturated_bands``, raises when the row count exceeds
+    32 rows per blocking bucket on average (32 << slice_width): past
+    that point every bucket pairs ~(n/buckets)^2 candidates and the
+    equi-join is quadratic in practice — the measured 32-bit cliff in
+    SCALING.md. The check is a bounded ``limit(threshold+1).count()``
+    probe (id column only, stops scanning at the threshold), not a full
+    count. ``_probe`` lets callers supply a cheaper frame to count than
+    ``fps`` itself (simhash_near_dup_pairs probes its raw input so the
+    guard fires BEFORE the vote aggregation runs).
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -565,6 +588,19 @@ def hamming_pairs(
             f"(got bands={bands}) for exact recall"
         )
     width = bits // bands
+    if not allow_saturated_bands:
+        threshold = 32 << width
+        probe = _probe if _probe is not None else fps.select(id_col)
+        n = probe.limit(threshold + 1).count()
+        if n > threshold:
+            raise ValueError(
+                f"band slices of {width} bits give only {1 << width} "
+                f"blocking buckets for >{threshold} rows — the candidate "
+                f"equi-join is effectively quadratic (measured 19x "
+                f"slowdown for 32-bit simhash at 500k docs, SCALING.md). "
+                f"Use bits=64 (16-bit slices) or pass "
+                f"allow_saturated_bands=True to proceed anyway."
+            )
     mask = (1 << width) - 1
     slices = F.array(
         *[

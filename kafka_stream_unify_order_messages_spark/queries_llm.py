@@ -849,7 +849,13 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("text").alias("text"),
         )
     )
-    return D.simhash_near_dup_pairs(aug, bits=32, bands=4, max_hamming=3)
+    # explicit opt-in past the saturation guard: this oracle query pins
+    # the exact 32-bit/4-band geometry (the fixture is small; at real
+    # corpus sizes the operator raises and routes users to bits=64 —
+    # the simhash64_near_dup_pairs query beside this one)
+    return D.simhash_near_dup_pairs(
+        aug, bits=32, bands=4, max_hamming=3, allow_saturated_bands=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3701,8 +3707,11 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = M.synthetic_media(aug)
     fps = M.media_phash(media, "doc_id", bits=32)
+    # opt past the saturation guard: probing fps would re-run the phash
+    # aggregation, and this oracle fixture pins the 32-bit geometry
     return D.hamming_pairs(
-        fps, "doc_id", "phash", bits=32, bands=4, max_hamming=3
+        fps, "doc_id", "phash", bits=32, bands=4, max_hamming=3,
+        allow_saturated_bands=True,
     )
 
 

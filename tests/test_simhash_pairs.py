@@ -98,3 +98,26 @@ def test_simhash_rejects_bad_width(spark, docs):
     for bad in (0, 65, -1):
         with pytest.raises(ValueError):
             simhash(docs, bits=bad)
+
+
+def test_saturation_guard_trips_at_threshold(spark, docs):
+    # 8-bit fingerprint / 4 bands = 2-bit slices -> 4 blocking buckets,
+    # guard threshold 32<<2 = 128 rows; the 200-doc fixture must trip it
+    # BEFORE any fingerprint job runs, and the explicit opt-in must
+    # restore the old behavior (same geometry, tiny corpus)
+    with pytest.raises(ValueError, match="blocking buckets"):
+        simhash_near_dup_pairs(docs, bits=8, bands=4, max_hamming=3)
+    out = simhash_near_dup_pairs(
+        docs, bits=8, bands=4, max_hamming=3, allow_saturated_bands=True
+    )
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    out.count()  # runs without raising
+
+
+def test_saturation_guard_respects_corpus_size(spark, docs):
+    # same saturating geometry, but a corpus UNDER the threshold (128
+    # rows for 2-bit slices) must pass untouched — the guard is about
+    # rows-per-bucket, not the geometry alone
+    small = docs.limit(100)
+    out = simhash_near_dup_pairs(small, bits=8, bands=4, max_hamming=3)
+    out.count()
