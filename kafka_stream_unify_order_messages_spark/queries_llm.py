@@ -3208,6 +3208,36 @@ def ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Build-once/serve-many: the SAME fixed-centroid IVF search, but against
+# a PERSISTED index (inverted lists written partitionBy(centroid_id)), so
+# serving partition-prunes to the probed cells' directories and never
+# re-scans or re-assigns the corpus — the production geometry SCALING.md
+# measured sublinear (`ivf_trained_serve`). Identical semantics to
+# ann_ivf_fixed, hence the shared oracle (same pattern as knn_join_topk /
+# lsh_topk). The index builds at most once per (process, sf_dir) and is
+# reused by later calls — that reuse IS the feature under test, not a
+# timing leak.
+_IVF_INDEX_MEMO: set = set()
+
+
+@query("ann_ivf_served", _ivf_fixed_sql())
+def ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _load(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"sg_ivf_index_{tag}")
+    if path not in _IVF_INDEX_MEMO or not os.path.isdir(path + "/cells"):
+        S.save_ivf_index(
+            emb, path, n_centroids=16, centroids=_ivf_fixed_centroids()
+        )
+        _IVF_INDEX_MEMO.add(path)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.search_ivf_index(spark, path, queries, k=5, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # LSH quality evaluation: recall/precision of the minhash-LSH candidate
 # generator against exact n-gram-Jaccard ground truth — the measurement

@@ -435,3 +435,14 @@ def test_kmv_overlap_bottomk_pruned_and_no_cartesian(spark):
     plan = plan_of(spark, "kmv_source_overlap")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_served_partition_prunes_persisted_index(spark):
+    # build-once/serve-many IVF: the probe set must become directory-level
+    # partition pruning on the persisted inverted lists — the scan opens
+    # ONLY the probed centroid_id= directories, never the whole index
+    plan = plan_of(spark, "ann_ivf_served")
+    m = re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    probed = [int(x) for x in m.group(1).split(",")]
+    assert 0 < len(probed) < 16  # pruned: a strict subset of the 16 cells
