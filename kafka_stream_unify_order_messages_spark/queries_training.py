@@ -242,11 +242,100 @@ def _learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     return _BPE_MEMO[sf_dir]
 
 
-@query("bpe_learn_merges")  # iterative argmax loop — not SQL-expressible
+def _bpe_train_ctes(n_merges: int = 8) -> str:
+    """DuckDB CTE chain that LEARNS the BPE merges: n_merges unrolled
+    rounds of (pair counts -> argmax -> greedy left-to-right merge apply).
+    The greedy apply is a recursive CTE consuming one or two symbols per
+    step (string replace on the joined word is NOT equivalent — adjacent
+    repeats like [a,a,a,a,a] diverge), so the whole training loop is
+    value-checked, not just replayed. MATERIALIZED hints stop DuckDB from
+    re-inlining each round's vocab into every downstream reference (which
+    re-scans the parquet exponentially). Tie-break matches the operator:
+    count desc, then lexicographic on the space-joined pair."""
+    parts = [
+        f"""
+wf AS MATERIALIZED (
+    SELECT word, count(*)::BIGINT AS freq
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+    WHERE len(word) >= 1 GROUP BY word
+),
+v0 AS MATERIALIZED (
+    SELECT word, regexp_extract_all(word, '.') AS s, freq FROM wf
+)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""
+pc{i} AS (
+    SELECT s[j] AS a, s[j+1] AS b, sum(freq) AS cnt
+    FROM v{i}, unnest(generate_series(1, len(s) - 1)) AS t(j)
+    GROUP BY 1, 2
+),
+top{i} AS MATERIALIZED (
+    SELECT a, b FROM pc{i} ORDER BY cnt DESC, a || ' ' || b LIMIT 1
+),
+st{i} AS (
+    SELECT word, freq, s, 1 AS pos, []::VARCHAR[] AS acc FROM v{i}
+    UNION ALL
+    SELECT word, freq, s,
+        CASE WHEN pos < len(s) AND s[pos] = t.a AND s[pos+1] = t.b
+             THEN pos + 2 ELSE pos + 1 END,
+        CASE WHEN pos < len(s) AND s[pos] = t.a AND s[pos+1] = t.b
+             THEN list_append(acc, t.a || t.b)
+             ELSE list_append(acc, s[pos]) END
+    FROM st{i}, top{i} t WHERE pos <= len(s)
+),
+v{i+1} AS MATERIALIZED (
+    SELECT word, acc AS s, freq FROM st{i} WHERE pos = len(s) + 1
+)"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_learn_sql(n_merges: int = 8) -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, (SELECT a FROM top{i}) AS sym_a,"
+        f" (SELECT b FROM top{i}) AS sym_b"
+        for i in range(n_merges)
+    )
+    return f"WITH RECURSIVE {_bpe_train_ctes(n_merges)}\n{sel}"
+
+
+def _bpe_segment_sql(n_merges: int = 8) -> str:
+    # the final vocab v{n} IS the segmentation of every corpus word
+    # (rank-greedy inference == sequential merge replay, the equivalence
+    # _replay_vocab relies on), so per-doc stats are a words->v{n} join
+    return f"""
+WITH RECURSIVE {_bpe_train_ctes(n_merges)},
+dw AS (
+    SELECT doc_id, unnest(ws) AS word,
+           unnest(generate_series(1, len(ws))) AS ord
+    FROM (SELECT doc_id, {_TOKS} AS ws FROM documents)
+),
+agg AS (
+    SELECT dw.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(len(v{n_merges}.s))::BIGINT AS n_bpe_tokens,
+           md5(string_agg(array_to_string(v{n_merges}.s, ' '), ' '
+               ORDER BY dw.ord)) AS tokens_hash
+    FROM dw JOIN v{n_merges} ON dw.word = v{n_merges}.word
+    WHERE len(dw.word) >= 1
+    GROUP BY dw.doc_id
+)
+SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(a.tokens_hash, md5('')) AS tokens_hash
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@query("bpe_learn_merges", _bpe_learn_sql())
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eight learned merges in training order. Rows-only driver check;
-    the strong check is tests/test_tokenizer.py against a pure-Python
-    BPE oracle."""
+    """Eight learned merges in training order, strict-oracled: the DuckDB
+    side re-learns them from scratch (unrolled pair-count/argmax/greedy-
+    apply rounds), so the distributed aggregation AND the merge-apply
+    kernel are value-checked end-to-end. tests/test_tokenizer.py holds
+    the additional pure-Python oracle."""
     merges = _learned_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
@@ -254,10 +343,11 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_segment_stats")  # applies the learned (iterative) tokenizer
+@query("bpe_segment_stats", _bpe_segment_sql())
 def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus re-tokenized with the learned merges: per-doc word/BPE-token
-    counts plus a deterministic hash of the segmentation."""
+    counts plus a deterministic hash of the segmentation. Strict-oracled
+    against the SQL-trained tokenizer's final vocabulary."""
     docs = _load(spark, sf_dir, "documents")
     return TK.bpe_segment(docs, _learned_merges(spark, sf_dir))
 
@@ -581,6 +671,139 @@ def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece counts plus a deterministic segmentation hash."""
     docs = _load(spark, sf_dir, "documents")
     return TK.unigram_segment(docs, _learned_unigram(spark, sf_dir))
+
+
+def _independent_unigram(
+    texts: list[str],
+    max_piece_len: int = 4,
+    max_pieces: int = 64,
+    em_iterations: int = 2,
+) -> tuple[dict, dict]:
+    """Self-contained pure-Python re-implementation of the unigram
+    trainer — NO shared code with operators/tokenizer.py (its own
+    tokenization, substring seeding, and a backward-recursive Viterbi
+    instead of the operator's forward DP) — so agreement between the two
+    is evidence about the distributed passes, not a tautology. Returns
+    ({piece: logp}, {word: segmentation}) under the trained model."""
+    import math
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for t in texts:
+        for w in str(t).lower().split():
+            if w:
+                wf[w] += 1
+
+    subs: Counter = Counter()
+    for w, f in wf.items():
+        n = len(w)
+        for i in range(n):
+            for L in range(1, min(max_piece_len, n - i) + 1):
+                subs[w[i : i + L]] += f
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:max_pieces]
+    seed = {p: c for p, c in subs.items() if len(p) == 1}
+    seed.update(dict(multi))
+    total = sum(seed.values())
+    logp = {p: math.log(c / total) for p, c in seed.items()}
+
+    def viterbi(word: str, model: dict) -> list:
+        # backward recursion with memo (vs the operator's forward loop);
+        # same semantics: max score, exact-float ties -> longest last
+        # piece, unknown single chars at -100.0
+        max_len = max((len(p) for p in model), default=1)
+        memo: dict = {0: (0.0, None)}
+
+        def best(end: int):
+            if end in memo:
+                return memo[end]
+            score, cut = float("-inf"), 0
+            for start in range(max(0, end - max_len), end):
+                piece = word[start:end]
+                lp = model.get(piece)
+                if lp is None:
+                    if end - start != 1:
+                        continue
+                    lp = -100.0
+                s = best(start)[0] + lp
+                if s > score or (s == score and start < cut):
+                    score, cut = s, start
+            memo[end] = (score, cut)
+            return memo[end]
+
+        pieces, end = [], len(word)
+        while end > 0:
+            start = best(end)[1]
+            pieces.append(word[start:end])
+            end = start
+        return list(reversed(pieces))
+
+    for _ in range(em_iterations):
+        counts: Counter = Counter()
+        for w, f in wf.items():
+            for piece in viterbi(w, logp):
+                counts[piece] += f
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+    return logp, {w: viterbi(w, logp) for w in wf}
+
+
+@query("unigram_agreement_eval")  # deterministic 1-row eval; bounds the
+# rows-only unigram_learn_pieces / unigram_segment_stats the way
+# semdedup_agreement_eval bounds SemDeDup: a from-scratch pure-Python
+# trainer must reproduce the distributed trainer exactly
+def unigram_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between the DISTRIBUTED unigram trainer (seed counts +
+    Viterbi-EM passes over the cluster) and an independent single-process
+    implementation with its own tokenizer, seeder, and Viterbi: piece
+    sets, 6-decimal log-probs, and per-word segmentations must all agree.
+    The corpus collect is the eval harness's prerogative (like the
+    all-pairs truth in semdedup_agreement_eval) — the production path
+    stays distributed."""
+    docs = _load(spark, sf_dir, "documents")
+    dist = _learned_unigram(spark, sf_dir)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    indep_logp, indep_seg = _independent_unigram(texts)
+
+    pieces_union = set(dist) | set(indep_logp)
+    n_logp_agree = sum(
+        1
+        for p in pieces_union
+        if p in dist
+        and p in indep_logp
+        and round(dist[p], 6) == round(indep_logp[p], 6)
+    )
+    n_words = len(indep_seg)
+    # cross-implementation, cross-model: the operator's forward DP under
+    # the DISTRIBUTED model vs the independent backward DP under the
+    # INDEPENDENT model — end-to-end pipeline agreement per vocab word
+    n_seg_agree = sum(
+        1
+        for w, seg in indep_seg.items()
+        if TK.viterbi_segment(w, dist) == seg
+    )
+    agreement = (
+        min(n_logp_agree / len(pieces_union), n_seg_agree / n_words)
+        if pieces_union and n_words
+        else 0.0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(dist),
+                len(indep_logp),
+                n_logp_agree,
+                n_words,
+                n_seg_agree,
+                round(agreement, 6),
+            )
+        ],
+        "n_pieces_dist INT, n_pieces_indep INT, n_logp_agree INT,"
+        " n_vocab_words INT, n_seg_agree INT, agreement DOUBLE",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -64,13 +64,11 @@ ROWS_ONLY_ALLOWED = {
     # test_llm_ops.py::test_semantic_dedup_*; retention quality bounded
     # by the fully-oracled semdedup_agreement_eval (fixed centroids)
     "semantic_dedup",
-    # iterative data-dependent argmax loop (BPE training) is not
-    # SQL-expressible; pinned against a pure-Python BPE oracle in
-    # test_tokenizer.py (both driver-side and distributed paths)
-    "bpe_learn_merges",
-    # applies the learned merges (same iterative dependency); segmentation
-    # pinned by test_tokenizer.py (replay equivalence + roundtrip)
-    "bpe_segment_stats",
+    # cross-implementation agreement harness (distributed trainer vs an
+    # independent pure-Python one) — the independent side is Python by
+    # construction, so no SQL oracle exists; perfection pinned by
+    # test_tokenizer.py::test_unigram_agreement_eval_is_perfect
+    "unigram_agreement_eval",
     # Viterbi hard-EM over a data-dependent piece vocabulary (unigram-LM
     # training loop) is not SQL-expressible; seeding IS oracled
     # (unigram_seed_pieces) and optimality/determinism pinned by

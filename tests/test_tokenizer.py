@@ -186,3 +186,18 @@ def test_unigram_segment_stats_shape(spark):
     assert out[1]["n_pieces"] >= 3
     assert out[2]["n_words"] == 0 and out[2]["n_pieces"] == 0
     assert len(out[1]["pieces_hash"]) == 32
+
+
+def test_unigram_agreement_eval_is_perfect(spark):
+    # the registry's quality bound for the rows-only unigram queries:
+    # the independent pure-Python trainer (own tokenizer/seeder/backward
+    # Viterbi) must reproduce the distributed trainer exactly — pieces,
+    # 6-decimal log-probs, AND per-word segmentations
+    from kafka_stream_unify_order_messages_spark.queries_training import (
+        unigram_agreement_eval,
+    )
+
+    row = unigram_agreement_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["agreement"] == 1.0
+    assert row["n_pieces_dist"] == row["n_pieces_indep"] == row["n_logp_agree"]
+    assert row["n_seg_agree"] == row["n_vocab_words"] > 0
