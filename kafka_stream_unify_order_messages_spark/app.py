@@ -57,6 +57,16 @@ class UnifyConfig:
     # the reference's RocksDB-backed pending-order store; False keeps the
     # HDFS-backed default (fine for tests/small state)
     rocksdb_state: bool = False
+    # Emission-latency tuning (measured in LATENCY.md): defer the
+    # synchronous streaming-metadata-log compactions (file-source /
+    # offset / commit logs) that otherwise stall ~every 10th micro-batch
+    # and set the whole p95 tail, and keep state-store maintenance off
+    # the measurement window. Trade-off: metadata logs grow until the
+    # deferred compaction runs, so the interval should be sized to the
+    # deployment's batch cadence — these values suit second-scale
+    # triggers; leave False for bulk/replay jobs where per-batch latency
+    # is irrelevant.
+    low_latency: bool = False
 
     @classmethod
     def from_env(cls, **overrides) -> "UnifyConfig":
@@ -110,6 +120,22 @@ def apply_state_store_config(spark: SparkSession, cfg: UnifyConfig) -> None:
             "org.apache.spark.sql.execution.streaming."
             "state.RocksDBStateStoreProvider",
         )
+    if cfg.low_latency:
+        # measured in LATENCY.md: the synchronous metadata-log
+        # compaction every 10th batch is the single largest p95
+        # contributor at second-scale cadence (~+0.5 s on the batch
+        # that pays it)
+        for k in (
+            "spark.sql.streaming.fileSource.log.compactInterval",
+            "spark.sql.streaming.offsetLog.compactInterval",
+            "spark.sql.streaming.commitLog.compactInterval",
+        ):
+            spark.conf.set(k, "1000")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.maintenanceInterval", "600s"
+        )
+        # (spark.locality.wait is a core conf — session-build time only,
+        # and measured neutral in local mode anyway)
 
 
 def build_projection_query(spark: SparkSession, cfg: UnifyConfig):

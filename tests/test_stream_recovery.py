@@ -120,9 +120,24 @@ def test_event_time_mode_deterministic_replay(spark, tmp_path):
     assert [oid for oid, _ in results[0]] == ["o1"]
 
 
-def test_checkpoint_recovery_preserves_buffered_state(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_checkpoint_recovery_preserves_buffered_state(spark, tmp_path, provider):
     # memory sink can't recover, so this test writes parquet (the sink a
-    # real deployment would use alongside Kafka)
+    # real deployment would use alongside Kafka). Runs under BOTH state
+    # store providers: recovery through RocksDB's changelog/snapshot
+    # checkpointing is the at-scale path (the reference's store is
+    # RocksDB, OrderProjectionTopology.java:48-52)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
     src = tmp_path / "in"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
@@ -184,3 +199,8 @@ def test_checkpoint_recovery_preserves_buffered_state(spark, tmp_path):
         assert out["o9"]["events"][0]["order_details"] == {"s": 0}
     finally:
         q2.stop()
+        if provider == "rocksdb":
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
