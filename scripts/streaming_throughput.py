@@ -309,6 +309,12 @@ def main() -> None:
             "super-linear state-store term (state per key is <= 3 events "
             "regardless of N).",
         ]
+    lines += [
+        "",
+        "Provider and semantics analysis for the CURRENT run is appended",
+        "by the builder after reading the table; see the committed",
+        "STREAMING.md for the round's narrative.",
+    ]
     lines.append("")
     (_ROOT / "STREAMING.md").write_text("\n".join(lines))
     print(json.dumps({"written": "STREAMING.md", "tiers": len(records)}))
