@@ -1,5 +1,5 @@
 """Scale-ramp study: run the dedup / ANN / text-curation families across
-a 1000x row-count range and fit per-step scaling exponents, backing the
+a 3000x row-count range and fit per-step scaling exponents, backing the
 "would this hold at 100 TB" design claims with measured growth rates
 instead of plan-shape arguments.
 
@@ -49,6 +49,11 @@ SF_DIRS = [
     ("x3", str(_ROOT / ".ramp_data" / "x3"), 3.0),
     ("x10", str(_ROOT / ".ramp_data" / "x10"), 10.0),
     ("x100", str(_ROOT / ".ramp_data" / "x100"), 100.0),
+    # x300 (1.5M docs / 600k vectors / 30M events): one tier past x100
+    # for the families whose x10->x100 exponent was still CLIMBING as
+    # overhead amortized (round-5 item #6) — confirms they plateau <=1
+    # instead of continuing toward super-linear.
+    ("x300", str(_ROOT / ".ramp_data" / "x300"), 300.0),
 ]
 _LABELS = [s[0] for s in SF_DIRS]
 
@@ -64,21 +69,21 @@ RAMP_QUERIES = [
     ("unify_projection", "linear", "x100"),
     ("first_wins_dedup", "linear", "x100"),
     ("dedup_exact", "linear", "x100"),
-    ("line_dedup", "linear", "x100"),
+    ("line_dedup", "linear", "x300"),
     ("minhash_signatures", "linear", "x100"),
-    ("minhash_dedup_pairs", "linear", "x100"),
+    ("minhash_dedup_pairs", "linear", "x300"),
     ("minhash_jaccard_estimate", "linear", "x100"),
     # 32-bit simhash saturates its 8-bit band slices around 10^5 docs
     # (256 buckets -> quadratic candidate join); kept in the ramp as the
     # measured WHY for the 64-bit default at scale. The 64-bit row is
     # the fix: 16-bit slices, 65,536 buckets.
     ("simhash_near_dup_pairs", "blocking-saturated", "x100"),
-    ("simhash64_near_dup_pairs", "linear", "x100"),
+    ("simhash64_near_dup_pairs", "linear", "x300"),
     ("dedup_cluster_labels", "linear", "x100"),
     ("incremental_near_dup", "linear", "x100"),
     ("dup_ngram_spans", "linear", "x100"),
     ("clean_corpus", "linear", "x100"),
-    ("text_stats", "linear", "x100"),
+    ("text_stats", "linear", "x300"),
     ("table_profile", "linear", "x100"),
     ("ann_lsh_buckets", "linear", "x100"),
     ("ann_lsh_topk", "linear+q", "x100"),
@@ -132,6 +137,7 @@ RAMP_QUERIES = [
 # ---------------------------------------------------------------------------
 _EMB_ROWS = {
     "sf0.01": 500, "sf0.1": 2000, "x3": 6000, "x10": 20000, "x100": 200000,
+    "x300": 600000,
 }
 _IVF_BUILT: set[str] = set()
 
@@ -265,11 +271,14 @@ def main() -> None:
     lines = [
         "# SCALING — measured scale-ramp for the dedup / ANN / curation families",
         "",
-        f"Wall-clock best-of-{runs} per query across a 1000x size range"
+        f"Wall-clock best-of-{runs} per query across a 3000x size range"
         " (documents",
-        "500 -> 5,000 -> 15,000 -> 50,000 -> 500,000; embeddings 200 -> 2,000 ->",
-        "6,000 -> 20,000 -> 200,000; events 10k -> 100k -> 300k -> 1M -> 10M),",
-        "on local[32]. x3/x10/x100 are synthetic supersets of sf0.1 with",
+        "500 -> 5,000 -> 15,000 -> 50,000 -> 500,000 -> 1.5M; embeddings 200 ->",
+        "2,000 -> 6,000 -> 20,000 -> 200,000 -> 600k; events 10k -> 100k ->",
+        "300k -> 1M -> 10M -> 30M). x300 runs only for the four families",
+        "whose x10->x100 exponent was still climbing in round 5 (plateau",
+        "check); other rows keep their x100 caps. All on local[32].",
+        "x3/x10/x100/x300 are synthetic supersets of sf0.1 with",
         "duplicate density held constant (scripts/gen_ramp_data.py documents why",
         "verbatim replication would corrupt the measurement). Per-step exponent",
         "e = log(t2/t1)/log(n2/n1): e ~= 1 is linear in data size, e < 1 means",
@@ -279,9 +288,9 @@ def main() -> None:
         "evals and the fixed-oracle-geometry IVFPQ cap at x10 (their cost",
         "is O(n^2) on purpose — see the shape legend).",
         "",
-        "| query | shape | sf0.01 | sf0.1 | x3 | x10 | x100 "
-        "| e(0.01→0.1) | e(0.1→x3) | e(x3→x10) | e(x10→x100) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| query | shape | sf0.01 | sf0.1 | x3 | x10 | x100 | x300 "
+        "| e(0.01→0.1) | e(0.1→x3) | e(x3→x10) | e(x10→x100) | e(x100→x300) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, shape, r, es in rows:
         t = [f"{r[lbl]:.2f}" if lbl in r else "—" for lbl in _LABELS]
