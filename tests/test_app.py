@@ -157,3 +157,39 @@ def test_rocksdb_state_store_end_to_end(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_low_latency_tuning_applies_and_is_opt_in(spark):
+    # the measured latency tuning (LATENCY.md) must apply through the
+    # deployment surface, and must be OPT-IN: bulk/replay jobs should
+    # keep default compaction cadence
+    from kafka_stream_unify_order_messages_spark.app import apply_state_store_config
+
+    keys = [
+        "spark.sql.streaming.fileSource.log.compactInterval",
+        "spark.sql.streaming.offsetLog.compactInterval",
+        "spark.sql.streaming.commitLog.compactInterval",
+    ]
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        apply_state_store_config(spark, UnifyConfig(low_latency=False))
+        for k in keys:
+            assert spark.conf.get(k, None) == prior[k]
+        apply_state_store_config(spark, UnifyConfig(low_latency=True))
+        for k in keys:
+            assert spark.conf.get(k) == "1000"
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.maintenanceInterval"
+            )
+            == "600s"
+        )
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.maintenanceInterval"
+        )
