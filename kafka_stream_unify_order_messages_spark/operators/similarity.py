@@ -842,10 +842,21 @@ def pq_topk(
     n_sub: int = 8,
     n_codes: int = 16,
     codebook: np.ndarray | None = None,
+    max_query_batch: int | None = 10_000,
 ) -> DataFrame:
     """Product-quantization approximate top-k by inner product (ADC —
     asymmetric distance computation, Jégou et al., TPAMI 2011):
     (query_id, neighbor_id, score, rnk).
+
+    EXHAUSTIVE-SCAN GUARD: ADC scores every (query, code) pair, so
+    this operator is a serving-batch primitive — quadratic when the
+    query batch grows with the corpus (measured: 86.8 s at the x100
+    ramp tier with |Q| = n/20, SCALING.md). ``max_query_batch``
+    (default 10k) raises past that point instead of trusting the
+    docstring; the scale paths are ``ivfpq_topk`` (probed cells only)
+    and ``knn_join`` (corpus-vs-corpus, neither side collected). Pass
+    ``max_query_batch=None`` only for a deliberate exhaustive baseline
+    (the SCALING.md negative-result row does).
 
     The corpus is PQ-encoded (scan-local, ``n_sub`` bytes per vector);
     each query precomputes a (n_sub × n_codes) lookup table of partial
@@ -868,6 +879,15 @@ def pq_topk(
     n_sub, n_codes, sub_dim = codebook.shape
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if max_query_batch is not None and len(q_rows) > max_query_batch:
+        raise ValueError(
+            f"pq_topk got a {len(q_rows)}-query batch (> "
+            f"{max_query_batch}): exhaustive ADC scores every (query, "
+            f"code) pair and goes quadratic when |Q| grows with the "
+            f"corpus (measured in SCALING.md). Use ivfpq_topk (probed "
+            f"cells only) or knn_join (corpus-vs-corpus), or pass "
+            f"max_query_batch=None for a deliberate exhaustive baseline."
+        )
     q_ids = np.asarray([r[0] for r in q_rows])
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     # LUT[qi, s, c] = dot(q_sub, codeword) — the per-query ADC table

@@ -2777,7 +2777,13 @@ SELECT query_id, neighbor_id, score, rnk FROM (
 def ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    return S.pq_topk(queries, emb, k=5, n_sub=8, n_codes=16)
+    # explicit opt-out of the exhaustive-scan guard: this query IS the
+    # deliberate ADC compression-quality baseline (|Q| grows with the
+    # harness corpus; SCALING.md keeps its quadratic row as a measured
+    # negative result — the scale paths are ann_ivfpq_fixed/knn_join)
+    return S.pq_topk(
+        queries, emb, k=5, n_sub=8, n_codes=16, max_query_batch=None
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -128,3 +128,18 @@ def test_ivfpq_partial_probe_subset_recall(spark, emb):
         assert r.query_id != r.neighbor_id
     assert len(per_q) == n_queries
     assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_pq_topk_guards_exhaustive_query_batches(spark):
+    # ADC is a serving-batch primitive: a query batch past the cap must
+    # raise and route to ivfpq_topk/knn_join, not silently go quadratic
+    import pytest
+
+    from kafka_stream_unify_order_messages_spark.operators import similarity as S
+    from kafka_stream_unify_order_messages_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="exhaustive ADC"):
+        S.pq_topk(emb.limit(30), emb, k=3, max_query_batch=20)
+    out = S.pq_topk(emb.limit(30), emb, k=3, max_query_batch=None)
+    assert out.columns == ["query_id", "neighbor_id", "score", "rnk"]
