@@ -421,6 +421,14 @@ def knn_join(
       GEMMs and emits block-local top-k (with the rounding-quantum
       margin), so the final global ranking window sees O(|Q|·k·chunks)
       rows, never candidate sets.
+
+    CONTRACT: both inputs must be DETERMINISTIC frames — the bucket
+    census is collected eagerly (two Spark jobs run when this function
+    is CALLED, before any action on the result) and the block frames
+    re-evaluate the inputs at execution time, so a ``sample()`` /
+    ``rand()``-derived input would census one evaluation and score
+    another, silently dropping buckets. Materialize nondeterministic
+    inputs (write or localCheckpoint) before calling.
     """
     from pyspark.sql import Window
 
@@ -878,16 +886,23 @@ def pq_topk(
         codebook = pq_codebook(n_sub=n_sub, n_codes=n_codes)
     n_sub, n_codes, sub_dim = codebook.shape
 
+    if max_query_batch is not None:
+        # bounded probe BEFORE the collect (same pattern as
+        # hamming_pairs' saturation guard): the guard exists to stop
+        # oversized batches, so it must fire before the driver
+        # materializes one
+        n = queries.select(id_col).limit(max_query_batch + 1).count()
+        if n > max_query_batch:
+            raise ValueError(
+                f"pq_topk got a >{max_query_batch}-query batch: "
+                f"exhaustive ADC scores every (query, code) pair and "
+                f"goes quadratic when |Q| grows with the corpus "
+                f"(measured in SCALING.md). Use ivfpq_topk (probed "
+                f"cells only) or knn_join (corpus-vs-corpus), or pass "
+                f"max_query_batch=None for a deliberate exhaustive "
+                f"baseline."
+            )
     q_rows = queries.select(id_col, vec_col).collect()
-    if max_query_batch is not None and len(q_rows) > max_query_batch:
-        raise ValueError(
-            f"pq_topk got a {len(q_rows)}-query batch (> "
-            f"{max_query_batch}): exhaustive ADC scores every (query, "
-            f"code) pair and goes quadratic when |Q| grows with the "
-            f"corpus (measured in SCALING.md). Use ivfpq_topk (probed "
-            f"cells only) or knn_join (corpus-vs-corpus), or pass "
-            f"max_query_batch=None for a deliberate exhaustive baseline."
-        )
     q_ids = np.asarray([r[0] for r in q_rows])
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     # LUT[qi, s, c] = dot(q_sub, codeword) — the per-query ADC table

@@ -272,7 +272,17 @@ pc{i} AS (
     GROUP BY 1, 2
 ),
 top{i} AS MATERIALIZED (
-    SELECT a, b FROM pc{i} ORDER BY cnt DESC, a || ' ' || b LIMIT 1
+    -- early-stop parity with learn_bpe: no pair with count >= 2 means
+    -- training STOPS — emit a NULL sentinel (exactly one row, so the
+    -- cross join below never empties the vocab) whose CASE branches are
+    -- all false, making every later round a pass-through
+    SELECT a, b FROM (
+        SELECT a, b FROM pc{i} WHERE cnt >= 2
+        ORDER BY cnt DESC, a || ' ' || b LIMIT 1
+    )
+    UNION ALL
+    SELECT NULL::VARCHAR, NULL::VARCHAR
+    WHERE NOT EXISTS (SELECT 1 FROM pc{i} WHERE cnt >= 2)
 ),
 st{i} AS (
     SELECT word, freq, s, 1 AS pos, []::VARCHAR[] AS acc FROM v{i}
@@ -293,12 +303,18 @@ v{i+1} AS MATERIALIZED (
 
 
 def _bpe_learn_sql(n_merges: int = 8) -> str:
+    # sentinel rounds (merge-exhausted corpus) drop out here, matching
+    # the operator's shorter merges list on early stop
     sel = "\nUNION ALL ".join(
         f"SELECT {i} AS rank, (SELECT a FROM top{i}) AS sym_a,"
         f" (SELECT b FROM top{i}) AS sym_b"
         for i in range(n_merges)
     )
-    return f"WITH RECURSIVE {_bpe_train_ctes(n_merges)}\n{sel}"
+    return (
+        f"WITH RECURSIVE {_bpe_train_ctes(n_merges)}\n"
+        f"SELECT rank, sym_a, sym_b FROM ({sel})\n"
+        f"WHERE sym_a IS NOT NULL"
+    )
 
 
 def _bpe_segment_sql(n_merges: int = 8) -> str:

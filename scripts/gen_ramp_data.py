@@ -1,5 +1,5 @@
 """Generate synthetic scale-up replicas of sf0.1 for the scale-ramp study
-(SCALING.md): x3 and x10 directories under .ramp_data/ (gitignored).
+(SCALING.md): x3/x10/x100/x300 directories under .ramp_data/ (gitignored).
 
 The naive approach — replicate rows verbatim with new ids — would corrupt
 the measurement: every document would gain k exact/near duplicates, so
@@ -143,7 +143,7 @@ def build(spark, factor: int, out_dir: Path) -> None:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [3, 10, 100]
+    factors = [int(a) for a in sys.argv[1:]] or [3, 10, 100, 300]
     spark = get_spark("gen-ramp-data", master="local[32]")
     for f in factors:
         build(spark, f, OUT_ROOT / f"x{f}")

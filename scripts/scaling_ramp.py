@@ -190,7 +190,12 @@ def main() -> None:
     to_run = [
         q for q in RAMP_QUERIES if not only or q[0] in only
     ]
-    for _, d, _s in SF_DIRS:
+    # only the dirs this (possibly RAMP_ONLY-filtered) run reads: the
+    # x300 tier is required — and warmed — only when some selected query
+    # is capped there
+    top_needed = max(_LABELS.index(ml) for _, _sh, ml in to_run)
+    needed_dirs = SF_DIRS[: top_needed + 1]
+    for _, d, _s in needed_dirs:
         if not Path(d).exists():
             raise SystemExit(
                 f"missing scale dir {d}; run scripts/gen_ramp_data.py first"
@@ -204,7 +209,7 @@ def main() -> None:
     # warm the JVM/codegen once per scale with a throwaway pass
     from kafka_stream_unify_order_messages_spark.sources.files import load_table
 
-    for _, sf_dir, _s in SF_DIRS:
+    for _, sf_dir, _s in needed_dirs:
         for t in ("documents", "embeddings", "events"):
             load_table(spark, sf_dir, t).write.format("noop").mode(
                 "overwrite"

@@ -147,6 +147,7 @@ def run_tier(
         tmp = os.path.join(stage, "k.parquet")
         pq.write_table(tbl, tmp)
         os.rename(tmp, os.path.join(src, "zz_kicker.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
     try:
         deadline = time.time() + 900
         done = 0

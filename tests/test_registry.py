@@ -102,3 +102,11 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_pinned_queries_all_registered():
+    # _apply_registration_order skips pinned names missing from QUERIES
+    # (so fixture deregistration can't KeyError a rebuild); this test is
+    # the loud guard a typo or stale _PINNED entry would otherwise lose
+    missing = [n for n in registry._PINNED if n not in registry.QUERIES]
+    assert missing == [], f"stale names in registry._PINNED: {missing}"

@@ -138,6 +138,20 @@ def test_checkpoint_recovery_preserves_buffered_state(spark, tmp_path, provider)
             "org.apache.spark.sql.execution.streaming."
             "state.RocksDBStateStoreProvider",
         )
+    try:
+        _recovery_body(spark, tmp_path)
+    finally:
+        # restore even on mid-test assertion failures — a leaked
+        # provider conf would silently move every later streaming test
+        # onto RocksDB
+        if provider == "rocksdb":
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+
+def _recovery_body(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
@@ -199,8 +213,3 @@ def test_checkpoint_recovery_preserves_buffered_state(spark, tmp_path, provider)
         assert out["o9"]["events"][0]["order_details"] == {"s": 0}
     finally:
         q2.stop()
-        if provider == "rocksdb":
-            if prior is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prior)

@@ -201,3 +201,56 @@ def test_unigram_agreement_eval_is_perfect(spark):
     assert row["agreement"] == 1.0
     assert row["n_pieces_dist"] == row["n_pieces_indep"] == row["n_logp_agree"]
     assert row["n_seg_agree"] == row["n_vocab_words"] > 0
+
+
+def test_bpe_sql_oracle_early_stop_parity(spark, tmp_path):
+    # the DuckDB training oracle must STOP like the operator when no
+    # pair reaches count 2 (sentinel rounds): full exhaustion (no
+    # merges at all) and partial exhaustion (one merge then stop) both
+    # have to agree on merges AND segmentation stats
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_stream_unify_order_messages_spark.queries_training import (
+        _bpe_learn_sql,
+        _bpe_segment_sql,
+    )
+
+    cases = {
+        "full": ["abc def", "ghij kl", "mnop qr"],  # every pair count 1
+        "partial": ["aa aa aa bb", "aa cc", "zz yy"],  # one merge, stop
+    }
+    for name, texts in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(1, len(texts) + 1)),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array(["s"] * len(texts)),
+                    "n_chars": pa.array([len(t) for t in texts]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        docs = spark.read.parquet(str(d / "documents.parquet"))
+        merges, _ = TK.learn_bpe(docs, n_merges=8)
+        assert con.execute(_bpe_learn_sql(8)).fetchall() == [
+            (i, a, b) for i, (a, b) in enumerate(merges)
+        ]
+        duck_seg = {
+            r[0]: r[1:] for r in con.execute(_bpe_segment_sql(8)).fetchall()
+        }
+        spark_seg = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["tokens_hash"])
+            for r in TK.bpe_segment(docs, merges).collect()
+        }
+        assert duck_seg == spark_seg
