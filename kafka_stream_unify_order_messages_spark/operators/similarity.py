@@ -1494,6 +1494,79 @@ def search_ivf_index(
     )
 
 
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    fetch_k: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): (query_id, neighbor_id, score, mmr_rank).
+    Greedily selects ``k`` of the ``fetch_k`` most relevant candidates,
+    each step taking the candidate maximizing
+    ``score - lam * max(sim to already-selected)`` — the standard
+    redundancy-suppressing re-rank for RAG context assembly and diverse
+    few-shot mining (near-duplicate passages stop crowding out the
+    second topic).
+
+    Scale shape: stage 1 is the candidate-bounded ``brute_force_topk``
+    (one corpus pass, queries broadcast-sized); stage 2 joins the
+    |Q|*fetch_k candidate ids back to the corpus for their vectors with
+    the CANDIDATE side broadcast (the corpus is never shuffled), then
+    the greedy loop runs per query over fetch_k rows in one
+    ``applyInPandas`` — per-group work is O(fetch_k^2 * k), independent
+    of corpus size. Scores and pairwise sims round to 6 decimals before
+    the objective on BOTH engines (oracle parity); ties break on the
+    smaller neighbor id.
+    """
+    cand = brute_force_topk(
+        queries, corpus, id_col, vec_col, k=fetch_k
+    ).select("query_id", "neighbor_id", "score")
+    with_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(cand), "neighbor_id")
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field.__class__("query_id", id_field.dataType, True),
+            id_field.__class__("neighbor_id", id_field.dataType, True),
+        ]
+    ).add("score", "double").add("mmr_rank", "integer")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        scores = pdf["score"].to_numpy(dtype=np.float64)  # round6 already
+        mat = _normalized_matrix(
+            np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        )
+        sims = np.round(mat @ mat.T, 6)
+        selected: list[int] = []
+        remaining = set(range(len(ids)))
+        for _ in range(min(k, len(ids))):
+            if selected:
+                maxsim = sims[:, selected].max(axis=1)
+                obj = scores - lam * maxsim
+            else:
+                obj = scores
+            best = min(remaining, key=lambda i: (-obj[i], ids[i]))
+            selected.append(best)
+            remaining.discard(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[selected],
+                "neighbor_id": ids[selected],
+                "score": scores[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return with_vec.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
 def standardize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -975,6 +975,90 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified top-k (Carbonell & Goldstein, SIGIR'98): greedy
+# redundancy-suppressing re-rank over the brute-force candidates — the
+# standard RAG-context / diverse-few-shot selection step. The oracle
+# unrolls the k greedy steps as CTEs (argmax of score - lam*max-sim-to-
+# selected per step, ties to the smaller id), value-checking the whole
+# selection order, not just the final set.
+# ---------------------------------------------------------------------------
+
+
+def _mmr_sql(k: int = 5, fetch_k: int = 10, lam: float = 0.5) -> str:
+    cos_cc = (
+        "round(list_dot_product(a.cemb::DOUBLE[], b.cemb::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.cemb::DOUBLE[], a.cemb::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.cemb::DOUBLE[], b.cemb::DOUBLE[]))), 6)"
+    )
+    parts = [
+        f"""
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cid, {_COS} AS score,
+           c.embedding AS cemb
+    FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+),
+cand AS MATERIALIZED (
+    SELECT query_id, cid, score, cemb FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, cid) AS rn
+        FROM scored
+    ) WHERE rn <= {fetch_k}
+),
+sims AS MATERIALIZED (
+    SELECT a.query_id, a.cid AS ca, b.cid AS cb, {cos_cc} AS sim
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.cid != b.cid
+),
+s1 AS MATERIALIZED (
+    SELECT query_id, cid, score, 1 AS mmr_rank FROM (
+        SELECT query_id, cid, score, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, cid) AS rn
+        FROM cand
+    ) WHERE rn = 1
+),
+sel1 AS MATERIALIZED (SELECT * FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""
+s{i} AS MATERIALIZED (
+    SELECT query_id, cid, score, {i} AS mmr_rank FROM (
+        SELECT c.query_id, c.cid, c.score, row_number() OVER (
+            PARTITION BY c.query_id
+            ORDER BY c.score - {lam} * p.maxsim DESC, c.cid) AS rn
+        FROM cand c
+        JOIN (
+            SELECT s.query_id, s.ca AS cid, max(s.sim) AS maxsim
+            FROM sims s JOIN sel{i - 1} t
+              ON s.query_id = t.query_id AND s.cb = t.cid
+            GROUP BY 1, 2
+        ) p ON p.query_id = c.query_id AND p.cid = c.cid
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sel{i - 1} t
+            WHERE t.query_id = c.query_id AND t.cid = c.cid
+        )
+    ) WHERE rn = 1
+),
+sel{i} AS MATERIALIZED (
+    SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i}
+)"""
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT query_id, cid AS neighbor_id, score, mmr_rank"
+        f" FROM sel{k}\n"
+    )
+
+
+@query("mmr_diversified_topk", _mmr_sql())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.mmr_topk(queries, emb, k=5, fetch_k=10, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search — hyperplane-LSH bucket assignment (the scale path)
 # ---------------------------------------------------------------------------
 
