@@ -1525,9 +1525,37 @@ def mmr_topk(
     cand = brute_force_topk(
         queries, corpus, id_col, vec_col, k=fetch_k
     ).select("query_id", "neighbor_id", "score")
+    return mmr_rerank(cand, corpus, id_col, vec_col, k=k, lam=lam)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lam: float = 0.5,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """The greedy MMR stage over an ALREADY-GENERATED candidate frame
+    (query_id, neighbor_id, score) — compose with any candidate
+    generator: ``brute_force_topk`` (serving batches — ``mmr_topk`` is
+    that composition), ``knn_join`` (fully distributed: neither side
+    collected, so MMR works when the "queries" are a data-sized table),
+    or a hybrid retriever's fused list.
+
+    ``broadcast_candidates`` pins the candidates-to-vectors join to a
+    broadcast (right for |Q|*fetch_k in the thousands); pass False for
+    data-sized candidate frames (knn_join output) — the join becomes a
+    narrow shuffle join on the id and AQE still broadcasts when the
+    candidate side turns out small.
+    """
+    cand = candidates.select("query_id", "neighbor_id", "score")
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     with_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-    ).join(F.broadcast(cand), "neighbor_id")
+    ).join(cand, "neighbor_id")
 
     id_field = corpus.schema[id_col]
     out_schema = StructType(

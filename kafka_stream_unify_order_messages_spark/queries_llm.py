@@ -984,14 +984,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _mmr_sql(k: int = 5, fetch_k: int = 10, lam: float = 0.5) -> str:
+def _mmr_sql(
+    k: int = 5,
+    fetch_k: int = 10,
+    lam: float = 0.5,
+    cand_ctes: str | None = None,
+) -> str:
+    """Unrolled greedy-MMR oracle over any candidate generator:
+    ``cand_ctes`` must define CTEs ending in
+    ``cand(query_id, cid, score, cemb)``; default is the brute-force
+    top-``fetch_k`` candidates (mmr_topk's stage 1)."""
     cos_cc = (
         "round(list_dot_product(a.cemb::DOUBLE[], b.cemb::DOUBLE[]) / "
         "(sqrt(list_dot_product(a.cemb::DOUBLE[], a.cemb::DOUBLE[])) * "
         "sqrt(list_dot_product(b.cemb::DOUBLE[], b.cemb::DOUBLE[]))), 6)"
     )
-    parts = [
-        f"""
+    if cand_ctes is None:
+        cand_ctes = f"""
 q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cid, {_COS} AS score,
@@ -1004,7 +1013,10 @@ cand AS MATERIALIZED (
             PARTITION BY query_id ORDER BY score DESC, cid) AS rn
         FROM scored
     ) WHERE rn <= {fetch_k}
-),
+)"""
+    parts = [
+        cand_ctes,
+        f"""
 sims AS MATERIALIZED (
     SELECT a.query_id, a.cid AS ca, b.cid AS cb, {cos_cc} AS sim
     FROM cand a JOIN cand b
@@ -1056,8 +1068,6 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.mmr_topk(queries, emb, k=5, fetch_k=10, lam=0.5)
-
-
 # ---------------------------------------------------------------------------
 # Similarity search — hyperplane-LSH bucket assignment (the scale path)
 # ---------------------------------------------------------------------------
@@ -1138,6 +1148,48 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.knn_join(queries, emb, k=5, n_planes=8, dim=64)
+
+
+# Fully-distributed MMR: candidates come from knn_join (LSH-bucketed,
+# NEITHER side collected — the corpus-vs-corpus form), then the same
+# greedy re-rank runs per query with the candidate join left to AQE
+# instead of a forced broadcast. Closes the "queries must be
+# driver-sized" caveat for MMR the way knn_join closed it for ANN;
+# the oracle swaps the candidate CTEs for the LSH-bucket logic and
+# keeps the same unrolled greedy chain.
+_MMR_LSH_CAND = f"""
+tagged AS (
+    SELECT vec_id, embedding, {_bucket_expr_sql('embeddings')} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, embedding, bucket
+    FROM tagged WHERE vec_id % 20 = 0
+), scored AS (
+    SELECT q.query_id, c.vec_id AS cid,
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                 6) AS score,
+           c.embedding AS cemb
+    FROM q JOIN tagged c ON q.bucket = c.bucket AND q.query_id != c.vec_id
+),
+cand AS MATERIALIZED (
+    SELECT query_id, cid, score, cemb FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, cid) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+)"""
+
+
+@query("mmr_knn_diversified_topk", _mmr_sql(cand_ctes=_MMR_LSH_CAND))
+def mmr_knn_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    cand = S.knn_join(queries, emb, k=10, n_planes=8, dim=64)
+    return S.mmr_rerank(
+        cand, emb, k=5, lam=0.5, broadcast_candidates=False
+    )
 
 
 @query("ann_ivf_topk")  # rows-only check: centroids are data-trained, so a

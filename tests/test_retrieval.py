@@ -203,3 +203,30 @@ def test_mmr_topk_matches_python_oracle_and_diversifies(spark):
         if {n for _, n, _ in sel_rows} != {n for _, n in plain[qid]}:
             deviations += 1
     assert deviations > 0
+
+
+def test_mmr_rerank_composes_with_knn_join(spark):
+    # the fully-distributed form: knn_join candidates (neither side
+    # collected) re-ranked by the same greedy stage without a forced
+    # candidate broadcast; per-query output is a prefix-consistent
+    # diversified selection drawn from the candidate set
+    from kafka_stream_unify_order_messages_spark.operators import similarity as S
+    from kafka_stream_unify_order_messages_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cand = S.knn_join(queries, emb, k=8, n_planes=4, dim=64)
+    cand_sets = {}
+    for r in cand.collect():
+        cand_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out = S.mmr_rerank(
+        cand, emb, k=3, lam=0.5, broadcast_candidates=False
+    ).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["mmr_rank"], r["neighbor_id"]))
+    for qid, rows in by_q.items():
+        ranks = sorted(rk for rk, _ in rows)
+        assert ranks == list(range(1, len(rows) + 1))  # contiguous ranks
+        assert {n for _, n in rows} <= cand_sets[qid]  # drawn from candidates
