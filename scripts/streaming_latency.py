@@ -216,6 +216,7 @@ def run_variant(rocksdb: bool) -> dict:
         return lats[min(len(lats) - 1, int(p * len(lats)))]
 
     return {
+        "_lats": lats,  # raw latencies, pooled by run_pooled
         "state_store": "rocksdb" if rocksdb else "hdfs",
         "n_orders": N_LIFECYCLES,
         "emitted": len(measured),
@@ -305,9 +306,51 @@ def floor_probe(seconds: float = 22.0) -> dict:
     }
 
 
+N_RUNS = 3  # percentile stability: pool orders across runs per provider
+
+
+def run_pooled(rocksdb: bool) -> dict:
+    """N_RUNS independent runs per provider, latencies POOLED before the
+    percentiles (1800 orders instead of 600): single-run p95 on this box
+    swings ~0.4 s run-to-run because one slow micro-batch drags a whole
+    20-order wave into the tail; pooling reports the distribution, and
+    per-run p95s are kept alongside so the spread stays visible."""
+    runs = [run_variant(rocksdb=rocksdb) for _ in range(N_RUNS)]
+    lats: list[float] = []
+    for r in runs:
+        lats.extend(r.pop("_lats"))
+    lats.sort()
+
+    def pct(p: float) -> float:
+        return lats[min(len(lats) - 1, int(p * len(lats)))]
+
+    out = dict(runs[0])
+    out.update(
+        {
+            "n_runs": N_RUNS,
+            "n_orders": N_RUNS * N_LIFECYCLES,
+            "emitted": sum(r["emitted"] for r in runs),
+            "missing": sum(r["missing"] for r in runs),
+            "p50_sec": round(pct(0.50), 2),
+            "p95_sec": round(pct(0.95), 2),
+            "p99_sec": round(pct(0.99), 2),
+            "max_sec": round(lats[-1], 2),
+            "min_sec": round(lats[0], 2),
+            "per_run_p95": [r["p95_sec"] for r in runs],
+            "within_envelope_pct": round(
+                100.0 * sum(1 for v in lats if v <= 6.0) / len(lats), 1
+            ),
+            "within_envelope_plus_tick_pct": round(
+                100.0 * sum(1 for v in lats if v <= 7.0) / len(lats), 1
+            ),
+        }
+    )
+    return out
+
+
 def main() -> None:
-    hdfs = run_variant(rocksdb=False)
-    rocks = run_variant(rocksdb=True)
+    hdfs = run_pooled(rocksdb=False)
+    rocks = run_pooled(rocksdb=True)
     floor = floor_probe()
     out = {"hdfs": hdfs, "rocksdb": rocks, "noop_floor": floor}
     (_ROOT / "LATENCY.json").write_text(json.dumps(out, indent=1) + "\n")
@@ -344,6 +387,12 @@ compaction deferred out of the measurement window and state-store
 maintenance off it. The compaction stall (~+0.5 s on every 10th
 batch, synchronous on the trigger path) was the single largest p95
 contributor before this tuning (round-5 p95: 7.28 s).
+
+Percentiles are POOLED over {hdfs['n_runs']} independent runs per
+provider ({hdfs['n_orders']} orders each row): single-run p95 swings
+~0.4 s on this box because one slow micro-batch drags a whole
+20-order wave into the tail. Per-run p95 spread: hdfs
+{hdfs['per_run_p95']}, rocksdb {rocks['per_run_p95']}.
 
 | state store | emitted | p50 | p95 | p99 | max | min | <=6 s | <=7 s |
 |---|---|---|---|---|---|---|---|---|
