@@ -281,3 +281,23 @@ def test_apply_compaction_rewrites_small_files(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         apply_compaction(spark, part, str(tmp_path / "x"))
+
+
+def test_profile_table_exact_nested_timestamp_micros(spark):
+    # the timestampFormat fix must reach NESTED timestamps too: a struct
+    # field differing only in microseconds collapses under the default
+    # millis JSON rendering
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ((ts.replace(microsecond=1000), 1),),
+            ((ts.replace(microsecond=1001), 1),),
+        ],
+        "s struct<t timestamp, x int>",
+    )
+    out = {
+        r["column_name"]: r for r in Q.profile_table(df, ["s"]).collect()
+    }
+    assert out["s"]["n_distinct"] == 2
