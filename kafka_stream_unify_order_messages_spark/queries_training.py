@@ -402,6 +402,65 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Arrival-ordered first-wins near-dup verdicts: the BATCH TWIN of the
+# streaming operator streaming/dedup_stream.py — per document, is it a
+# near-dup of any EARLIER document (doc_id as the arrival sequence), and
+# of whom. "Earlier" is resolved per LSH bucket by the bucket's first
+# claimant (min doc_id), exactly the exemplar the streaming state keeps;
+# tests/test_dedup_stream.py proves the stream emits bit-equal verdicts
+# through a real file-source stream. Scale shape: band rows -> one
+# groupBy for bucket firsts (AQE-broadcastable: bounded by bucket count)
+# -> one join back -> per-doc min. Never pairs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "near_dup_first_wins",
+    f"""
+WITH sig AS ({_SIGNATURE_SQL}),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
+    FROM sig GROUP BY doc_id, seed // 4
+),
+firsts AS (
+    SELECT band, band_key, min(doc_id) AS first_id
+    FROM bands GROUP BY band, band_key
+),
+j AS (
+    SELECT b.doc_id, f.first_id
+    FROM bands b JOIN firsts f USING (band, band_key)
+)
+SELECT doc_id,
+       min(first_id) < doc_id AS is_dup,
+       CASE WHEN min(first_id) < doc_id THEN min(first_id) END AS dup_of
+FROM j GROUP BY doc_id
+""",
+)
+def near_dup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-wins near-dup verdict under arrival order
+    (doc_id as seq): is_dup iff some LSH bucket of the document was
+    first claimed by an earlier document; dup_of = the smallest such
+    exemplar. Semantics-pinning oracle for the streaming dedup operator
+    (streaming/dedup_stream.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    bands = D.minhash_band_keys(
+        D.minhash_signatures_wide(docs, "doc_id", "text", 16, 3),
+        "doc_id", 4, 16,
+    )
+    firsts = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    j = bands.join(firsts, ["band", "band_key"])
+    mf = F.min("first_id")
+    return j.groupBy("doc_id").agg(
+        (mf < F.col("doc_id")).alias("is_dup"),
+        F.when(mf < F.col("doc_id"), mf).alias("dup_of"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe train/eval split: reproducible hash split, then QUARANTINE
 # every test doc whose LSH band collides with any train doc — the
 # "no near-dups across the split boundary" guard an honest eval needs

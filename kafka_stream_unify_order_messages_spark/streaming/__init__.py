@@ -17,6 +17,10 @@ from kafka_stream_unify_order_messages_spark.streaming.ingest import (
     clean_corpus_stream,
     screen_stream_near_dups,
 )
+from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+    band_decisions_stream,
+    near_dup_verdicts,
+)
 from kafka_stream_unify_order_messages_spark.streaming.windowed import (
     session_windows,
     tumbling_counts,
@@ -36,4 +40,6 @@ __all__ = [
     "dedup_within_watermark",
     "clean_corpus_stream",
     "screen_stream_near_dups",
+    "band_decisions_stream",
+    "near_dup_verdicts",
 ]

@@ -1,0 +1,167 @@
+"""Stateful streaming near-duplicate detection: first-wins MinHash-LSH
+dedup OVER THE STREAM ITSELF.
+
+`streaming/ingest.py` already covers the two bounded-state forms —
+watermarked exact dedup (`clean_corpus_stream`) and screening arrivals
+against a STATIC history snapshot (`screen_stream_near_dups`). What
+neither can answer is "is this document a near-duplicate of anything
+that has arrived earlier IN THIS STREAM?" — the question a continuous
+crawl-ingest pipeline asks of every page. The corpus-wide band JOIN is
+not stream-expressible, but the corpus-wide band STATE is: keep, per
+LSH bucket, only the FIRST document that ever claimed it. A new arrival
+is a near-duplicate iff any of its band buckets is already claimed by an
+earlier document — exactly the reference's KV-store shape
+(OrderProjectionTopology.java:48-52 holds per-key state in RocksDB; here
+the key is the LSH bucket instead of the order id).
+
+State is bounded by the number of DISTINCT band buckets, not documents
+and never pairs: duplicates add no state (their buckets are already
+claimed), so state grows with the corpus's novelty rate. At 100 TB the
+bucket keyspace shards across the stateful shuffle like any keyed state,
+and the RocksDB provider (app.py:apply_state_store_config) keeps it
+off-heap. No timeout is registered — dedup history must not expire; a
+deployment that wants sliding-window semantics composes
+`dedup_within_watermark` upstream instead.
+
+Semantics are PINNED to the batch registry query
+`near_dup_first_wins` (queries_training.py): with arrival order == seq
+order, the stream's verdicts are bit-equal to the batch query's output
+(tests/test_dedup_stream.py proves it file-by-file through a real
+file-source stream). The batch query is strict-oracled against DuckDB,
+so the streaming operator inherits a value-checked oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# per-(band, band_key) rows emitted by the stateful op; the per-document
+# verdict is the OR across a document's bands (near_dup_verdicts)
+BAND_DECISION_SCHEMA = (
+    "doc_id long, seq long, band long, is_dup boolean, dup_of long"
+)
+# the claimed-bucket exemplar: first arrival's (seq, id)
+BUCKET_STATE_SCHEMA = "first_seq long, first_id long"
+
+
+def make_bucket_first_wins_fn():
+    """Stateful kernel: per (band, band_key) group, the first-arriving
+    document claims the bucket; every later arrival is flagged against
+    the exemplar. Rows within a micro-batch are processed in (seq,
+    doc_id) order so intra-batch arrivals resolve exactly like
+    cross-batch ones.
+    """
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band = int(key[0])  # key order is (band, band_key)
+        rows = pd.concat(
+            [p[["doc_id", "seq"]] for p in pdfs], ignore_index=True
+        ).sort_values(["seq", "doc_id"])
+        if state.exists:
+            first_seq, first_id = state.get
+        else:
+            first_seq, first_id = None, None
+        out = {"doc_id": [], "seq": [], "band": [], "is_dup": [], "dup_of": []}
+        for doc_id, seq in rows.itertuples(index=False):
+            doc_id, seq = int(doc_id), int(seq)
+            if first_seq is None:
+                first_seq, first_id = seq, doc_id
+                dup, of = False, None
+            else:
+                dup, of = True, first_id
+            out["doc_id"].append(doc_id)
+            out["seq"].append(seq)
+            out["band"].append(band)
+            out["is_dup"].append(dup)
+            out["dup_of"].append(of)
+        state.update((first_seq, first_id))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def band_decisions_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-band first-wins decisions for a STREAM of (id, seq, text).
+
+    Band keys are pure scan-local expressions (minhash_band_cols_local —
+    no pre-state aggregation, so the plan stays legal in append mode);
+    the only shuffle is the stateful groupBy on (band, band_key). `seq`
+    is the arrival order (any unique monotone long — an offset, a file
+    sequence number, or the id itself when ids are assigned on arrival).
+
+    Returns an append-mode stream with BAND_DECISION_SCHEMA; reduce to
+    per-document verdicts with `near_dup_verdicts` (all of a document's
+    band rows surface in the same micro-batch, so a foreachBatch
+    aggregation is exact).
+    """
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        minhash_band_cols_local,
+    )
+
+    keyed = minhash_band_cols_local(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(seq_col).cast("long").alias("seq"),
+            F.col(text_col).alias("text"),
+        ),
+        text_col="text",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    long_rows = keyed.select(
+        "doc_id",
+        "seq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.col(f"_bk{b}").alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("doc_id", "seq", F.col("_bk.band").alias("band"),
+             F.col("_bk.band_key").alias("band_key"))
+    return long_rows.groupBy("band", "band_key").applyInPandasWithState(
+        make_bucket_first_wins_fn(),
+        outputStructType=BAND_DECISION_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_verdicts(band_decisions: DataFrame) -> DataFrame:
+    """Collapse per-band decisions to per-document verdicts: a document
+    is a near-duplicate iff ANY band bucket was already claimed;
+    `dup_of` is the smallest exemplar id among its claimed buckets
+    (deterministic, and equal to the batch query's min-over-firsts).
+
+    Stateless per document — apply inside foreachBatch (every band row
+    of a document lands in the same micro-batch) or over any union of
+    emitted batches.
+    """
+    return band_decisions.groupBy("doc_id", "seq").agg(
+        F.max("is_dup").alias("is_dup"),
+        F.min(F.when(F.col("is_dup"), F.col("dup_of"))).alias("dup_of"),
+    )

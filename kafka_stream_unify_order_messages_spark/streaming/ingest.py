@@ -8,12 +8,14 @@ exact dedup on the normalized-content md5 within a watermark window ->
 per-doc stats projection. All state is bounded: dedup state for a hash is
 freed once the watermark passes (dropDuplicatesWithinWatermark), which is
 the property that keeps a 100 TB/day ingest from accumulating unbounded
-state. FULL near-dup (minhash-LSH) removal deliberately stays a *batch
-compaction* step over the landed corpus (operators/pipeline.clean_corpus):
-the corpus-wide band join needs visibility a stream cannot give without
-unbounded state. The INCREMENTAL half — screening arrivals against a
-static snapshot of history's band keys — is stream-expressible and lives
-here (screen_stream_near_dups).
+state. FULL near-dup (minhash-LSH) removal has two stream-expressible forms:
+screening arrivals against a static snapshot of history's band keys
+(screen_stream_near_dups, here — state-free) and first-wins dedup over
+the stream itself (streaming/dedup_stream.py — per-bucket exemplar
+state, bounded by the corpus's DISTINCT bucket count). The corpus-wide
+retroactive variant (re-deciding which copy to keep after all copies
+are seen) stays a batch compaction step over the landed corpus
+(operators/pipeline.clean_corpus).
 """
 
 from __future__ import annotations

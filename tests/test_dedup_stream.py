@@ -1,0 +1,138 @@
+"""Stateful streaming near-dup dedup (streaming/dedup_stream.py):
+stream verdicts must be bit-equal to the batch `near_dup_first_wins`
+semantics on the same arrival order, including duplicates that span
+micro-batch boundaries (the part that exercises persisted bucket state).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark.operators import dedup as D
+from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+    band_decisions_stream,
+    near_dup_verdicts,
+)
+
+from conftest import SF_DIR
+
+SCHEMA = "doc_id long, seq long, text string"
+
+
+def _expected_verdicts(spark, fed_rows):
+    """Batch re-derivation of the stream's contract: per document,
+    is_dup iff some LSH bucket's first claimant (min seq) is earlier,
+    dup_of = the smallest such exemplar id."""
+    df = spark.createDataFrame(fed_rows, SCHEMA)
+    bands = D.minhash_band_keys(
+        D.minhash_signatures_wide(df, "doc_id", "text", 16, 3),
+        "doc_id", 4, 16,
+    ).join(df.select("doc_id", "seq"), "doc_id")
+    firsts = bands.groupBy("band", "band_key").agg(
+        F.min(F.struct("seq", "doc_id")).alias("first")
+    )
+    j = bands.join(firsts, ["band", "band_key"]).select(
+        "doc_id", "seq",
+        F.col("first.seq").alias("first_seq"),
+        F.col("first.doc_id").alias("first_id"),
+    )
+    earlier = F.min(F.when(F.col("first_seq") < F.col("seq"), F.col("first_id")))
+    return j.groupBy("doc_id", "seq").agg(
+        earlier.isNotNull().alias("is_dup"), earlier.alias("dup_of")
+    )
+
+
+def _write_chunk(src_dir, rows, n):
+    table = pa.table({
+        "doc_id": [r[0] for r in rows],
+        "seq": [r[1] for r in rows],
+        "text": [r[2] for r in rows],
+    })
+    pq.write_table(table, f"{src_dir}/chunk-{n:04d}.parquet")
+
+
+def test_stream_matches_batch_first_wins(spark, tmp_path):
+    base = [
+        (int(r["doc_id"]), str(r["text"]))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(90).collect()
+    ]
+    # arrival order = seq; chunks of 30; inject cross-chunk near-dups:
+    # chunk 2 re-sends chunk 0 texts under fresh ids (state must remember)
+    fed = []
+    for i, (doc_id, text) in enumerate(base):
+        fed.append((doc_id, i, text))
+    resend = [(9000 + k, 90 + k, base[k][1]) for k in range(5)]
+    chunks = [fed[0:30], fed[30:60], fed[60:90] + resend]
+    all_rows = [r for c in chunks for r in c]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"neardup_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        band_decisions_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for n, chunk in enumerate(chunks):
+            _write_chunk(src, chunk, n)
+            query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in near_dup_verdicts(spark.table(name)).collect()
+    }
+    want = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in _expected_verdicts(spark, all_rows).collect()
+    }
+    assert got == want
+    # the injected re-sends arrived two micro-batches after their
+    # exemplars: flagging them proves bucket state survived the batches
+    for k in range(5):
+        is_dup, dup_of = got[9000 + k]
+        assert is_dup and dup_of == base[k][0]
+    # the first arrival can collide with nothing earlier
+    assert got[base[0][0]] == (False, None)
+
+
+def test_intra_batch_order_resolves_by_seq(spark, tmp_path):
+    """Two copies of one text in the SAME micro-batch: the lower seq
+    wins the bucket, the higher seq is flagged against it."""
+    text = (
+        "the quick brown fox jumps over the lazy dog while the morning "
+        "light slowly fills the open sky with warm color and shape"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"neardup_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        band_decisions_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _write_chunk(src, [(7, 1, text), (3, 0, text)], 0)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in near_dup_verdicts(spark.table(name)).collect()
+    }
+    assert got == {3: (False, None), 7: (True, 3)}
