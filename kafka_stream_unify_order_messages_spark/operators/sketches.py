@@ -484,3 +484,93 @@ def kmv_pair_overlap(
             F.col("exact_inter").cast("long").alias("exact_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch: the mergeable quantile companion
+# to the HLL/KMV/CMS family above. Per shard/group, values reduce to
+# (bin, count) over a SHARED fixed [lo, hi] range — additive under merge
+# exactly like HLL registers under max — and any quantile is answered by
+# linear interpolation inside the bin containing the target rank, with
+# error bounded by one bin width. Deterministic end-to-end (no sampling),
+# so the estimate — not just its error bound — is value-checkable against
+# DuckDB. At 100 TB the sketch is one narrow map-side-combined shuffle of
+# at most n_bins rows per group; the merge and the quantile read touch
+# only bin rows, never data.
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 64,
+) -> DataFrame:
+    """(group, lo, hi, bin, cnt): per-group equi-width histogram over the
+    GLOBAL [min, max] of ``value_col`` (shared bounds are what make the
+    per-group sketches mergeable). The bounds pass is a 1-row aggregate
+    broadcast back onto the scan; the sketch itself is one groupBy with
+    map-side partial aggregation.
+    """
+    bounds = df.agg(
+        F.min(value_col).cast("double").alias("lo"),
+        F.max(value_col).cast("double").alias("hi"),
+    )
+    v = F.col(value_col).cast("double")
+    bin_ = F.when(  # constant column: everything lands in bin 0
+        F.col("hi") == F.col("lo"), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_bins)
+            .cast("long"),
+            F.lit(n_bins - 1).cast("long"),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(F.col(group_col), F.col("lo"), F.col("hi"),
+                 bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
+    """(lo, hi, bin, cnt): the MERGE — per-group sketches combine by
+    summing counts per bin (shared bounds make this exact: the merged
+    sketch is identical to a direct single-pass histogram)."""
+    return sketches.groupBy("lo", "hi", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    merged: DataFrame, quantiles: list[float], n_bins: int = 64
+) -> DataFrame:
+    """(q, estimate): linear-interpolated quantiles from a merged
+    histogram sketch. The cumulative pass runs over at most n_bins rows
+    (a bounded frame — the single-partition window is over bins, never
+    data); absent (empty) bins cannot contain a target rank, so the
+    cumsum over present bins is exact.
+    """
+    from pyspark.sql import Window
+
+    spark = merged.sparkSession
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).crossJoin(
+        F.broadcast(merged.agg(F.sum("cnt").cast("double").alias("n")))
+    )
+    qs = spark.createDataFrame([(q,) for q in quantiles], "q double")
+    target = F.col("q") * F.col("n")
+    hit = cum.crossJoin(F.broadcast(qs)).filter(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+    )
+    frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    return hit.select(
+        "q",
+        (F.col("lo") + (F.col("bin") + frac) * width).alias("estimate"),
+    )

@@ -1663,3 +1663,97 @@ def forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch MERGE: per-event-type equi-width sketches over
+# a shared global [min, max] combine by summing bin counts (the sketch's
+# mergeability identity — same rows as a direct one-pass histogram), then
+# answer p50/p90/p99 by in-bin interpolation. Deterministic, so the
+# ESTIMATES are strict-oracled, and the one-bin-width error bound is
+# value-checked against the engines' exact quantiles in the same row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_sketch_merged",
+    """
+WITH bounds AS (
+    SELECT CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events
+),
+sk AS (
+    SELECT event_type, lo, hi,
+           least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 64)
+                      AS BIGINT), 63) AS bin,
+           count(*) AS cnt
+    FROM events CROSS JOIN bounds
+    GROUP BY event_type, lo, hi, bin
+),
+merged AS (
+    SELECT lo, hi, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM sk GROUP BY lo, hi, bin
+),
+cum AS (
+    SELECT lo, hi, bin, cnt,
+           CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+           CAST((SELECT sum(cnt) FROM merged) AS DOUBLE) AS n
+    FROM merged
+),
+qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+est AS (
+    SELECT q,
+           lo + (bin + (q * n - (cum - cnt)) / cnt) * ((hi - lo) / 64)
+               AS estimate
+    FROM qs CROSS JOIN cum
+    WHERE cum >= q * n AND (cum - cnt) < q * n
+),
+ex AS (
+    SELECT * FROM (VALUES
+        (0.5, (SELECT quantile_cont(value, 0.5) FROM events)),
+        (0.9, (SELECT quantile_cont(value, 0.9) FROM events)),
+        (0.99, (SELECT quantile_cont(value, 0.99) FROM events))
+    ) t(q, exact_value)
+),
+bw AS (SELECT (hi - lo) / 64 AS err_bound FROM bounds)
+SELECT est.q,
+       round(estimate, 6) AS estimate,
+       round(exact_value, 6) AS exact_value,
+       round(abs(estimate - exact_value), 6) AS abs_err,
+       round(err_bound, 6) AS err_bound,
+       abs(estimate - exact_value) <= err_bound AS within_bound
+FROM est JOIN ex ON est.q = ex.q CROSS JOIN bw
+""",
+)
+def quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    sk = SK.histogram_sketch(events, "event_type", "value", 64)
+    merged = SK.merge_histogram_sketches(sk)
+    est = SK.histogram_quantiles(merged, [0.5, 0.9, 0.99], 64)
+    exact = _load(spark, sf_dir, "events").agg(
+        F.expr("percentile(value, 0.5D)").alias("e50"),
+        F.expr("percentile(value, 0.9D)").alias("e90"),
+        F.expr("percentile(value, 0.99D)").alias("e99"),
+    ).selectExpr(
+        "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (q, exact_value)"
+    )
+    bound = _load(spark, sf_dir, "events").agg(
+        (
+            (F.max("value").cast("double") - F.min("value").cast("double"))
+            / 64
+        ).alias("err_bound")
+    )
+    err = F.abs(F.col("estimate") - F.col("exact_value"))
+    return (
+        est.join(exact, "q")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "q",
+            F.round("estimate", 6).alias("estimate"),
+            F.round("exact_value", 6).alias("exact_value"),
+            F.round(err, 6).alias("abs_err"),
+            F.round("err_bound", 6).alias("err_bound"),
+            (err <= F.col("err_bound")).alias("within_bound"),
+        )
+    )

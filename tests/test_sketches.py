@@ -138,3 +138,47 @@ def test_kmv_jaccard_error_within_bound(spark):
     assert abs(r.exact_jaccard - round(1000 / 3000, 6)) < 1e-9
     assert abs(r.kmv_jaccard - r.exact_jaccard) < 3 / 16
     assert abs(r.kmv_union_est - 3000) / 3000 < 0.25
+
+
+def test_histogram_sketch_merge_is_identity_and_bound_holds(spark):
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    # deterministic skewed values across 3 "shards"
+    rows = [(f"s{i % 3}", float((i * i) % 997)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    merged = SK.merge_histogram_sketches(
+        SK.histogram_sketch(df, "g", "v", n_bins=32)
+    )
+    direct = SK.merge_histogram_sketches(
+        SK.histogram_sketch(df.withColumn("g", df.g.substr(0, 0)), "g", "v",
+                            n_bins=32)
+    )
+    # mergeability identity: per-shard sketches merged == one-pass histogram
+    assert sorted(map(tuple, merged.select("bin", "cnt").collect())) == \
+        sorted(map(tuple, direct.select("bin", "cnt").collect()))
+    assert merged.agg({"cnt": "sum"}).collect()[0][0] == 3000
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {
+        r["q"]: r["estimate"]
+        for r in SK.histogram_quantiles(merged, qs, n_bins=32).collect()
+    }
+    import numpy as np
+
+    vals = np.array([v for _, v in rows])
+    lo, hi = vals.min(), vals.max()
+    bound = (hi - lo) / 32
+    for q in qs:
+        assert abs(est[q] - np.quantile(vals, q)) <= bound + 1e-9
+
+
+def test_histogram_sketch_constant_column(spark):
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([("a", 7.0)] * 10 + [("b", 7.0)] * 5, ["g", "v"])
+    merged = SK.merge_histogram_sketches(SK.histogram_sketch(df, "g", "v", 16))
+    rows = merged.collect()
+    assert [(r["bin"], r["cnt"]) for r in rows] == [(0, 15)]
+    est = SK.histogram_quantiles(merged, [0.5], 16).collect()[0]
+    assert est["estimate"] == 7.0  # width is 0, every interpolation is lo
