@@ -555,13 +555,22 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     spark = merged.sparkSession
+    # cum AND the grand total come from windows over the same bounded
+    # frame — ONE pass over the sketch, no second aggregation of it
     cum = merged.withColumn(
         "cum",
         F.sum("cnt").over(
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ),
-    ).crossJoin(
-        F.broadcast(merged.agg(F.sum("cnt").cast("double").alias("n")))
+    ).withColumn(
+        "n",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("double"),
     )
     qs = spark.createDataFrame([(q,) for q in quantiles], "q double")
     target = F.col("q") * F.col("n")

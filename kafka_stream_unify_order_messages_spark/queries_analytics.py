@@ -1727,9 +1727,16 @@ FROM est JOIN ex ON est.q = ex.q CROSS JOIN bw
 """,
 )
 def quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     events = _load(spark, sf_dir, "events")
     sk = SK.histogram_sketch(events, "event_type", "value", 64)
-    merged = SK.merge_histogram_sketches(sk)
+    # the merged sketch (<= 64 rows) feeds the quantile read AND the
+    # error bound: persist it so the two scan passes behind it (bounds +
+    # binning) run exactly once
+    merged = SK.merge_histogram_sketches(sk).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     est = SK.histogram_quantiles(merged, [0.5, 0.9, 0.99], 64)
     exact = _load(spark, sf_dir, "events").agg(
         F.expr("percentile(value, 0.5D)").alias("e50"),
@@ -1738,11 +1745,9 @@ def quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (q, exact_value)"
     )
-    bound = _load(spark, sf_dir, "events").agg(
-        (
-            (F.max("value").cast("double") - F.min("value").cast("double"))
-            / 64
-        ).alias("err_bound")
+    # bounds ride in the sketch rows — no third scan of events
+    bound = merged.agg(
+        ((F.max("hi") - F.max("lo")) / 64).alias("err_bound")
     )
     err = F.abs(F.col("estimate") - F.col("exact_value"))
     return (

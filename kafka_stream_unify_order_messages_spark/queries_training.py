@@ -444,11 +444,16 @@ def near_dup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     first claimed by an earlier document; dup_of = the smallest such
     exemplar. Semantics-pinning oracle for the streaming dedup operator
     (streaming/dedup_stream.py)."""
+    from pyspark import StorageLevel
+
     docs = _load(spark, sf_dir, "documents")
+    # persist the band rows: shingling + 16 minhash mins is the
+    # expensive half, and both the bucket-firsts agg and the probe join
+    # read it (without the persist the plan runs the scan twice)
     bands = D.minhash_band_keys(
         D.minhash_signatures_wide(docs, "doc_id", "text", 16, 3),
         "doc_id", 4, 16,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     firsts = bands.groupBy("band", "band_key").agg(
         F.min("doc_id").alias("first_id")
     )

@@ -1,0 +1,196 @@
+"""Streaming near-dup dedup throughput (streaming/dedup_stream.py):
+docs/s through the stateful first-wins MinHash-LSH path, measured
+end-to-end (file source -> scan-local band keys -> stateful shuffle ->
+applyInPandasWithState -> memory sink) at 10k / 100k documents.
+
+Corpus: deterministic synthetic documents (60 words from a 100-word
+vocabulary, word choice = md5(doc_id:pos) — the same determinism
+discipline as the oracle queries), with every 10th document re-sending
+an earlier document's text verbatim, so the designed near-dup rate is
+10% and exactly one side of each pair must be flagged regardless of
+arrival order within a micro-batch.
+
+Profiles mirror scripts/streaming_throughput.py: **bulk** = whole corpus
+in one micro-batch (backfill/replay: one state commit over all buckets);
+**sustained** = ~10 micro-batches via maxFilesPerTrigger (continuous
+ingest: per-batch state commits against ever-growing bucket state — the
+profile where the state-store provider matters). Both state-store
+providers per cell. State after a tier: 4 band buckets per UNIQUE
+document (duplicates add none), so the 100k tier commits ~360k bucket
+entries.
+
+Usage:
+    python scripts/streaming_dedup_throughput.py   # writes STREAMING_DEDUP.md/json
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F
+
+from kafka_stream_unify_order_messages_spark import get_spark
+from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+    band_decisions_stream,
+    near_dup_verdicts,
+)
+
+_ROOT = Path(__file__).resolve().parent.parent
+TIERS = [10_000, 100_000]
+N_FILES = 20
+VOCAB = 100
+WORDS_PER_DOC = 60
+SCHEMA = "doc_id long, seq long, text string"
+
+
+def synth_docs(spark, n: int):
+    """(doc_id, seq, text): deterministic corpus; doc i with i % 10 == 9
+    re-sends doc (i - 9)'s text under its own id."""
+    base = F.when(
+        (F.col("id") % 10 == 9) & (F.col("id") >= 9),
+        F.col("id") - 9,
+    ).otherwise(F.col("id"))
+    word = lambda pos: F.concat(  # noqa: E731
+        F.lit("w"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", base.cast("string"), pos)), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % VOCAB
+        ).cast("string"),
+    )
+    text = F.concat_ws(
+        " ", *[word(F.lit(str(p))) for p in range(WORDS_PER_DOC)]
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("seq"),
+        text.alias("text"),
+    )
+
+
+def run_tier(spark, n_docs: int, src: str, mode: str, store: str) -> dict:
+    name = f"dtp_{mode}_{store}_{n_docs}"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+        if store == "rocksdb"
+        else "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    reader = spark.readStream.schema(SCHEMA)
+    if mode == "sustained":
+        reader = reader.option("maxFilesPerTrigger", N_FILES // 10)
+    stream = reader.parquet(src)
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        band_decisions_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.time()
+    try:
+        q.processAllAvailable()  # NoTimeout state: drains and settles
+        elapsed = time.time() - t0
+        decisions = spark.table(name)
+        n_rows = decisions.count()
+        assert n_rows == 4 * n_docs, (n_rows, 4 * n_docs)
+        verdicts = near_dup_verdicts(decisions)
+        n_dup = verdicts.filter("is_dup").count()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return {
+        "docs_in": n_docs,
+        "mode": mode,
+        "store": store,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed),
+        "dup_rate": round(n_dup / n_docs, 4),
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        "streaming-dedup-throughput",
+        master="local[32]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    records = []
+    for n in TIERS:
+        src = tempfile.mkdtemp(prefix=f"dtp_src_{n}_")
+        synth_docs(spark, n).repartition(N_FILES).write.mode(
+            "overwrite"
+        ).parquet(src)
+        try:
+            for mode in ("bulk", "sustained"):
+                for store in ("hdfs", "rocksdb"):
+                    rec = run_tier(spark, n, src, mode, store)
+                    records.append(rec)
+                    print(json.dumps(rec), flush=True)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    (_ROOT / "STREAMING_DEDUP.json").write_text(
+        json.dumps(records, indent=1) + "\n"
+    )
+    lines = [
+        "# STREAMING_DEDUP — measured streaming near-dup dedup throughput",
+        "",
+        "End-to-end through the real streaming path (file source ->",
+        "scan-local MinHash band keys -> stateful shuffle ->",
+        "`applyInPandasWithState` first-wins bucket state -> memory sink),",
+        "local[32], 16 hashes x 4 bands, 60-word synthetic documents with a",
+        "designed 10% duplicate rate (streaming/dedup_stream.py; semantics",
+        "strict-oracled via the batch twin `near_dup_first_wins`).",
+        "**bulk** = one micro-batch (backfill profile); **sustained** =",
+        "~10 micro-batches (continuous-ingest profile, per-batch commits",
+        "of the growing bucket state). State = 4 buckets per UNIQUE doc —",
+        "duplicates add no state, so state grows with the novelty rate.",
+        "",
+        "| docs | mode | state store | elapsed | docs/s | dup rate found |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in records:
+        lines.append(
+            f"| {r['docs_in']:,} | {r['mode']} | {r['store']} "
+            f"| {r['elapsed_sec']} s | {r['docs_per_sec']:,} "
+            f"| {r['dup_rate']:.1%} |"
+        )
+    bulk = {
+        (r["docs_in"], r["store"]): r["docs_per_sec"]
+        for r in records
+        if r["mode"] == "bulk"
+    }
+    lo, hi = TIERS[0], TIERS[-1]
+    if (lo, "hdfs") in bulk and (hi, "hdfs") in bulk:
+        lines += [
+            "",
+            f"Bulk per-doc cost scales {bulk[(hi, 'hdfs')] / bulk[(lo, 'hdfs')]:.1f}x "
+            f"in throughput across a {hi // lo}x input ramp (hdfs) — fixed "
+            "micro-batch overhead amortizes and no super-linear state term "
+            "appears (bucket lookups are point reads).",
+        ]
+    (_ROOT / "STREAMING_DEDUP.md").write_text("\n".join(lines) + "\n")
+    print(f"wrote STREAMING_DEDUP.md with {len(records)} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

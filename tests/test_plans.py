@@ -446,3 +446,26 @@ def test_ann_ivf_served_partition_prunes_persisted_index(spark):
     assert m, plan
     probed = [int(x) for x in m.group(1).split(",")]
     assert 0 < len(probed) < 16  # pruned: a strict subset of the 16 cells
+
+
+def test_near_dup_first_wins_single_signature_pass(spark):
+    # band rows persist before the bucket-firsts agg and probe join:
+    # exactly ONE shingle+minhash pipeline in the plan (a second
+    # Generate-over-parquet leg means the persist regressed), and the
+    # bucket-firsts side broadcasts (bounded by bucket count)
+    plan = plan_of(spark, "near_dup_first_wins")
+    assert plan.count("InMemoryTableScan") >= 2  # both legs read the cache
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_sketch_no_data_sized_shuffle_after_sketch(spark):
+    # the sketch groupBy has map-side partial aggregation; every join
+    # after reduction is a broadcast (bin rows + 1-row aggregates), and
+    # the cumulative window sorts bins, never data
+    plan = plan_of(spark, "quantile_sketch_merged")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+    # merged sketch persisted: quantile + bound legs read the cache, so
+    # the only parquet pipelines are sketch(bounds+binning) and exact
+    assert plan.count("InMemoryTableScan") >= 2
