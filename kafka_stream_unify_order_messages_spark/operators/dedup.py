@@ -1145,6 +1145,55 @@ def minhash_band_cols_local(
     )
 
 
+def minhash_sig_band_cols_local(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All input columns plus the FULL signature array ``_sig``
+    (array<long>, seed order — same values as minhash_signatures_wide's
+    mh_0..mh_{n-1}) and wide band keys ``_bk0.._bk{bands-1}`` derived
+    from it. Scan-local like minhash_band_cols_local; the signature is
+    bound through a one-element explode so the per-seed mins evaluate
+    once and the band keys read the bound array. For pipelines that need
+    the signature to ride along with the keys — e.g. streaming dedup
+    with in-state signature verification (streaming/dedup_stream.py).
+    """
+    coeffs = minhash_coefficients(num_hashes)
+
+    # pyspark introspects lambda arity: build each seed's min through a
+    # closure factory exactly like _band_structs_from_hashes.seed_min
+    def seed_min(hs: Column, a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME)
+        )
+
+    sig_arr = F.element_at(
+        F.transform(
+            F.array(_local_hashed_shingles(text_col, shingle_n)),
+            lambda hs: F.array(*[seed_min(hs, a, b) for a, b in coeffs]),
+        ),
+        1,
+    )
+    exploded = df.select("*", F.explode(F.array(sig_arr)).alias("_sig"))
+    rpb = num_hashes // bands
+    bks = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(F.col("_sig"), j + 1).cast("string")
+                    for j in range(b * rpb, (b + 1) * rpb)
+                ],
+            )
+        ).alias(f"_bk{b}")
+        for b in range(bands)
+    ]
+    return exploded.select(*df.columns, "_sig", *bks)
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -466,6 +466,110 @@ def near_dup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Signature-VERIFIED first-wins near-dup verdicts: batch twin of the
+# streaming verified mode (streaming/dedup_stream.py,
+# verify_threshold=0.5). A band collision with a bucket's first claimant
+# only counts when the estimated jaccard — fraction of equal minhash
+# components, an exact k/16 double — clears the threshold, filtering the
+# LSH false positives the unverified query admits. best_est reports the
+# max estimate vs ANY earlier exemplar, qualifying or not. Scale shape:
+# candidates are (doc, bucket-first) pairs — bounded by band rows, never
+# all pairs — and the verify is a 16-term expression over the persisted
+# wide signatures, not a shingle re-scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "near_dup_verified",
+    f"""
+WITH sig AS ({_SIGNATURE_SQL}),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS band_key
+    FROM sig GROUP BY doc_id, seed // 4
+),
+firsts AS (
+    SELECT band, band_key, min(doc_id) AS first_id
+    FROM bands GROUP BY band, band_key
+),
+cand AS (
+    SELECT DISTINCT b.doc_id, f.first_id
+    FROM bands b JOIN firsts f USING (band, band_key)
+    WHERE f.first_id < b.doc_id
+),
+sim AS (
+    SELECT c.doc_id, c.first_id,
+           sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+               / 16.0 AS est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_id
+    JOIN sig sb ON sb.doc_id = c.first_id AND sb.seed = sa.seed
+    GROUP BY c.doc_id, c.first_id
+),
+agg AS (
+    SELECT doc_id,
+           max(est) AS best_est,
+           min(CASE WHEN est >= 0.5 THEN first_id END) AS dup_of
+    FROM sim GROUP BY doc_id
+)
+SELECT d.doc_id,
+       a.dup_of IS NOT NULL AS is_dup,
+       a.dup_of,
+       a.best_est
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+)
+def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verified near-dup verdict under arrival order: dup
+    iff some LSH bucket's first claimant has estimated jaccard >= 0.5
+    with the document. Semantics-pinning oracle for the streaming
+    verified mode (tests/test_dedup_stream.py proves stream == batch)."""
+    from pyspark import StorageLevel
+
+    docs = _load(spark, sf_dir, "documents")
+    wide = D.minhash_signatures_wide(docs, "doc_id", "text", 16, 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = D.minhash_band_keys(wide, "doc_id", 4, 16)
+    firsts = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    cand = (
+        bands.join(firsts, ["band", "band_key"])
+        .filter(F.col("first_id") < F.col("doc_id"))
+        .select("doc_id", "first_id")
+        .distinct()
+    )
+    a = wide.select(
+        F.col("doc_id"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(16)]
+    )
+    b = wide.select(
+        F.col("doc_id").alias("first_id"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(16)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    sim = (
+        cand.join(a, "doc_id")
+        .join(b, "first_id")
+        .select("doc_id", "first_id", (n_eq / F.lit(16.0)).alias("est"))
+    )
+    agg = sim.groupBy("doc_id").agg(
+        F.max("est").alias("best_est"),
+        F.min(F.when(F.col("est") >= 0.5, F.col("first_id"))).alias("dup_of"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        "best_est",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe train/eval split: reproducible hash split, then QUARANTINE
 # every test doc whose LSH band collides with any train doc — the
 # "no near-dups across the split boundary" guard an honest eval needs

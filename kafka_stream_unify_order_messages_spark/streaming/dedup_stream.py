@@ -45,8 +45,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 BAND_DECISION_SCHEMA = (
     "doc_id long, seq long, band long, is_dup boolean, dup_of long"
 )
+# verified mode adds the estimated jaccard vs the bucket exemplar
+# (fraction of equal minhash components — exact k/num_hashes doubles)
+BAND_DECISION_VERIFIED_SCHEMA = BAND_DECISION_SCHEMA + ", est double"
 # the claimed-bucket exemplar: first arrival's (seq, id)
 BUCKET_STATE_SCHEMA = "first_seq long, first_id long"
+# verified mode also stores the exemplar's full signature
+BUCKET_STATE_VERIFIED_SCHEMA = BUCKET_STATE_SCHEMA + ", sig array<long>"
 
 
 def make_bucket_first_wins_fn():
@@ -89,6 +94,56 @@ def make_bucket_first_wins_fn():
     return fn
 
 
+def make_bucket_verified_fn(threshold: float, num_hashes: int):
+    """Verified variant: the exemplar's FULL minhash signature lives in
+    the bucket state; a collision is a duplicate only when the estimated
+    jaccard (fraction of equal signature components — exact k/num_hashes
+    doubles, no float drift) clears ``threshold``. False-positive
+    colliders are flagged is_dup=false with their est, and do NOT claim
+    the bucket (the exemplar stays first-wins).
+    """
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band = int(key[0])  # key order is (band, band_key)
+        rows = pd.concat(
+            [p[["doc_id", "seq", "_sig"]] for p in pdfs], ignore_index=True
+        ).sort_values(["seq", "doc_id"])
+        if state.exists:
+            first_seq, first_id, first_sig = state.get
+            first_sig = list(first_sig)
+        else:
+            first_seq, first_id, first_sig = None, None, None
+        out = {
+            "doc_id": [], "seq": [], "band": [],
+            "is_dup": [], "dup_of": [], "est": [],
+        }
+        for doc_id, seq, sig in rows.itertuples(index=False):
+            doc_id, seq = int(doc_id), int(seq)
+            sig = [int(x) for x in sig]
+            if first_seq is None:
+                first_seq, first_id, first_sig = seq, doc_id, sig
+                dup, of, est = False, None, None
+            else:
+                n_eq = sum(a == b for a, b in zip(sig, first_sig))
+                est = n_eq / num_hashes
+                dup = est >= threshold
+                of = first_id if dup else None
+            out["doc_id"].append(doc_id)
+            out["seq"].append(seq)
+            out["band"].append(band)
+            out["is_dup"].append(dup)
+            out["dup_of"].append(of)
+            out["est"].append(est)
+        state.update((first_seq, first_id, first_sig))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
 def band_decisions_stream(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -97,6 +152,7 @@ def band_decisions_stream(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """Per-band first-wins decisions for a STREAM of (id, seq, text).
 
@@ -106,29 +162,42 @@ def band_decisions_stream(
     is the arrival order (any unique monotone long — an offset, a file
     sequence number, or the id itself when ids are assigned on arrival).
 
-    Returns an append-mode stream with BAND_DECISION_SCHEMA; reduce to
-    per-document verdicts with `near_dup_verdicts` (all of a document's
-    band rows surface in the same micro-batch, so a foreachBatch
-    aggregation is exact).
+    With ``verify_threshold`` set, the full minhash signature rides into
+    the bucket state and a collision only counts as a duplicate when the
+    estimated jaccard vs the exemplar clears the threshold — the in-stream
+    analogue of the batch candidate-verify step, filtering LSH false
+    positives at the cost of num_hashes longs per bucket. Batch twin:
+    `near_dup_verified` (strict-oracled).
+
+    Returns an append-mode stream with BAND_DECISION_SCHEMA (plus `est`
+    in verified mode); reduce to per-document verdicts with
+    `near_dup_verdicts` (all of a document's band rows surface in the
+    same micro-batch, so a foreachBatch aggregation is exact).
     """
     from kafka_stream_unify_order_messages_spark.operators.dedup import (
         minhash_band_cols_local,
+        minhash_sig_band_cols_local,
     )
 
-    keyed = minhash_band_cols_local(
-        docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(seq_col).cast("long").alias("seq"),
-            F.col(text_col).alias("text"),
-        ),
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(text_col).alias("text"),
+    )
+    verified = verify_threshold is not None
+    keyed_fn = minhash_sig_band_cols_local if verified else minhash_band_cols_local
+    keyed = keyed_fn(
+        base,
         text_col="text",
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
     )
+    carry = [F.col("_sig")] if verified else []
     long_rows = keyed.select(
         "doc_id",
         "seq",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -140,12 +209,21 @@ def band_decisions_stream(
                 ]
             )
         ).alias("_bk"),
-    ).select("doc_id", "seq", F.col("_bk.band").alias("band"),
+    ).select("doc_id", "seq", *(["_sig"] if verified else []),
+             F.col("_bk.band").alias("band"),
              F.col("_bk.band_key").alias("band_key"))
+    if verified:
+        fn = make_bucket_verified_fn(verify_threshold, num_hashes)
+        out_schema, state_schema = (
+            BAND_DECISION_VERIFIED_SCHEMA, BUCKET_STATE_VERIFIED_SCHEMA,
+        )
+    else:
+        fn = make_bucket_first_wins_fn()
+        out_schema, state_schema = BAND_DECISION_SCHEMA, BUCKET_STATE_SCHEMA
     return long_rows.groupBy("band", "band_key").applyInPandasWithState(
-        make_bucket_first_wins_fn(),
-        outputStructType=BAND_DECISION_SCHEMA,
-        stateStructType=BUCKET_STATE_SCHEMA,
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -153,15 +231,21 @@ def band_decisions_stream(
 
 def near_dup_verdicts(band_decisions: DataFrame) -> DataFrame:
     """Collapse per-band decisions to per-document verdicts: a document
-    is a near-duplicate iff ANY band bucket was already claimed;
-    `dup_of` is the smallest exemplar id among its claimed buckets
-    (deterministic, and equal to the batch query's min-over-firsts).
+    is a near-duplicate iff ANY band bucket was already claimed (and, in
+    verified mode, the exemplar cleared the similarity threshold);
+    `dup_of` is the smallest exemplar id among its qualifying buckets
+    (deterministic, and equal to the batch query's min-over-firsts). In
+    verified mode `best_est` is the max estimated jaccard vs any earlier
+    exemplar, qualifying or not.
 
     Stateless per document — apply inside foreachBatch (every band row
     of a document lands in the same micro-batch) or over any union of
     emitted batches.
     """
-    return band_decisions.groupBy("doc_id", "seq").agg(
+    aggs = [
         F.max("is_dup").alias("is_dup"),
         F.min(F.when(F.col("is_dup"), F.col("dup_of"))).alias("dup_of"),
-    )
+    ]
+    if "est" in band_decisions.columns:
+        aggs.append(F.max("est").alias("best_est"))
+    return band_decisions.groupBy("doc_id", "seq").agg(*aggs)

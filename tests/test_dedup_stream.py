@@ -136,3 +136,97 @@ def test_intra_batch_order_resolves_by_seq(spark, tmp_path):
         for r in near_dup_verdicts(spark.table(name)).collect()
     }
     assert got == {3: (False, None), 7: (True, 3)}
+
+
+def test_verified_stream_matches_batch_and_filters_false_positives(
+    spark, tmp_path
+):
+    """Verified mode: signature rides in bucket state; collisions below
+    the jaccard threshold are NOT duplicates. Fed with exact re-sends
+    (est 1.0 -> dup) and a heavily-edited re-send that still shares a
+    band (possible est < 0.5 -> flagged only if it clears), the stream's
+    verdicts must equal a batch re-derivation with the same rule."""
+    base = [
+        (int(r["doc_id"]), str(r["text"]))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(60).collect()
+    ]
+    fed = [(doc_id, i, text) for i, (doc_id, text) in enumerate(base)]
+    # exact re-sends: est == 1.0
+    fed += [(9000 + k, 60 + k, base[k][1]) for k in range(3)]
+    # partial re-send: first half of doc 3's words + half fresh filler —
+    # high shingle overlap in the kept half, est somewhere in (0, 1)
+    words = base[3][1].split()
+    half = " ".join(words[: len(words) // 2])
+    filler = " ".join(f"zz{i} qq{i} kk{i}" for i in range(len(words) // 6))
+    fed += [(9100, 63, half + " " + filler)]
+    chunks = [fed[0:30], fed[30:64]]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"neardupv_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        band_decisions_stream(stream, verify_threshold=0.5)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for n, chunk in enumerate(chunks):
+            _write_chunk(src, chunk, n)
+            query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"], r["best_est"])
+        for r in near_dup_verdicts(spark.table(name)).collect()
+    }
+
+    # batch re-derivation: bucket firsts by seq, est vs exemplar, >= 0.5
+    df = spark.createDataFrame(fed, SCHEMA)
+    wide = D.minhash_signatures_wide(df, "doc_id", "text", 16, 3)
+    bands = D.minhash_band_keys(wide, "doc_id", 4, 16).join(
+        df.select("doc_id", "seq"), "doc_id"
+    )
+    firsts = bands.groupBy("band", "band_key").agg(
+        F.min(F.struct("seq", "doc_id")).alias("first")
+    )
+    cand = (
+        bands.join(firsts, ["band", "band_key"])
+        .filter(F.col("first.seq") < F.col("seq"))
+        .select("doc_id", "seq", F.col("first.doc_id").alias("first_id"))
+        .distinct()
+    )
+    a = wide.select("doc_id", *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(16)])
+    b = wide.select(
+        F.col("doc_id").alias("first_id"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(16)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    sim = cand.join(a, "doc_id").join(b, "first_id").select(
+        "doc_id", "seq", "first_id", (n_eq / F.lit(16.0)).alias("est")
+    )
+    agg = sim.groupBy("doc_id", "seq").agg(
+        F.max("est").alias("best_est"),
+        F.min(F.when(F.col("est") >= 0.5, F.col("first_id"))).alias("dup_of"),
+    )
+    want = {
+        r["doc_id"]: (
+            r["dup_of"] is not None,
+            r["dup_of"],
+            r["best_est"],
+        )
+        for r in df.select("doc_id", "seq").join(agg, ["doc_id", "seq"], "left")
+        .collect()
+    }
+    assert got == want
+    # the exact re-sends are dups of their originals with est 1.0
+    for k in range(3):
+        assert got[9000 + k] == (True, base[k][0], 1.0)
