@@ -81,6 +81,14 @@ RAMP_QUERIES = [
     ("simhash64_near_dup_pairs", "linear", "x300"),
     ("dedup_cluster_labels", "linear", "x100"),
     ("incremental_near_dup", "linear", "x100"),
+    # arrival-ordered first-wins verdicts (batch twins of the streaming
+    # dedup): band rows -> bucket-firsts agg -> probe join; the verified
+    # form adds a candidate-bounded 16-term signature compare
+    ("near_dup_first_wins", "linear", "x100"),
+    ("near_dup_verified", "linear", "x100"),
+    # mergeable histogram quantile sketch over events: two scans + one
+    # map-side-combined groupBy; everything after reduction is bin rows
+    ("quantile_sketch_merged", "linear", "x100"),
     ("dup_ngram_spans", "linear", "x100"),
     ("clean_corpus", "linear", "x100"),
     ("text_stats", "linear", "x300"),
