@@ -544,29 +544,37 @@ def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
 
 
 def histogram_quantiles(
-    merged: DataFrame, quantiles: list[float], n_bins: int = 64
+    merged: DataFrame,
+    quantiles: list[float],
+    n_bins: int = 64,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(q, estimate): linear-interpolated quantiles from a merged
-    histogram sketch. The cumulative pass runs over at most n_bins rows
-    (a bounded frame — the single-partition window is over bins, never
-    data); absent (empty) bins cannot contain a target rank, so the
-    cumsum over present bins is exact.
+    """(q, estimate) — or (group, q, estimate) with ``group_col`` —
+    linear-interpolated quantiles from a histogram sketch. The cumulative
+    pass runs over at most n_bins rows per group (a bounded frame — the
+    windows are over bins, never data; with a group the partition key
+    distributes them); absent (empty) bins cannot contain a target rank,
+    so the cumsum over present bins is exact. Pass the MERGED sketch for
+    global quantiles, or the per-group sketch with ``group_col`` to serve
+    every group's quantiles from one shared-binning pass.
     """
     from pyspark.sql import Window
 
     spark = merged.sparkSession
-    # cum AND the grand total come from windows over the same bounded
+    keys = [group_col] if group_col else []
+    base = Window.partitionBy(*keys) if keys else Window
+    # cum AND the per-group total come from windows over the same bounded
     # frame — ONE pass over the sketch, no second aggregation of it
     cum = merged.withColumn(
         "cum",
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            base.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ),
     ).withColumn(
         "n",
         F.sum("cnt")
         .over(
-            Window.orderBy("bin").rowsBetween(
+            base.orderBy("bin").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         )
@@ -580,6 +588,7 @@ def histogram_quantiles(
     frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
     width = (F.col("hi") - F.col("lo")) / n_bins
     return hit.select(
+        *keys,
         "q",
         (F.col("lo") + (F.col("bin") + frac) * width).alias("estimate"),
     )

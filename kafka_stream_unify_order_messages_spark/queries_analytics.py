@@ -1762,3 +1762,85 @@ def quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             (err <= F.col("err_bound")).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped quantile serving from the SAME sketch pass: per-event-type
+# p50/p95 interpolated from the per-group histogram (shared global
+# binning), value-checked against the per-group exact quantiles. One
+# shared scan serves every group's quantiles — the "per-tenant latency
+# percentiles" shape — with windows partitioned by group over bin rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_sketch_by_group",
+    """
+WITH bounds AS (
+    SELECT CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events
+),
+sk AS (
+    SELECT event_type, lo, hi,
+           least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 64)
+                      AS BIGINT), 63) AS bin,
+           count(*) AS cnt
+    FROM events CROSS JOIN bounds
+    GROUP BY event_type, lo, hi, bin
+),
+cum AS (
+    SELECT event_type, lo, hi, bin, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+    FROM sk
+),
+qs(q) AS (VALUES (0.5), (0.95)),
+est AS (
+    SELECT event_type, q,
+           lo + (bin + (q * n - (cum - cnt)) / cnt) * ((hi - lo) / 64)
+               AS estimate
+    FROM qs CROSS JOIN cum
+    WHERE cum >= q * n AND (cum - cnt) < q * n
+),
+ex AS (
+    SELECT event_type, 0.5 AS q, quantile_cont(value, 0.5) AS exact_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 0.95 AS q, quantile_cont(value, 0.95) AS exact_value
+    FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.q,
+       round(estimate, 6) AS estimate,
+       round(exact_value, 6) AS exact_value,
+       round(abs(estimate - exact_value), 6) AS abs_err
+FROM est JOIN ex ON est.event_type = ex.event_type AND est.q = ex.q
+""",
+)
+def quantile_sketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    sk = SK.histogram_sketch(events, "event_type", "value", 64)
+    est = SK.histogram_quantiles(
+        sk, [0.5, 0.95], 64, group_col="event_type"
+    )
+    exact = (
+        _load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5D)").alias("e50"),
+            F.expr("percentile(value, 0.95D)").alias("e95"),
+        )
+        .selectExpr(
+            "event_type",
+            "stack(2, 0.5D, e50, 0.95D, e95) AS (q, exact_value)",
+        )
+    )
+    err = F.abs(F.col("estimate") - F.col("exact_value"))
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        F.round("estimate", 6).alias("estimate"),
+        F.round("exact_value", 6).alias("exact_value"),
+        F.round(err, 6).alias("abs_err"),
+    )

@@ -24,6 +24,7 @@ from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
 from kafka_stream_unify_order_messages_spark.streaming.windowed import (
     session_windows,
     tumbling_counts,
+    windowed_value_histogram,
 )
 
 __all__ = [
@@ -42,4 +43,5 @@ __all__ = [
     "screen_stream_near_dups",
     "band_decisions_stream",
     "near_dup_verdicts",
+    "windowed_value_histogram",
 ]

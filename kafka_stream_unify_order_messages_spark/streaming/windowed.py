@@ -144,3 +144,49 @@ def trending_topk(
     if events.isStreaming:
         return counts
     return rank_topk(counts, k=k)
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 16,
+    window: str = "10 seconds",
+    watermark_delay: str = "5 seconds",
+) -> DataFrame:
+    """Per-tumbling-window equi-width value histogram: (window_start,
+    window_end, bin, cnt) — the STREAMING leg of the mergeable histogram
+    quantile sketch (operators/sketches.py:histogram_sketch). Bounds are
+    FIXED parameters rather than data-derived (a stream cannot take a
+    global min/max pass); values outside [lo, hi] clamp into the edge
+    bins, preserving counts so downstream quantile reads stay
+    rank-correct at the ends.
+
+    Because the sketch is additive, each emitted window row-set merges
+    with any other sketch over the same binning (merge_histogram_sketches
+    after renaming lo/hi literals in) — e.g. roll 10 s windows into
+    minutes, or union the stream's sketch with the batch corpus's.
+    State per window is n_bins counters, watermark-dropped; append mode.
+    """
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(hi - lo) * n_bins).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    with_ts = events.withColumn("_event_time", F.to_timestamp(ts_col))
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark_delay)
+    out = with_ts.groupBy(
+        F.window("_event_time", window), bin_.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "bin",
+        "cnt",
+    )

@@ -196,3 +196,108 @@ def test_trending_topk_stream_ranks_in_foreach_batch(spark, tmp_path):
         assert not any(t == "c" for t, _, _ in got)
     finally:
         q.stop()
+
+
+def test_windowed_value_histogram_counts_and_clamps(spark, tmp_path):
+    from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+        windowed_value_histogram,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"wh_{uuid.uuid4().hex[:8]}"
+    schema = "event_id long, value double, timestamp string"
+    events = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        windowed_value_histogram(
+            events, value_col="value", lo=0.0, hi=1.0, n_bins=4,
+            window="10 seconds", watermark_delay="5 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def evv(eid, value, second):
+        minute, sec = divmod(second, 60)
+        return (eid, value, f"2026-01-01T00:{minute:02d}:{sec:02d}.000Z")
+
+    try:
+        # window [0,10): bins 0,0,1,3 + out-of-range clamps to edge bins
+        write_batch_v = lambda rows, n: pq.write_table(  # noqa: E731
+            pa.table({
+                "event_id": [r[0] for r in rows],
+                "value": [r[1] for r in rows],
+                "timestamp": [r[2] for r in rows],
+            }),
+            f"{src}/vbatch-{n:04d}.parquet",
+        )
+        write_batch_v(
+            [
+                evv(1, 0.05, 1), evv(2, 0.20, 2), evv(3, 0.30, 3),
+                evv(4, 0.90, 4), evv(5, -3.0, 5), evv(6, 42.0, 6),
+            ],
+            0,
+        )
+        q.processAllAvailable()
+        # watermark kicker closes window [0,10)
+        write_batch_v([evv(7, 0.5, 120)], 1)
+        q.processAllAvailable()
+        assert drain(spark, q, name)
+        rows = {
+            (r.window_start.second, r.bin): r.cnt
+            for r in spark.table(name).collect()
+            if r.window_start.second == 0
+        }
+        # 0.05, 0.20 -> bin 0; -3.0 clamps to 0; 0.30 -> bin 1;
+        # 0.90 -> bin 3; 42.0 clamps to 3
+        assert rows == {(0, 0): 3, (0, 1): 1, (0, 3): 2}
+    finally:
+        q.stop()
+
+
+def test_windowed_histogram_merges_with_batch_sketch(spark):
+    """Additivity across legs: the stream-shaped histogram computed in
+    batch mode merges with merge_histogram_sketches exactly like any
+    per-group sketch (shared fixed binning)."""
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+    from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+        windowed_value_histogram,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, (i % 10) / 10.0, f"2026-01-01T00:00:{i % 50:02d}.000Z")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, value double, timestamp string"
+    )
+    wh = windowed_value_histogram(df, lo=0.0, hi=1.0, n_bins=4)
+    # windows partition the data, so summing the per-window sketches must
+    # reproduce the direct batch histogram over the same fixed binning
+    merged = (
+        wh.select(
+            F.lit(0.0).alias("lo"), F.lit(1.0).alias("hi"), "bin", "cnt"
+        )
+        .groupBy("lo", "hi", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = (
+        df.select(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") * 4).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(3).cast("long"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .count()
+    )
+    got = {r["bin"]: r["cnt"] for r in merged.collect()}
+    want = {r["bin"]: r["count"] for r in direct.collect()}
+    assert got == want and sum(got.values()) == 200
