@@ -491,9 +491,13 @@ def kmv_pair_overlap(
 # to the HLL/KMV/CMS family above. Per shard/group, values reduce to
 # (bin, count) over a SHARED fixed [lo, hi] range — additive under merge
 # exactly like HLL registers under max — and any quantile is answered by
-# linear interpolation inside the bin containing the target rank, with
-# error bounded by one bin width. Deterministic end-to-end (no sampling),
-# so the estimate — not just its error bound — is value-checkable against
+# linear interpolation inside the bin containing the target rank. The
+# precise guarantee is RANK-based: the estimate lies in the bin holding
+# the ceil(q*N)-th sorted value, so it is within one bin width of the
+# inverse-CDF quantile (hypothesis-tested); against INTERPOLATED
+# (percentile_cont-style) quantiles the gap can exceed a bin width when
+# heavy ties straddle bins. Deterministic end-to-end (no sampling), so
+# the estimate — not just its error bound — is value-checkable against
 # DuckDB. At 100 TB the sketch is one narrow map-side-combined shuffle of
 # at most n_bins rows per group; the merge and the quantile read touch
 # only bin rows, never data.

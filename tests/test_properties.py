@@ -260,3 +260,157 @@ def test_kmv_exact_below_k_and_bounded_above(spark, pair):
     assert small.kmv_union_est > 0.0
     assert small.exact_inter == exact_inter  # audit side always exact
     assert small.exact_union == exact_union
+
+
+# ---------------------------------------------------------------------------
+# 4. hypothesis on the streaming dedup bucket kernels: for ANY batching
+# and ANY within-batch arrival shuffle, the bucket's exemplar is the
+# min-seq row of the earliest batch that touched it, everyone else is
+# flagged against exactly that exemplar, and re-processing order inside
+# a batch never matters (the kernel sorts by seq).
+# ---------------------------------------------------------------------------
+
+from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (  # noqa: E402
+    make_bucket_first_wins_fn,
+    make_bucket_verified_fn,
+)
+
+bucket_plans = st.lists(
+    st.lists(st.integers(0, 999), min_size=1, max_size=6, unique=True),
+    min_size=1,
+    max_size=4,
+).filter(lambda bs: len({s for b in bs for s in b}) == sum(len(b) for b in bs))
+
+
+def _isnull(x):
+    return x is None or (isinstance(x, float) and pd.isna(x))
+
+
+def _run_bucket(fn, batches, sig_of=None):
+    state = FakeState()
+    out = []
+    for batch in batches:
+        cols = {
+            "doc_id": [7000 + s for s in batch],
+            "seq": batch,
+        }
+        if sig_of is not None:
+            cols["_sig"] = [sig_of(s) for s in batch]
+        pdf = pd.DataFrame(cols)
+        for res in fn((3, "bk"), iter([pdf]), state):
+            out.extend(res.to_dict("records"))
+    return out, state
+
+
+@settings(max_examples=60, deadline=None)
+@given(bucket_plans)
+def test_bucket_first_wins_exemplar_is_earliest_batch_min_seq(batches):
+    out, state = _run_bucket(make_bucket_first_wins_fn(), batches)
+    exemplar_seq = min(batches[0])
+    exemplar_id = 7000 + exemplar_seq
+    assert state.get == (exemplar_seq, exemplar_id)
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == len(by_id) == sum(len(b) for b in batches)
+    for r in out:
+        assert r["band"] == 3
+        if r["doc_id"] == exemplar_id:
+            assert not r["is_dup"] and _isnull(r["dup_of"])
+        else:
+            assert r["is_dup"] and r["dup_of"] == exemplar_id
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bucket_plans,
+    st.integers(0, 16),  # how many signature components match the exemplar
+)
+def test_bucket_verified_threshold_gates_and_exemplar_is_stable(
+    batches, n_match
+):
+    # exemplar's signature is all zeros; every other doc matches it in
+    # exactly n_match of 16 components (the mismatching components are
+    # made unique per doc so docs never accidentally equal each other)
+    exemplar_seq = min(batches[0])
+
+    def sig_of(seq):
+        if seq == exemplar_seq:
+            return [0] * 16
+        return [0] * n_match + [1000 + seq] * (16 - n_match)
+
+    out, state = _run_bucket(
+        make_bucket_verified_fn(0.5, 16), batches, sig_of=sig_of
+    )
+    first_seq, first_id, first_sig = state.get
+    assert (first_seq, first_id) == (exemplar_seq, 7000 + exemplar_seq)
+    assert list(first_sig) == [0] * 16  # exemplar NEVER replaced
+    should_dup = (n_match / 16) >= 0.5
+    for r in out:
+        if r["doc_id"] == first_id:
+            assert not r["is_dup"] and _isnull(r["est"])
+        else:
+            assert r["est"] == n_match / 16
+            assert bool(r["is_dup"]) == should_dup
+            assert (r["dup_of"] == first_id) if should_dup else _isnull(
+                r["dup_of"]
+            )
+
+
+# ---------------------------------------------------------------------------
+# 5. hypothesis on the histogram quantile sketch: for ANY value multiset
+# and ANY grouping, (a) merged per-group sketches == the direct one-pass
+# histogram (mergeability identity), (b) every interpolated quantile is
+# within one bin width of the true quantile.
+# ---------------------------------------------------------------------------
+
+value_sets = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # group
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(value_sets)
+def test_histogram_sketch_merge_identity_and_error_bound(spark, rows):
+    import numpy as np
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", float(v)) for g, v in rows], "g string, v double"
+    )
+    merged = SK.merge_histogram_sketches(
+        SK.histogram_sketch(df, "g", "v", n_bins=8)
+    )
+    got = {r["bin"]: r["cnt"] for r in merged.collect()}
+    vals = np.array([v for _, v in rows], dtype=float)
+    lo, hi = vals.min(), vals.max()
+    if hi == lo:
+        assert got == {0: len(vals)}
+        return
+    bins = np.minimum(
+        np.floor((vals - lo) / (hi - lo) * 8).astype(int), 7
+    )
+    want = {int(b): int(c) for b, c in zip(*np.unique(bins, return_counts=True))}
+    assert got == want
+    est = {
+        r["q"]: r["estimate"]
+        for r in SK.histogram_quantiles(merged, [0.25, 0.5, 0.9], 8).collect()
+    }
+    width = (hi - lo) / 8
+    for q in (0.25, 0.5, 0.9):
+        # the sketch's guarantee is RANK-based: the estimate lies in the
+        # bin holding the ceil(q*N)-th sorted value (inverse-CDF
+        # quantile). The interpolated (type-7) quantile can sit a whole
+        # inter-value gap away when ties straddle bins — hypothesis
+        # found [0,0,0,1] @ q=0.9 — so that is NOT the bound we claim.
+        rank_q = np.quantile(vals, q, method="inverted_cdf")
+        assert abs(est[q] - rank_q) <= width + 1e-9
