@@ -19,9 +19,11 @@ and never pairs: duplicates add no state (their buckets are already
 claimed), so state grows with the corpus's novelty rate. At 100 TB the
 bucket keyspace shards across the stateful shuffle like any keyed state,
 and the RocksDB provider (app.py:apply_state_store_config) keeps it
-off-heap. No timeout is registered — dedup history must not expire; a
-deployment that wants sliding-window semantics composes
-`dedup_within_watermark` upstream instead.
+off-heap. By default no timeout is registered — dedup history must not
+expire; for INFINITE streams, ``ttl_ms`` turns on retention-window
+dedup (a bucket idle for the TTL is forgotten, every touch re-arms —
+LRU semantics), the standard bounded-state trade. Exact sliding-window
+dedup on content hashes remains `dedup_within_watermark` upstream.
 
 Semantics are PINNED to the batch registry query
 `near_dup_first_wins` (queries_training.py): with arrival order == seq
@@ -54,12 +56,19 @@ BUCKET_STATE_SCHEMA = "first_seq long, first_id long"
 BUCKET_STATE_VERIFIED_SCHEMA = BUCKET_STATE_SCHEMA + ", sig array<long>"
 
 
-def make_bucket_first_wins_fn():
+def make_bucket_first_wins_fn(ttl_ms: int | None = None):
     """Stateful kernel: per (band, band_key) group, the first-arriving
     document claims the bucket; every later arrival is flagged against
     the exemplar. Rows within a micro-batch are processed in (seq,
     doc_id) order so intra-batch arrivals resolve exactly like
     cross-batch ones.
+
+    ``ttl_ms`` (requires ProcessingTimeTimeout wiring) bounds state for
+    infinite streams: a bucket untouched for the TTL is forgotten — its
+    next claimant becomes a fresh exemplar, so the dedup horizon is
+    "anything seen within the retention window", the standard trade for
+    unbounded ingest. Every touch re-arms the timer (LRU semantics:
+    frequently re-sent content stays deduped forever).
     """
 
     def fn(
@@ -67,6 +76,11 @@ def make_bucket_first_wins_fn():
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # retention expired with no arrivals: forget the exemplar
+            # (empty generator — nothing to emit for a timeout)
+            state.remove()
+            return
         band = int(key[0])  # key order is (band, band_key)
         rows = pd.concat(
             [p[["doc_id", "seq"]] for p in pdfs], ignore_index=True
@@ -89,12 +103,16 @@ def make_bucket_first_wins_fn():
             out["is_dup"].append(dup)
             out["dup_of"].append(of)
         state.update((first_seq, first_id))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out)
 
     return fn
 
 
-def make_bucket_verified_fn(threshold: float, num_hashes: int):
+def make_bucket_verified_fn(
+    threshold: float, num_hashes: int, ttl_ms: int | None = None
+):
     """Verified variant: the exemplar's FULL minhash signature lives in
     the bucket state; a collision is a duplicate only when the estimated
     jaccard (fraction of equal signature components — exact k/num_hashes
@@ -108,6 +126,9 @@ def make_bucket_verified_fn(threshold: float, num_hashes: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         band = int(key[0])  # key order is (band, band_key)
         rows = pd.concat(
             [p[["doc_id", "seq", "_sig"]] for p in pdfs], ignore_index=True
@@ -139,6 +160,8 @@ def make_bucket_verified_fn(threshold: float, num_hashes: int):
             out["dup_of"].append(of)
             out["est"].append(est)
         state.update((first_seq, first_id, first_sig))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out)
 
     return fn
@@ -153,6 +176,7 @@ def band_decisions_stream(
     bands: int = 4,
     shingle_n: int = 3,
     verify_threshold: float | None = None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-band first-wins decisions for a STREAM of (id, seq, text).
 
@@ -213,19 +237,27 @@ def band_decisions_stream(
              F.col("_bk.band").alias("band"),
              F.col("_bk.band_key").alias("band_key"))
     if verified:
-        fn = make_bucket_verified_fn(verify_threshold, num_hashes)
+        fn = make_bucket_verified_fn(verify_threshold, num_hashes, ttl_ms)
         out_schema, state_schema = (
             BAND_DECISION_VERIFIED_SCHEMA, BUCKET_STATE_VERIFIED_SCHEMA,
         )
     else:
-        fn = make_bucket_first_wins_fn()
+        fn = make_bucket_first_wins_fn(ttl_ms)
         out_schema, state_schema = BAND_DECISION_SCHEMA, BUCKET_STATE_SCHEMA
+    # ttl_ms bounds state for infinite streams (retention-window dedup);
+    # without it the dedup history is permanent by design — see module
+    # docstring
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return long_rows.groupBy("band", "band_key").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

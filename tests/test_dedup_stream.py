@@ -230,3 +230,41 @@ def test_verified_stream_matches_batch_and_filters_false_positives(
     # the exact re-sends are dups of their originals with est 1.0
     for k in range(3):
         assert got[9000 + k] == (True, base[k][0], 1.0)
+
+
+def test_ttl_kernel_semantics():
+    """Kernel-level TTL: a timed-out bucket forgets its exemplar (next
+    claimant is fresh), and every update re-arms the timer."""
+    import pandas as pd
+
+    from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+        make_bucket_first_wins_fn,
+    )
+    from tests.test_unify_stream import FakeState
+
+    fn = make_bucket_first_wins_fn(ttl_ms=60_000)
+    state = FakeState()
+    batch = lambda rows: iter(  # noqa: E731
+        [pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "seq": [r[1] for r in rows]})]
+    )
+    out1 = list(fn((0, "bk"), batch([(11, 1)]), state))[0]
+    assert not out1["is_dup"].iloc[0]
+    assert state.get == (1, 11) and state.timeout_ms == 60_000
+
+    # touch re-arms and dups against the live exemplar
+    state.timeout_ms = None
+    out2 = list(fn((0, "bk"), batch([(12, 2)]), state))[0]
+    assert bool(out2["is_dup"].iloc[0]) and out2["dup_of"].iloc[0] == 11
+    assert state.timeout_ms == 60_000
+
+    # timeout fires: state dropped, nothing emitted
+    timed_out = FakeState(state.get, timed_out=True)
+    assert list(fn((0, "bk"), batch([]), timed_out)) == []
+    assert timed_out.removed
+
+    # post-expiry arrival becomes a fresh exemplar
+    fresh = FakeState()
+    out3 = list(fn((0, "bk"), batch([(13, 3)]), fresh))[0]
+    assert not out3["is_dup"].iloc[0]
+    assert fresh.get == (3, 13)
