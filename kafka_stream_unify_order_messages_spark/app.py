@@ -120,6 +120,15 @@ def apply_state_store_config(spark: SparkSession, cfg: UnifyConfig) -> None:
             "org.apache.spark.sql.execution.streaming."
             "state.RocksDBStateStoreProvider",
         )
+        # checkpoint the changelog instead of snapshotting the full
+        # store every commit: checkpoint cost scales with the batch's
+        # state DELTA, the property that matters once live state is
+        # multi-GB per executor (docs/DEPLOYMENT.md §5)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     if cfg.low_latency:
         # measured in LATENCY.md: the synchronous metadata-log
         # compaction every 10th batch is the single largest p95
