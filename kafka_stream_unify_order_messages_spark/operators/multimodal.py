@@ -166,6 +166,98 @@ def decode_media(
     return df.select(id_col, "payload").mapInPandas(run, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Resize payloads to a fixed (width, height) thumbnail and re-encode:
+    (id, thumb binary, thumb_width, thumb_height) via mapInPandas — the
+    standard normalize-before-feature-extraction step of an image
+    training pipeline. Same three-mode contract as ``decode_media``:
+    Pillow on the executors does a real LANCZOS resize + PNG re-encode
+    (undecodable payloads quarantine as null thumbs); ``fake_decode``
+    derives a deterministic pseudo-thumbnail from the payload bytes so
+    the Spark-side plumbing (schema, batching, null quarantine) is
+    testable in codec-less environments; neither raises an honest
+    ``NotImplementedError``. Batch shape: one Arrow batch in, one out —
+    never a Python call per row.
+    """
+    schema = (
+        f"{_id_field_ddl(df, id_col)}, thumb binary, "
+        "thumb_width int, thumb_height int"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if fake_decode else _try_import_pil()
+        for pdf in pdfs:
+            if fake_decode:
+                # deterministic stub: tile the payload bytes to exactly
+                # width*height bytes (a fake 8-bit grayscale raster)
+                thumbs = [
+                    bytes(
+                        (b * ((width * height) // max(len(b), 1) + 1))[
+                            : width * height
+                        ]
+                    )
+                    if len(b)
+                    else None
+                    for b in (bytes(x) for x in pdf["payload"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "thumb": thumbs,
+                        "thumb_width": pd.array(
+                            [width if t is not None else None
+                             for t in thumbs],
+                            dtype="Int32",
+                        ),
+                        "thumb_height": pd.array(
+                            [height if t is not None else None
+                             for t in thumbs],
+                            dtype="Int32",
+                        ),
+                    }
+                )
+                continue
+            if image_mod is None:
+                raise NotImplementedError(
+                    "media resize requires an image codec library "
+                    "(Pillow), not available in this environment; "
+                    "pass fake_decode=True for the deterministic stub"
+                )
+            import io
+
+            thumbs = []
+            for b in pdf["payload"]:
+                try:
+                    with image_mod.open(io.BytesIO(bytes(b))) as im:
+                        out = io.BytesIO()
+                        im.resize((width, height)).save(out, format="PNG")
+                        thumbs.append(out.getvalue())
+                except Exception:  # noqa: BLE001 — quarantine row
+                    thumbs.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "thumb": thumbs,
+                    "thumb_width": pd.array(
+                        [width if t is not None else None for t in thumbs],
+                        dtype="Int32",
+                    ),
+                    "thumb_height": pd.array(
+                        [height if t is not None else None for t in thumbs],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema)
+
+
 def decoded_phash(
     df: DataFrame, id_col: str = "doc_id", hash_size: int = 8
 ) -> DataFrame:

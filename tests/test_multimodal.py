@@ -211,3 +211,60 @@ def test_media_phash_pairs_find_exact_reupload(spark):
         for r in hamming_pairs(fps, "doc_id", "phash").collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_resize_stub_plumbing_and_null_quarantine(media):
+    """fake_decode resize: fixed thumb geometry, deterministic bytes,
+    empty payloads quarantine as null thumbs."""
+    out = {
+        r["doc_id"]: r
+        for r in M.resize_media(
+            media, width=16, height=16, fake_decode=True
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for doc_id, r in out.items():
+        if doc_id == 3:  # empty payload -> quarantined
+            assert r["thumb"] is None
+            assert r["thumb_width"] is None and r["thumb_height"] is None
+        else:
+            assert len(bytes(r["thumb"])) == 16 * 16
+            assert (r["thumb_width"], r["thumb_height"]) == (16, 16)
+    # deterministic across runs
+    again = {
+        r["doc_id"]: bytes(r["thumb"]) if r["thumb"] is not None else None
+        for r in M.resize_media(
+            media, width=16, height=16, fake_decode=True
+        ).collect()
+    }
+    assert again == {
+        k: (bytes(v["thumb"]) if v["thumb"] is not None else None)
+        for k, v in out.items()
+    }
+
+
+@pytest.mark.skipif(
+    _PIL_IMAGE is not None,
+    reason="Pillow installed: resize_media takes the real codec path",
+)
+def test_resize_stub_raises_without_codec(media):
+    with pytest.raises(Exception) as exc_info:
+        M.resize_media(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc_info.value)
+
+
+@pytest.mark.skipif(_PIL_IMAGE is None, reason="Pillow not installed")
+def test_real_resize_roundtrip(spark):
+    import io
+
+    img = _PIL_IMAGE.new("RGB", (64, 48), (200, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in M.resize_media(df, 224, 224).collect()}
+    with _PIL_IMAGE.open(io.BytesIO(bytes(out[1]["thumb"]))) as thumb:
+        assert thumb.size == (224, 224)
+    assert out[2]["thumb"] is None  # undecodable -> quarantined
