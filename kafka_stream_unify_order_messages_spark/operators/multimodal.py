@@ -236,7 +236,10 @@ def resize_media(
                 try:
                     with image_mod.open(io.BytesIO(bytes(b))) as im:
                         out = io.BytesIO()
-                        im.resize((width, height)).save(out, format="PNG")
+                        im.resize(
+                            (width, height),
+                            resample=image_mod.LANCZOS,
+                        ).save(out, format="PNG")
                         thumbs.append(out.getvalue())
                 except Exception:  # noqa: BLE001 — quarantine row
                     thumbs.append(None)
