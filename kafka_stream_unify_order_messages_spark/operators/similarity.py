@@ -1632,3 +1632,90 @@ def standardize_embeddings(
         F.col("dim").cast("long").alias("dim"),
         F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6).alias("z"),
     )
+
+
+def kmeans_train_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic cross-engine Lloyd's k-means: (cid, dim, coord,
+    n_assigned) after ``iters`` assign/update rounds.
+
+    Every source of nondeterminism is pinned so a SQL engine can re-train
+    the SAME model bit-for-bit: seeds are the k vectors with the smallest
+    md5('kminit:'||id) (content-independent, order-independent);
+    assignment breaks distance ties on the lowest centroid id; and the
+    centroid means are ROUNDED TO 6 DECIMALS at every iteration boundary,
+    so float summation-order drift (Spark's partial aggregation vs the
+    oracle's group sum) is killed each round instead of compounding
+    across rounds — the iteration-boundary extension of the
+    standardize_embeddings rounding rule. Raw assignment distances stay
+    unrounded: two centroids would need to sit within ~1e-12 of the same
+    distance for engine drift to flip an argmin.
+
+    This is the CORRECTNESS ANCHOR for trained clustering (the rows-only
+    ann_ivf_topk trains the same Lloyd's via the numpy batch path);
+    per-iteration cost is one exploded-dims shuffle for the means plus a
+    broadcast of the (k x dim) centroid frame — linear in rows, fine for
+    eval-sized corpora, while production training stays on the GEMM
+    kernel in ivf_build.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("x")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    seeds = (
+        df.select(F.col(id_col).alias("vid"))
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.concat(F.lit("kminit:"), F.col("vid").cast("string"))),
+                    "vid",
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("vid", (F.col("rn") - 1).cast("long").alias("cid"))
+    )
+    cent = seeds.join(ex, "vid").select(
+        "cid", "dim", F.round("x", 6).alias("c")
+    )
+    assign = None
+    for _ in range(iters):
+        dists = (
+            ex.join(F.broadcast(cent), "dim")
+            .groupBy("vid", "cid")
+            .agg(
+                F.sum(
+                    # (x-c)*(x-c), not pow(x-c, 2): multiplication is the
+                    # same IEEE op in every engine, pow need not be
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        assign = (
+            dists.groupBy("vid")
+            .agg(F.min(F.struct("dist", "cid")).alias("best"))
+            .select("vid", F.col("best.cid").alias("cid"))
+        )
+        cent = (
+            assign.join(ex, "vid")
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return cent.join(sizes, "cid").select(
+        "cid", F.col("dim").cast("long").alias("dim"),
+        F.col("c").alias("coord"), "n_assigned",
+    )

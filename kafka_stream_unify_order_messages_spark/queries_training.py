@@ -1299,3 +1299,81 @@ def zorder3_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("o_totalprice").cast("long") % 65536,
         ).alias("zcode3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact TRAINED k-means: Lloyd's algorithm re-trained from scratch by
+# the oracle (unrolled assign/update CTE rounds) and compared coordinate-
+# for-coordinate. Determinism pins: md5-ranked seed vectors, (dist, cid)
+# tie-broken argmin, centroid means rounded to 6dp at EVERY iteration
+# boundary so cross-engine summation-order drift is killed per round
+# instead of compounding. The correctness anchor for the data-trained
+# clustering family (ann_ivf_topk's trainer is the same Lloyd's on the
+# numpy batch path, quality-bounded by the recall evals).
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    parts = [
+        f"""WITH ex AS (
+    SELECT vec_id AS vid, i AS dim, embedding[i]::DOUBLE AS x
+    FROM embeddings, unnest(generate_series(1, {dim})) t(i)
+),
+seeds AS (
+    SELECT vid, rn - 1 AS cid FROM (
+        SELECT vid, row_number() OVER (
+            ORDER BY md5('kminit:' || CAST(vid AS VARCHAR)), vid
+        ) AS rn
+        FROM (SELECT DISTINCT vec_id AS vid FROM embeddings)
+    ) WHERE rn <= {k}
+),
+c0 AS (
+    SELECT s.cid, e.dim, round(e.x, 6) AS c
+    FROM seeds s JOIN ex e USING (vid)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+d{i} AS (
+    SELECT e.vid, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS dist
+    FROM ex e JOIN c{i - 1} c USING (dim)
+    GROUP BY e.vid, c.cid
+),
+a{i} AS (
+    SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (
+                   PARTITION BY vid ORDER BY dist, cid
+               ) AS rn
+        FROM d{i}
+    ) WHERE rn = 1
+),
+c{i} AS (
+    SELECT a.cid, e.dim, round(avg(e.x), 6) AS c
+    FROM a{i} a JOIN ex e USING (vid)
+    GROUP BY a.cid, e.dim
+)"""
+        )
+    parts.append(
+        f"""
+SELECT c.cid, CAST(c.dim AS BIGINT) AS dim, c.c AS coord, f.n_assigned
+FROM c{iters} c
+JOIN (
+    SELECT cid, count(*) AS n_assigned FROM a{iters} GROUP BY cid
+) f USING (cid)"""
+    )
+    return "".join(parts)
+
+
+@query("kmeans_train", _kmeans_sql())
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means centroids (k=8, 3 Lloyd rounds) plus cluster
+    sizes, strict-oracled: DuckDB re-trains the model from scratch and
+    every centroid coordinate must match to the rounded digit."""
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 3)
