@@ -57,6 +57,13 @@ class UnifyConfig:
     # the reference's RocksDB-backed pending-order store; False keeps the
     # HDFS-backed default (fine for tests/small state)
     rocksdb_state: bool = False
+    # RocksDB changelog checkpointing: checkpoint the per-batch state
+    # DELTA instead of snapshotting the store — the right trade once
+    # live state is multi-GB per executor (checkpoint cost stops scaling
+    # with state size). Opt-in, not bundled with rocksdb_state: at small
+    # state its effect is inside run-to-run noise (LATENCY.md round-7
+    # note) and it silently changes the checkpoint format.
+    changelog_checkpointing: bool = False
     # Emission-latency tuning (measured in LATENCY.md): defer the
     # synchronous streaming-metadata-log compactions (file-source /
     # offset / commit logs) that otherwise stall ~every 10th micro-batch
@@ -120,15 +127,16 @@ def apply_state_store_config(spark: SparkSession, cfg: UnifyConfig) -> None:
             "org.apache.spark.sql.execution.streaming."
             "state.RocksDBStateStoreProvider",
         )
-        # checkpoint the changelog instead of snapshotting the full
-        # store every commit: checkpoint cost scales with the batch's
-        # state DELTA, the property that matters once live state is
-        # multi-GB per executor (docs/DEPLOYMENT.md §5)
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            "true",
-        )
+        if cfg.changelog_checkpointing:
+            # checkpoint the changelog instead of snapshotting the full
+            # store every commit: cost scales with the batch's state
+            # DELTA — the property that matters once live state is
+            # multi-GB per executor (docs/DEPLOYMENT.md §5).
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
     if cfg.low_latency:
         # measured in LATENCY.md: the synchronous metadata-log
         # compaction every 10th batch is the single largest p95

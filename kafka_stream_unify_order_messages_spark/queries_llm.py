@@ -1192,10 +1192,12 @@ def mmr_knn_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # rows-only check: centroids are data-trained, so a
-# static SQL oracle cannot replicate them; exactness is pinned instead by
-# tests/test_ivf.py::test_ivf_full_probe_equals_brute_force (nprobe=all ==
-# brute force) and the recall floor test
+@query("ann_ivf_topk")  # rows-only check: the numpy-trained centroids are
+# not SQL-replicable; exactness is pinned by tests/test_ivf.py::
+# test_ivf_full_probe_equals_brute_force (nprobe=all == brute force), the
+# recall floor test, and the strict-oracled twin `ann_ivf_trained`
+# (queries_training.py), whose deterministic trainer + identical search
+# path IS value-checked end-to-end in SQL
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)

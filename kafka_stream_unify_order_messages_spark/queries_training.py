@@ -1377,3 +1377,94 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     return S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end TRAINED IVF, strict-oracled: the oracle re-trains the same
+# k-means (unrolled CTEs above), re-assigns the corpus to cells, probes
+# each query's nprobe nearest cells, and ranks cosine top-k — the full
+# train -> index -> serve pipeline value-checked in SQL. Closes the gap
+# the rows-only ann_ivf_topk documents (data-trained centroids defeating
+# a static oracle): the exact trainer's iteration-boundary rounding makes
+# the trained model itself reproducible by the oracle. Search math
+# mirrors ann_ivf_fixed (ds = -2*dot + |c|^2; first-min cell; (d, cid)
+# probe ranking; (score desc, neighbor) top-k).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_trained_sql(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 4,
+    iters: int = 3, dim: int = 64,
+) -> str:
+    train = _kmeans_sql(n_centroids, iters, dim)
+    # keep only the CTE chain (drop the trainer's final SELECT)
+    ctes = train[: train.rindex("\nSELECT ")]
+    return f"""{ctes},
+cw AS (
+    SELECT cid, sum(c * c) AS n2 FROM c{iters} GROUP BY cid
+),
+vd AS (
+    SELECT m.vid, m.cid, m.m2 + w.n2 AS d
+    FROM (
+        SELECT e.vid, c.cid, -2 * sum(e.x * c.c) AS m2
+        FROM ex e JOIN c{iters} c USING (dim)
+        GROUP BY e.vid, c.cid
+    ) m JOIN cw w USING (cid)
+),
+cell AS (
+    SELECT vid, cid AS cell FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM vd
+    ) WHERE rn = 1
+),
+qp AS (
+    SELECT vid, cid AS cell FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM vd WHERE vid % 20 = 0
+    ) WHERE rn <= {nprobe}
+),
+cd AS (
+    SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+),
+scored AS (
+    SELECT q.vid AS query_id, t.vid AS neighbor_id,
+           round(list_dot_product(q.v, t.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) *
+                  sqrt(list_dot_product(t.v, t.v))), 6) AS score
+    FROM qp
+    JOIN cd q ON q.vid = qp.vid
+    JOIN cell x ON x.cell = qp.cell
+    JOIN cd t ON t.vid = x.vid AND t.vid != q.vid
+)
+SELECT query_id, neighbor_id, score, rnk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+@query("ann_ivf_trained", _ivf_trained_sql())
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF top-k with the exact-oracle trainer's centroids (k=8,
+    3 Lloyd rounds): strict-oracled end-to-end — the SQL side re-trains,
+    re-assigns, probes, and ranks independently."""
+    import numpy as np
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 3).collect()
+    assert len(rows) == 8 * 64, f"empty cluster: {len(rows)} centroid rows"
+    cents = np.zeros((8, 64), dtype=np.float64)
+    for r in rows:
+        cents[r["cid"], r["dim"] - 1] = r["coord"]
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.ivf_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=4, centroids=cents
+    )

@@ -89,6 +89,11 @@ RAMP_QUERIES = [
     # mergeable histogram quantile sketch over events: two scans + one
     # map-side-combined groupBy; everything after reduction is bin rows
     ("quantile_sketch_merged", "linear", "x100"),
+    # exact-oracle Lloyd's trainer: per-iteration work linear in rows
+    # (exploded-dims mean shuffle + broadcast centroid probe); the
+    # correctness anchor runs on eval-sized corpora, production trains
+    # via the numpy GEMM path — capped at x10 like the other anchors
+    ("kmeans_train", "linear", "x10"),
     ("dup_ngram_spans", "linear", "x100"),
     ("clean_corpus", "linear", "x100"),
     ("text_stats", "linear", "x300"),

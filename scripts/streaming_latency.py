@@ -441,6 +441,19 @@ reference punctuator parity); everything above it is trigger/commit
 overhead. A number materially past ~6 s would mean micro-batches are
 backing up at this load; a number under 5 s would mean the buffer
 semantics are broken.
+
+## RocksDB changelog checkpointing: measured at this state size (round 7)
+
+Back-to-back idle-box runs measured the rocksdb variant at p95 7.45 s
+with `changelog_checkpointing=True` and 7.41 s without — while the
+hdfs variant (zero config change) swung 6.95 -> 8.26 s between the
+same sessions. Conclusion: at THIS state size the changelog flag's
+cost is indistinguishable from the box's run-to-run variance, and its
+benefit (checkpoint cost proportional to the state DELTA rather than
+the store size) only materializes at multi-GB state. It is therefore
+OPT-IN on `UnifyConfig` rather than bundled with `rocksdb_state`:
+turning it on silently changes the checkpoint format for a property
+this deployment size cannot observe — see docs/DEPLOYMENT.md §5.
 """
     (_ROOT / "LATENCY.md").write_text(md)
     print(json.dumps(out))
