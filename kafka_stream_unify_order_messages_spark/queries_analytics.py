@@ -1844,3 +1844,43 @@ def quantile_sketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_value", 6).alias("exact_value"),
         F.round(err, 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the STREAMING windowed value histogram
+# (streaming/windowed.py:windowed_value_histogram — same function, same
+# code path batch or stream): per-day fixed-bounds histograms with
+# out-of-range clamping into the edge bins. Value-checks the exact
+# binning/windowing the streaming leg emits, the same way
+# near_dup_first_wins pins the streaming dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "windowed_histogram",
+    """
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0)
+                                 / 1000.0 * 16) AS BIGINT), 0), 15) AS bin,
+       count(*) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+        windowed_value_histogram,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    wh = windowed_value_histogram(
+        events, ts_col="ts", value_col="value",
+        lo=0.0, hi=1000.0, n_bins=16, window="1 day",
+    )
+    return wh.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "bin",
+        "cnt",
+    )

@@ -77,3 +77,24 @@ def test_throughput_slices_never_split_an_order(spark):
         .count()
     )
     assert split == 0
+
+
+def test_dedup_throughput_corpus_has_designed_dup_structure(spark):
+    """STREAMING_DEDUP.md's load-bearing generator: every 10th doc
+    re-sends doc (i-9)'s text VERBATIM (so exactly one of each pair is
+    flagged regardless of intra-batch arrival order), non-resend texts
+    are distinct, and generation is deterministic."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from streaming_dedup_throughput import synth_docs
+
+    rows = {r["doc_id"]: r["text"] for r in synth_docs(spark, 200).collect()}
+    assert len(rows) == 200
+    for i in range(9, 200, 10):
+        assert rows[i] == rows[i - 9], i
+    originals = [rows[i] for i in range(200) if i % 10 != 9]
+    assert len(set(originals)) == len(originals)  # no accidental dups
+    again = {r["doc_id"]: r["text"] for r in synth_docs(spark, 200).collect()}
+    assert again == rows
