@@ -1,0 +1,42 @@
+"""Partition-count invariance: a query's RESULT must not depend on
+spark.sql.shuffle.partitions — the knob that differs most between
+local[4] tests and a 1000-executor cluster. Catches anything leaning on
+spark_partition_id, per-partition iteration order, or unrounded float
+aggregation order. Representative set: the flagship (stateful-agg
+shape), a banded join (dedup family), a numpy-kernel ANN form, the
+histogram sketch, and the iterative trainer whose determinism contract
+is exactly this invariance.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_unify_order_messages_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+REPRESENTATIVES = [
+    "unify_projection",
+    "minhash_dedup_pairs",
+    "knn_join_topk",
+    "quantile_sketch_merged",
+    "kmeans_train",
+]
+
+
+def _rows(spark_session, name):
+    df = QUERIES[name](spark_session, SF)
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_under_shuffle_partitions(spark, name):
+    few = spark.newSession()
+    few.conf.set("spark.sql.shuffle.partitions", "3")
+    many = spark.newSession()
+    many.conf.set("spark.sql.shuffle.partitions", "17")
+    assert _rows(few, name) == _rows(many, name)
