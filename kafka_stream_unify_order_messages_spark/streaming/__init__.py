@@ -14,8 +14,10 @@ from kafka_stream_unify_order_messages_spark.streaming.joins import (
     stream_stream_join,
 )
 from kafka_stream_unify_order_messages_spark.streaming.ingest import (
+    cell_assign_expr,
     clean_corpus_stream,
     screen_stream_near_dups,
+    screen_stream_semantic,
 )
 from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
     band_decisions_stream,
@@ -41,6 +43,8 @@ __all__ = [
     "dedup_within_watermark",
     "clean_corpus_stream",
     "screen_stream_near_dups",
+    "screen_stream_semantic",
+    "cell_assign_expr",
     "band_decisions_stream",
     "near_dup_verdicts",
     "windowed_value_histogram",

@@ -119,3 +119,70 @@ def screen_stream_near_dups(
         cond = F.col(f"_cbk{b}").isNull()
         miss_all = cond if miss_all is None else (miss_all & cond)
     return out.filter(miss_all).select(*docs.columns)
+
+
+def cell_assign_expr(vec_col, centroids) -> F.Column:
+    """Scan-local IVF cell assignment as a pure Column expression:
+    argmin over the broadcast centroid list of ``-2*dot(v, c) + |c|^2``
+    (the |v|^2 term is constant per row), ties to the lowest cell id —
+    exactly `operators/similarity.ivf_assign`'s rule, but with no numpy
+    batch and no aggregation, so it is legal in an append-mode STREAMING
+    plan. Cost: k x dim multiply-adds per row as interpreted HOF ops —
+    fine for per-arrival assignment, not for corpus-scale batch passes
+    (those use the GEMM kernel).
+    """
+    import math
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cands = []
+    for cid, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = -2.0 * F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) + F.lit(math.fsum(float(x) * float(x) for x in c))
+        cands.append(
+            F.struct(d.alias("d"), F.lit(cid).cast("int").alias("cid"))
+        )
+    return F.array_min(F.array(*cands))["cid"]
+
+
+def screen_stream_semantic(
+    docs: DataFrame,
+    index_cells: DataFrame,
+    centroids,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    index_vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style screen for a STREAM of embedded documents against a
+    persisted IVF index of history: forward only arrivals whose cosine
+    vs every indexed vector in their assigned cell stays below
+    ``threshold``. The embedding analogue of `screen_stream_near_dups` —
+    state-free (one scan-local cell assignment + one stream-static
+    LEFT ANTI join on the cell), so it is append-legal with no watermark.
+
+    Recall contract: nprobe=1 BY DESIGN — an arrival is only compared
+    against its own cell. Near-dups that land across a cell boundary are
+    caught by the periodic batch compaction (`semantic_dedup`), the same
+    division of labor as the near-dup screen. ``index_cells`` must carry
+    (index_vec_col, centroid_id) — the `<path>/cells` half
+    of `save_ivf_index`; partition pruning applies when the anti join's
+    cell filter reaches that layout. ``id_col`` rides through untouched
+    with every other arrival column.
+    """
+    from kafka_stream_unify_order_messages_spark.functions.vectors import (
+        cosine,
+    )
+
+    tagged = docs.withColumn("_cell", cell_assign_expr(vec_col, centroids))
+    idx = index_cells.select(
+        F.col("centroid_id").alias("_icell"),
+        F.col(index_vec_col).alias("_ivec"),
+    )
+    hit = (F.col("_icell") == F.col("_cell")) & (
+        cosine(F.col(vec_col), F.col("_ivec")) >= F.lit(threshold)
+    )
+    return tagged.join(idx, on=hit, how="left_anti").drop("_cell")

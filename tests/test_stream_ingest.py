@@ -124,3 +124,108 @@ def test_screen_stream_near_dups_vs_static_history(spark, tmp_path):
         assert spark.table(name).columns == ["doc_id", "text"]
     finally:
         query.stop()
+
+
+def test_screen_stream_semantic_vs_brute_force(spark, tmp_path):
+    """Streaming semantic screen vs a persisted IVF index: arrivals that
+    re-send an indexed vector are dropped (cos 1.0 in their own cell);
+    the kept set equals the brute-force within-cell rule, and the
+    scan-local cell assignment matches the batch GEMM assigner."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+    from kafka_stream_unify_order_messages_spark.streaming.ingest import (
+        cell_assign_expr,
+        screen_stream_semantic,
+    )
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding").limit(200)
+    cents = np.asarray(
+        [S.hyperplane(900 + c, 64) for c in range(8)], dtype=np.float64
+    )
+    path = str(tmp_path / "ivf")
+    S.save_ivf_index(corpus, path, n_centroids=8, centroids=cents)
+    cells = spark.read.parquet(path + "/cells")
+    cent_list = [list(map(float, c)) for c in cents]
+
+    # scan-local assignment == batch GEMM assignment
+    got_cells = {
+        r["vec_id"]: r["c"]
+        for r in corpus.withColumn(
+            "c", cell_assign_expr("embedding", cent_list)
+        ).collect()
+    }
+    want_cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assign(corpus, cents).collect()
+    }
+    assert got_cells == want_cells
+
+    # arrivals: 5 verbatim re-sends of indexed vectors + 5 fresh randoms
+    rng = np.random.default_rng(7)
+    indexed = corpus.limit(5).collect()
+    arrivals = [
+        (9000 + i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(indexed)
+    ] + [
+        (9100 + i, [float(x) for x in rng.normal(size=64)])
+        for i in range(5)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [a[0] for a in arrivals],
+            "embedding": [a[1] for a in arrivals],
+        }),
+        f"{src}/b0.parquet",
+    )
+    name = f"sem_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        "doc_id long, embedding array<double>"
+    ).parquet(str(src))
+    q = (
+        screen_stream_semantic(
+            stream, cells, cent_list, threshold=0.99
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    # brute-force expectation: drop iff some indexed vector in the
+    # arrival's own cell has cosine >= threshold
+    cell_rows = cells.collect()
+    by_cell = {}
+    for r in cell_rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        by_cell.setdefault(r["centroid_id"], []).append(v)
+    want_kept = set()
+    for doc_id, vec in arrivals:
+        v = np.asarray(vec)
+        d = ((cents - v) ** 2).sum(axis=1) - (v * v).sum()
+        cell = int(np.argmin(d))
+        hits = [
+            float(v @ u / (np.linalg.norm(v) * np.linalg.norm(u)))
+            for u in by_cell.get(cell, [])
+        ]
+        if not any(h >= 0.99 for h in hits):
+            want_kept.add(doc_id)
+    assert kept == want_kept
+    assert all(9000 + i not in kept for i in range(5))  # re-sends dropped
