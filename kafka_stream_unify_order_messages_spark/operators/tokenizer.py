@@ -399,13 +399,18 @@ def learn_unigram(
     wf = word_freqs(df, text_col).localCheckpoint()
     seed = seed_unigram_pieces(wf, max_piece_len, max_pieces).collect()
     total = sum(r["cnt"] for r in seed)
-    logp = {r["piece"]: math.log(r["cnt"] / total) for r in seed}
+    # log-probs round to 6 decimals at the seed AND at every EM
+    # boundary: DP scores are then sums of identical quantized doubles
+    # in identical order across engines, which is what lets the DuckDB
+    # oracle re-train this model bit-exactly (the same iteration-
+    # boundary rounding rule as kmeans_train_exact)
+    logp = {r["piece"]: round(math.log(r["cnt"] / total), 6) for r in seed}
 
     for _ in range(em_iterations):
         counts = _viterbi_counts(wf, logp).collect()
         total = sum(r["cnt"] for r in counts)
         logp = {
-            r["piece"]: math.log(r["cnt"] / total)
+            r["piece"]: round(math.log(r["cnt"] / total), 6)
             for r in counts
             if r["cnt"] > 0
         }

@@ -827,6 +827,159 @@ def unigram_seed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TK.seed_unigram_pieces(TK.word_freqs(docs))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Unigram tokenizer ORACLE (round 7): the DuckDB side re-trains the full
+# Viterbi-EM pipeline from scratch — seed substring counts -> seed
+# log-probs -> per-word Viterbi DP (a recursive CTE carrying the best
+# score AND segmentation for the last max_piece_len positions) -> piece
+# counts -> re-estimated log-probs -> second EM round — and must match
+# the distributed trainer bit-for-bit. Made possible by the same
+# iteration-boundary rule as kmeans_train: log-probs round to 6 decimals
+# at the seed and at every EM boundary (operators/tokenizer.learn_unigram),
+# so DP scores are sums of identical quantized doubles in identical
+# order on both engines; DP ties resolve (score, longest-last-piece) in
+# both (the SQL argmax is list_max over (score, j) structs; the Python
+# loop keeps the smallest start on equal score — same rule, proven in
+# the prototype and pinned by the strict gate).
+# ---------------------------------------------------------------------------
+
+
+def _unigram_dp_cte(name: str, lp: str, src: str = "wf") -> str:
+    """One Viterbi pass as a recursive CTE: state per (word, pos) is the
+    last-4-positions history of (best score, best segmentation), so each
+    recursion step only needs the previous iteration's row."""
+    return f"""{name} AS (
+    SELECT word, freq, 0 AS pos,
+           [{{'score': CAST(0.0 AS DOUBLE),
+              'pieces': CAST([] AS VARCHAR[])}}] AS hist
+    FROM {src}
+  UNION ALL
+    SELECT word, freq, pos + 1,
+           list_prepend(
+               {{'score': best.score,
+                 'pieces': list_append(hist[best.j].pieces, best.piece)}},
+               hist[1:3]
+           )
+    FROM (
+        SELECT d.*,
+               list_sort(list_filter([
+                   {{'score': d.hist[1].score
+                              + coalesce(p1.lp, CAST(-100.0 AS DOUBLE)),
+                     'j': 1, 'piece': substr(d.word, d.pos + 1, 1)}},
+                   CASE WHEN d.pos >= 1 AND p2.lp IS NOT NULL THEN
+                       {{'score': d.hist[2].score + p2.lp,
+                         'j': 2, 'piece': substr(d.word, d.pos, 2)}} END,
+                   CASE WHEN d.pos >= 2 AND p3.lp IS NOT NULL THEN
+                       {{'score': d.hist[3].score + p3.lp,
+                         'j': 3, 'piece': substr(d.word, d.pos - 1, 3)}} END,
+                   CASE WHEN d.pos >= 3 AND p4.lp IS NOT NULL THEN
+                       {{'score': d.hist[4].score + p4.lp,
+                         'j': 4, 'piece': substr(d.word, d.pos - 2, 4)}} END
+               ], x -> x IS NOT NULL))[-1] AS best
+        FROM {name} d
+        LEFT JOIN {lp} p1 ON p1.piece = substr(d.word, d.pos + 1, 1)
+        LEFT JOIN {lp} p2 ON d.pos >= 1
+                         AND p2.piece = substr(d.word, d.pos, 2)
+        LEFT JOIN {lp} p3 ON d.pos >= 2
+                         AND p3.piece = substr(d.word, d.pos - 1, 3)
+        LEFT JOIN {lp} p4 ON d.pos >= 3
+                         AND p4.piece = substr(d.word, d.pos - 2, 4)
+        WHERE d.pos < length(d.word)
+    )
+)"""
+
+
+def _unigram_ctes(em_iterations: int = 2) -> tuple[str, str]:
+    """(cte_block, final_lp_name): seed counts/log-probs plus
+    ``em_iterations`` chained (DP -> counts -> log-probs) rounds."""
+    parts = [f"""WITH RECURSIVE
+wf AS (
+    SELECT word, count(*) AS freq
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+    GROUP BY word
+),
+subs AS (
+    SELECT word[i : i + L - 1] AS piece, freq
+    FROM wf, range(1, 201) t(i), range(1, 5) u(L)
+    WHERE i <= length(word) AND i + L - 1 <= length(word)
+),
+scounts AS (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM subs GROUP BY piece
+),
+seed AS MATERIALIZED (
+    SELECT piece, cnt FROM scounts WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM scounts WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT 64
+    )
+),
+lp0 AS MATERIALIZED (
+    SELECT piece,
+           round(ln(CAST(cnt AS DOUBLE)
+                    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)), 6)
+               AS lp
+    FROM seed
+)"""]
+    lp = "lp0"
+    for i in range(1, em_iterations + 1):
+        parts.append(",\n" + _unigram_dp_cte(f"dp{i}", lp))
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT piece, sum(freq) AS cnt
+    FROM (SELECT unnest(hist[1].pieces) AS piece, freq
+          FROM dp{i} WHERE pos = length(word))
+    GROUP BY piece
+),
+lp{i} AS MATERIALIZED (
+    SELECT piece,
+           round(ln(CAST(cnt AS DOUBLE)
+                    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c{i})), 6)
+               AS lp
+    FROM c{i} WHERE cnt > 0
+)""")
+        lp = f"lp{i}"
+    return "".join(parts), lp
+
+
+def _unigram_learn_sql(em_iterations: int = 2) -> str:
+    ctes, lp = _unigram_ctes(em_iterations)
+    return f"{ctes}\nSELECT piece, lp AS logp FROM {lp}"
+
+
+def _unigram_segment_sql(em_iterations: int = 2) -> str:
+    ctes, lp = _unigram_ctes(em_iterations)
+    n = em_iterations + 1
+    return f"""{ctes},
+{_unigram_dp_cte(f'dp{n}', lp)},
+seg AS MATERIALIZED (
+    SELECT word, hist[1].pieces AS pieces
+    FROM dp{n} WHERE pos = length(word)
+),
+dw AS (
+    SELECT doc_id, unnest(ws) AS word,
+           unnest(generate_series(1, len(ws))) AS ord
+    FROM (SELECT doc_id, {_TOKS} AS ws FROM documents)
+),
+agg AS (
+    SELECT dw.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(len(s.pieces))::BIGINT AS n_pieces,
+           md5(string_agg(array_to_string(s.pieces, ' '), ' '
+               ORDER BY dw.ord)) AS pieces_hash
+    FROM dw JOIN seg s USING (word)
+    WHERE length(dw.word) >= 1
+    GROUP BY dw.doc_id
+)
+SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.pieces_hash, md5('')) AS pieces_hash
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # train once per dataset (same license as _BPE_MEMO: the corpus is
 # immutable and "train once, apply many" is the production shape)
 _UNIGRAM_MEMO: dict[str, dict] = {}
@@ -839,20 +992,22 @@ def _learned_unigram(spark: SparkSession, sf_dir: str) -> dict:
     return _UNIGRAM_MEMO[sf_dir]
 
 
-@query("unigram_learn_pieces")  # Viterbi-EM loop — not SQL-expressible
+@query("unigram_learn_pieces", _unigram_learn_sql())
 def unigram_learn_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained pieces with 6-decimal log-probs, deterministic order.
-    Rows-only driver check; tests/test_tokenizer.py holds the Viterbi
-    optimality and determinism checks."""
+    """Trained pieces with 6-decimal log-probs, STRICT-ORACLED (round
+    7): the DuckDB side re-trains the Viterbi-EM model from scratch via
+    recursive-CTE DP rounds — see _unigram_ctes. tests/test_tokenizer.py
+    additionally holds the Viterbi optimality and determinism checks."""
     logp = _learned_unigram(spark, sf_dir)
     rows = sorted((p, round(lp, 6)) for p, lp in logp.items())
     return spark.createDataFrame(rows, "piece STRING, logp DOUBLE")
 
 
-@query("unigram_segment_stats")  # applies the learned (iterative) model
+@query("unigram_segment_stats", _unigram_segment_sql())
 def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus re-tokenized with the trained unigram LM: per-doc word and
-    piece counts plus a deterministic segmentation hash."""
+    piece counts plus a deterministic segmentation hash — strict-oracled
+    against the SQL-re-trained model's own Viterbi segmentation."""
     docs = _load(spark, sf_dir, "documents")
     return TK.unigram_segment(docs, _learned_unigram(spark, sf_dir))
 
@@ -891,7 +1046,7 @@ def _independent_unigram(
     seed = {p: c for p, c in subs.items() if len(p) == 1}
     seed.update(dict(multi))
     total = sum(seed.values())
-    logp = {p: math.log(c / total) for p, c in seed.items()}
+    logp = {p: round(math.log(c / total), 6) for p, c in seed.items()}
 
     def viterbi(word: str, model: dict) -> list:
         # backward recursion with memo (vs the operator's forward loop);
@@ -930,7 +1085,11 @@ def _independent_unigram(
             for piece in viterbi(w, logp):
                 counts[piece] += f
         total = sum(counts.values())
-        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+        logp = {
+            p: round(math.log(c / total), 6)
+            for p, c in counts.items()
+            if c > 0
+        }
 
     return logp, {w: viterbi(w, logp) for w in wf}
 

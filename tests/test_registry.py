@@ -69,14 +69,9 @@ ROWS_ONLY_ALLOWED = {
     # construction, so no SQL oracle exists; perfection pinned by
     # test_tokenizer.py::test_unigram_agreement_eval_is_perfect
     "unigram_agreement_eval",
-    # Viterbi hard-EM over a data-dependent piece vocabulary (unigram-LM
-    # training loop) is not SQL-expressible; seeding IS oracled
-    # (unigram_seed_pieces) and optimality/determinism pinned by
-    # test_tokenizer.py (brute-force Viterbi oracle)
-    "unigram_learn_pieces",
-    # applies the learned unigram vocab (same iterative dependency);
-    # coverage/roundtrip pinned by test_tokenizer.py
-    "unigram_segment_stats",
+    # unigram_learn_pieces / unigram_segment_stats graduated to strict
+    # oracles in round 7 (recursive-CTE Viterbi-EM re-training — see
+    # queries_training._unigram_ctes)
 }
 
 
