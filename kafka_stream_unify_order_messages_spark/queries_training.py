@@ -1525,17 +1525,34 @@ JOIN (
     return "".join(parts)
 
 
+# train once per dataset (same license as _BPE_MEMO/_UNIGRAM_MEMO):
+# kmeans_train and ann_ivf_trained share the exact-trained model
+_KMEANS_MEMO: dict[str, list] = {}
+
+
+def _exact_centroid_rows(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _KMEANS_MEMO:
+        from kafka_stream_unify_order_messages_spark.operators import (
+            similarity as S,
+        )
+
+        emb = _load(spark, sf_dir, "embeddings")
+        _KMEANS_MEMO[sf_dir] = S.kmeans_train_exact(
+            emb, "vec_id", "embedding", 64, 8, 3
+        ).collect()
+    return _KMEANS_MEMO[sf_dir]
+
+
 @query("kmeans_train", _kmeans_sql())
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained k-means centroids (k=8, 3 Lloyd rounds) plus cluster
     sizes, strict-oracled: DuckDB re-trains the model from scratch and
     every centroid coordinate must match to the rounded digit."""
-    from kafka_stream_unify_order_messages_spark.operators import (
-        similarity as S,
+    rows = _exact_centroid_rows(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r["cid"], r["dim"], r["coord"], r["n_assigned"]) for r in rows],
+        "cid LONG, dim LONG, coord DOUBLE, n_assigned LONG",
     )
-
-    emb = _load(spark, sf_dir, "embeddings")
-    return S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -1618,7 +1635,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _load(spark, sf_dir, "embeddings")
-    rows = S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 3).collect()
+    rows = _exact_centroid_rows(spark, sf_dir)
     assert len(rows) == 8 * 64, f"empty cluster: {len(rows)} centroid rows"
     cents = np.zeros((8, 64), dtype=np.float64)
     for r in rows:

@@ -25,8 +25,21 @@ REPRESENTATIVES = [
 ]
 
 
+def _build(spark_session, name):
+    if name == "kmeans_train":
+        # bypass the registry's train-once memo (it would compare the
+        # cache against itself): invariance of the TRAINER is the claim
+        from kafka_stream_unify_order_messages_spark.operators import (
+            similarity as S,
+        )
+
+        emb = spark_session.read.parquet(f"{SF}/embeddings.parquet")
+        return S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 3)
+    return QUERIES[name](spark_session, SF)
+
+
 def _rows(spark_session, name):
-    df = QUERIES[name](spark_session, SF)
+    df = _build(spark_session, name)
     cols = sorted(df.columns)
     return sorted(
         tuple(r[c] for c in cols) for r in df.select(*cols).collect()
