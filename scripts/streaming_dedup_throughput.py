@@ -220,6 +220,14 @@ def main() -> None:
             "is rejecting band-collision FALSE positives "
             "(tests/test_dedup_stream.py).",
         ]
+    lines += [
+        "",
+        "State lifecycle: by default buckets never expire (dedup history "
+        "is permanent); for infinite streams `ttl_ms` arms a per-bucket "
+        "processing-time timeout — idle buckets are forgotten, every "
+        "touch re-arms (LRU), bounding state at a retention-window "
+        "recall trade (tests/test_dedup_stream.py).",
+    ]
     (_ROOT / "STREAMING_DEDUP.md").write_text("\n".join(lines) + "\n")
     print(f"wrote STREAMING_DEDUP.md with {len(records)} rows")
     spark.stop()
