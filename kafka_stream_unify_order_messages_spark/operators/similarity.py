@@ -1666,12 +1666,16 @@ def kmeans_train_exact(
     """
     from pyspark.sql import Window
 
+    # localCheckpoint, not persist: the exploded frame is read ~2x per
+    # iteration; an eager checkpoint materializes it once and its blocks
+    # free with the DataFrame reference (no CacheManager entry leaking
+    # past this call in long-lived sessions — the learn_unigram rule)
     ex = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
     ).select(
         "vid", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("x")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
 
     seeds = (
         df.select(F.col(id_col).alias("vid"))
