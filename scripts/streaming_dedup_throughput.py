@@ -42,8 +42,18 @@ from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
     near_dup_verdicts,
 )
 
+import os
+
 _ROOT = Path(__file__).resolve().parent.parent
-TIERS = [10_000, 100_000]
+# env overrides for incremental re-measurement (RAMP_ONLY-style): re-run
+# only the requested tiers/modes and merge with the existing JSON records
+TIERS = [
+    int(t) for t in os.environ.get(
+        "SPARK_DEDUP_TIERS", "10000,100000"
+    ).split(",")
+]
+MODES = tuple(os.environ.get("SPARK_DEDUP_MODES", "bulk,sustained").split(","))
+RUN_VERIFIED = os.environ.get("SPARK_DEDUP_VERIFIED", "1") == "1"
 N_FILES = 20
 VOCAB = 100
 WORDS_PER_DOC = 60
@@ -145,16 +155,16 @@ def main() -> None:
             "overwrite"
         ).parquet(src)
         try:
-            for mode in ("bulk", "sustained"):
+            for mode in MODES:
                 for store in ("hdfs", "rocksdb"):
                     rec = run_tier(spark, n, src, mode, store)
                     records.append(rec)
                     print(json.dumps(rec), flush=True)
-            if n == TIERS[-1]:
+            if n == TIERS[-1] and RUN_VERIFIED:
                 # verified mode at the top tier: the cost of carrying the
                 # exemplar signature (num_hashes longs) in bucket state
                 # and the per-collision compare
-                for mode in ("bulk", "sustained"):
+                for mode in MODES:
                     for store in ("hdfs", "rocksdb"):
                         rec = run_tier(
                             spark, n, src, mode, store, verify=True
@@ -164,9 +174,21 @@ def main() -> None:
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
-    (_ROOT / "STREAMING_DEDUP.json").write_text(
-        json.dumps(records, indent=1) + "\n"
-    )
+    # merge with prior records (tier/mode/store/verified keyed), so a
+    # partial env-selected run extends rather than replaces the report
+    prior_path = _ROOT / "STREAMING_DEDUP.json"
+    if prior_path.exists():
+        key = lambda r: (  # noqa: E731
+            r["docs_in"], r["mode"], r["store"], bool(r.get("verified"))
+        )
+        fresh = {key(r) for r in records}
+        records = [
+            r for r in json.loads(prior_path.read_text())
+            if key(r) not in fresh
+        ] + records
+        records.sort(key=lambda r: (bool(r.get("verified")), r["docs_in"],
+                                    r["mode"], r["store"]))
+    prior_path.write_text(json.dumps(records, indent=1) + "\n")
     lines = [
         "# STREAMING_DEDUP — measured streaming near-dup dedup throughput",
         "",
@@ -196,7 +218,8 @@ def main() -> None:
         for r in records
         if r["mode"] == "bulk" and not r.get("verified")
     }
-    lo, hi = TIERS[0], TIERS[-1]
+    tiers_present = sorted({r["docs_in"] for r in records})
+    lo, hi = tiers_present[0], tiers_present[-1]
     if (lo, "hdfs") in bulk and (hi, "hdfs") in bulk:
         lines += [
             "",
