@@ -1666,6 +1666,11 @@ def kmeans_train_exact(
     """
     from pyspark.sql import Window
 
+    if iters < 1:
+        # `assign` only materializes inside the loop; with zero rounds
+        # there is no assignment to size clusters from (and "trained with
+        # zero iterations" is a caller bug, not a degenerate model)
+        raise ValueError(f"kmeans_train_exact needs iters >= 1, got {iters}")
     # localCheckpoint, not persist: the exploded frame is read ~2x per
     # iteration; an eager checkpoint materializes it once and its blocks
     # free with the DataFrame reference (no CacheManager entry leaking

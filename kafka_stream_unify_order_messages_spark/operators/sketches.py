@@ -585,7 +585,12 @@ def histogram_quantiles(
         .cast("double"),
     )
     qs = spark.createDataFrame([(q,) for q in quantiles], "q double")
-    target = F.col("q") * F.col("n")
+    # clamp the target rank to a tiny positive value so q = 0.0 hits the
+    # first present bin (rank 0 can never satisfy `cum - cnt < target`
+    # because the first bin's cum-cnt IS 0) and returns that bin's left
+    # edge; for q > 0 the clamp is inert (q*n >= q >= 1e-12 whenever the
+    # sketch is non-empty), so existing estimates stay bit-identical
+    target = F.greatest(F.col("q") * F.col("n"), F.lit(1e-12))
     hit = cum.crossJoin(F.broadcast(qs)).filter(
         (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
     )

@@ -1684,9 +1684,14 @@ WITH bounds AS (
     FROM events
 ),
 sk AS (
+    -- CASE mirrors histogram_sketch's hi==lo degenerate branch (constant
+    -- column -> everything in bin 0) so strict parity holds even on a
+    -- constant-valued corpus
     SELECT event_type, lo, hi,
-           least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 64)
-                      AS BIGINT), 63) AS bin,
+           CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                ELSE least(CAST(floor((CAST(value AS DOUBLE) - lo)
+                                      / (hi - lo) * 64) AS BIGINT), 63)
+           END AS bin,
            count(*) AS cnt
     FROM events CROSS JOIN bounds
     GROUP BY event_type, lo, hi, bin
@@ -1782,9 +1787,12 @@ WITH bounds AS (
     FROM events
 ),
 sk AS (
+    -- same hi==lo constant-column guard as quantile_sketch_merged's sk
     SELECT event_type, lo, hi,
-           least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 64)
-                      AS BIGINT), 63) AS bin,
+           CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                ELSE least(CAST(floor((CAST(value AS DOUBLE) - lo)
+                                      / (hi - lo) * 64) AS BIGINT), 63)
+           END AS bin,
            count(*) AS cnt
     FROM events CROSS JOIN bounds
     GROUP BY event_type, lo, hi, bin

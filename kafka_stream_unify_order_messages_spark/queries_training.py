@@ -1094,10 +1094,34 @@ def _independent_unigram(
     return logp, {w: viterbi(w, logp) for w in wf}
 
 
-@query("unigram_agreement_eval")  # deterministic 1-row eval; bounds the
-# rows-only unigram_learn_pieces / unigram_segment_stats the way
-# semdedup_agreement_eval bounds SemDeDup: a from-scratch pure-Python
-# trainer must reproduce the distributed trainer exactly
+def _unigram_agreement_sql(em_iterations: int = 2) -> str:
+    """Strict oracle for the agreement eval: DuckDB re-trains the model a
+    THIRD time (the recursive-CTE Viterbi-EM chain that already bit-
+    matches the distributed trainer — unigram_learn_pieces) and asserts
+    PERFECT agreement at that model's sizes: every piece's 6-decimal
+    log-prob agrees, every vocab word's segmentation agrees, agreement =
+    1.0. If either Python implementation (distributed trainer or the
+    independent single-process one) drifts from the SQL-retrained model,
+    the counts the eval reports fall below these maxima and the hash
+    breaks — a stricter check than recording the eval's own numbers."""
+    ctes, lp = _unigram_ctes(em_iterations)
+    return f"""{ctes}
+SELECT CAST(np AS INTEGER) AS n_pieces_dist,
+       CAST(np AS INTEGER) AS n_pieces_indep,
+       CAST(np AS INTEGER) AS n_logp_agree,
+       CAST(nw AS INTEGER) AS n_vocab_words,
+       CAST(nw AS INTEGER) AS n_seg_agree,
+       1.0 AS agreement
+FROM (SELECT count(*) AS np FROM {lp})
+CROSS JOIN (SELECT count(*) AS nw FROM wf WHERE length(word) >= 1)
+"""
+
+
+@query("unigram_agreement_eval", _unigram_agreement_sql())
+# bounds unigram training end-to-end the way semdedup_agreement_eval
+# bounds SemDeDup: a from-scratch pure-Python trainer must reproduce the
+# distributed trainer exactly, and the oracle pins both to the DuckDB
+# re-trained model's theoretical maxima (see _unigram_agreement_sql)
 def unigram_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement between the DISTRIBUTED unigram trainer (seed counts +
     Viterbi-EM passes over the cluster) and an independent single-process

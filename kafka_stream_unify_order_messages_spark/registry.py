@@ -525,13 +525,14 @@ import kafka_stream_unify_order_messages_spark.queries_analytics  # noqa: E402,F
 #
 # 1. The SURVEY.md §2 reference pipeline (14 queries) is PINNED first —
 #    the reference's own semantics get a driver-checked row every round.
-# 2. Every other ORACLED query follows in a deterministic rotation keyed
-#    on the round number: each round the rotation advances by the
-#    remaining window width (50 - 14 = 36 slots), so successive rounds
-#    verify disjoint 36-query slices and every oracled query lands in the
-#    driver window within ceil(n_oracled / 36) rounds — the builder's
-#    strict sweep stays the per-round safety net, but each query also
-#    eventually earns an independent driver-green row.
+# 2. Every other ORACLED query follows COVERAGE-FIRST: queries that have
+#    never appeared in any driver CORRECTNESS_r{N}.json fill the window
+#    before already-confirmed ones (self-advancing — each round's
+#    artifact moves its window into the checked set), and the confirmed
+#    remainder keeps the round-keyed rotation so repeat visits spread
+#    out. The builder's strict sweep stays the per-round safety net, but
+#    each query also earns an independent driver-green row in
+#    ceil(n_unchecked / 36) rounds instead of drifting behind growth.
 # 3. Rows-only queries (no oracle) sort last: a driver window slot spent
 #    on a rows-only check verifies strictly less than one spent on a
 #    value-hash check.
@@ -585,15 +586,47 @@ def _current_round() -> int:
     return max(rounds) + 1 if rounds else 1
 
 
+def _driver_checked_names() -> set[str]:
+    """Union of every query name that has EVER appeared in a driver
+    CORRECTNESS_r{N}.json — i.e. has an independent driver-green row.
+
+    The registry grew faster than the 36 rotating window slots per round
+    (210 queries vs 36), so a plain round-keyed rotation leaves a long
+    never-driver-checked tail. Ordering that tail FIRST is self-advancing:
+    each round's artifact moves its window into the checked set, so the
+    next round's window starts where coverage actually stops — no offset
+    bookkeeping, and the order is deterministic for the whole round
+    (the driver writes round N's artifact only after running the gate).
+    """
+    import json
+    from pathlib import Path
+
+    checked: set[str] = set()
+    for root in (Path(__file__).resolve().parent.parent, Path.cwd()):
+        files = sorted(root.glob("CORRECTNESS_r*.json"))
+        for p in files:
+            try:
+                checked.update(json.loads(p.read_text()))
+            except (OSError, ValueError):
+                continue
+        if files:
+            break
+    return checked
+
+
 # Canonical base order, captured once at import: rotation must slice a
 # STABLE sequence — rotating the current (already-rotated) dict would
 # compound offsets and break the disjoint-slices-per-round guarantee.
 _BASE_ORDER: list[str] = []
 
 
-def _apply_registration_order(round_no: int | None = None) -> None:
+def _apply_registration_order(
+    round_no: int | None = None, checked: set[str] | None = None
+) -> None:
     if round_no is None:
         round_no = _current_round()
+    if checked is None:
+        checked = _driver_checked_names()
     if not _BASE_ORDER:
         _BASE_ORDER.extend(_PINNED)
         _BASE_ORDER.extend(n for n in QUERIES if n not in _PINNED)
@@ -616,8 +649,18 @@ def _apply_registration_order(round_no: int | None = None) -> None:
     rows_only = [
         n for n in _BASE_ORDER if n not in ordered and n not in ORACLES
     ]
-    off = ((round_no - 1) * _ROTATING_SLOTS) % len(oracled) if oracled else 0
-    for name in oracled[off:] + oracled[:off] + rows_only:
+    # coverage-first: queries WITHOUT a driver-green row fill the window
+    # before already-confirmed ones (see _driver_checked_names); within
+    # each tier the round-keyed rotation still advances so repeat visits
+    # spread across the confirmed set instead of re-checking a fixed head
+    unchecked = [n for n in oracled if n not in checked]
+    confirmed = [n for n in oracled if n in checked]
+    off = (
+        ((round_no - 1) * _ROTATING_SLOTS) % len(confirmed)
+        if confirmed
+        else 0
+    )
+    for name in unchecked + confirmed[off:] + confirmed[:off] + rows_only:
         ordered[name] = QUERIES[name]
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -52,4 +52,11 @@ def test_result_invariant_under_shuffle_partitions(spark, name):
     few.conf.set("spark.sql.shuffle.partitions", "3")
     many = spark.newSession()
     many.conf.set("spark.sql.shuffle.partitions", "17")
-    assert _rows(few, name) == _rows(many, name)
+    rows_few = _rows(few, name)
+    # newSession() shares the SparkContext's CacheManager: a query-internal
+    # persist from the 3-partition build (quantile_sketch_merged's merged
+    # sketch) would be plan-matched and REUSED by the 17-partition build,
+    # making the comparison read the first run's cache. Clear it so the
+    # second build actually re-executes at 17 partitions.
+    many.catalog.clearCache()
+    assert rows_few == _rows(many, name)
