@@ -25,24 +25,6 @@ _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
-# Trained k-means centroids are deterministic per (dataset, n_centroids)
-# — train_ivf_centroids samples the lowest ids and runs fixed-iteration
-# Lloyd — so repeated IVF/SemDeDup queries reuse them instead of paying
-# the driver-side collect + train on every call (same pattern as the BPE
-# merge-table memo in queries_training.py).
-_CENTROID_MEMO: dict = {}
-
-
-def _trained_centroids(spark: SparkSession, sf_dir: str, n_centroids: int):
-    key = (sf_dir, n_centroids)
-    if key not in _CENTROID_MEMO:
-        emb = _load(spark, sf_dir, "embeddings")
-        _CENTROID_MEMO[key] = S.train_ivf_centroids(
-            emb, "vec_id", "embedding", n_centroids=n_centroids
-        )
-    return _CENTROID_MEMO[key]
-
-
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Every query in this module does CPU-heavy per-row work (hashing,
     tokenization, vector math), so a scan that yields fewer partitions
@@ -1192,23 +1174,11 @@ def mmr_knn_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # rows-only check: the numpy-trained centroids are
-# not SQL-replicable; exactness is pinned by tests/test_ivf.py::
-# test_ivf_full_probe_equals_brute_force (nprobe=all == brute force), the
-# recall floor test, and the strict-oracled twin `ann_ivf_trained`
-# (queries_training.py), whose deterministic trainer + identical search
-# path IS value-checked end-to-end in SQL
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 20 == 0)
-    return S.ivf_topk(
-        queries,
-        emb,
-        k=5,
-        n_centroids=16,
-        nprobe=4,
-        centroids=_trained_centroids(spark, sf_dir, 16),
-    )
+# ann_ivf_topk moved to queries_training.py in round 8, GRADUATED to a
+# strict oracle: it now trains its 16-cell coarse quantizer with the
+# exact-oracle Lloyd's (kmeans_train_exact) instead of the numpy batch
+# path, so the full train -> assign -> probe -> rank chain is
+# value-checked in SQL next to ann_ivf_trained.
 
 
 @query(
@@ -2612,29 +2582,10 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts(docs, "doc_id", "source", alpha=0.7, budget_frac=0.5)
 
 
-@query("semantic_dedup")  # rows-only check: the k-means centroids are
-# data-trained (driver numpy on a deterministic sample), so a static SQL
-# oracle cannot replicate the cluster scoping; pair exactness within a
-# cluster is pinned by tests/test_llm_ops.py::test_semantic_dedup_*
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup composition: cluster-scoped exact cosine pairs ->
-    connected components -> keep the min id of each component."""
-    emb = _load(spark, sf_dir, "embeddings")
-    pairs = S.semantic_dedup_pairs(
-        emb,
-        "vec_id",
-        "embedding",
-        n_centroids=16,
-        threshold=0.35,
-        centroids=_trained_centroids(spark, sf_dir, 16),
-    )
-    clusters = D.dedup_clusters(pairs.select("id_a", "id_b"))
-    losers = F.broadcast(
-        clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-            F.col("doc_id").alias("vec_id")
-        )
-    )
-    return emb.join(losers, "vec_id", "left_anti").select("vec_id")
+# semantic_dedup moved to queries_training.py in round 8, GRADUATED to a
+# strict oracle on the exact-trained 16-cell model: the oracle re-trains
+# the model, re-assigns cells, scores within-cell pairs, and walks the
+# transitive closure with a recursive CTE.
 
 
 # ---------------------------------------------------------------------------

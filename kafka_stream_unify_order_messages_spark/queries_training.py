@@ -1549,22 +1549,46 @@ JOIN (
     return "".join(parts)
 
 
-# train once per dataset (same license as _BPE_MEMO/_UNIGRAM_MEMO):
-# kmeans_train and ann_ivf_trained share the exact-trained model
-_KMEANS_MEMO: dict[str, list] = {}
+# train once per (dataset, k, iters) — same license as _BPE_MEMO /
+# _UNIGRAM_MEMO: kmeans_train, ann_ivf_trained, ann_ivf_topk and
+# semantic_dedup all share the exact-trained model instead of re-paying
+# Lloyd's per query
+_KMEANS_MEMO: dict[tuple, list] = {}
 
 
-def _exact_centroid_rows(spark: SparkSession, sf_dir: str) -> list:
-    if sf_dir not in _KMEANS_MEMO:
+def _exact_centroid_rows(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> list:
+    key = (sf_dir, k, iters)
+    if key not in _KMEANS_MEMO:
         from kafka_stream_unify_order_messages_spark.operators import (
             similarity as S,
         )
 
         emb = _load(spark, sf_dir, "embeddings")
-        _KMEANS_MEMO[sf_dir] = S.kmeans_train_exact(
-            emb, "vec_id", "embedding", 64, 8, 3
+        _KMEANS_MEMO[key] = S.kmeans_train_exact(
+            emb, "vec_id", "embedding", 64, k, iters
         ).collect()
-    return _KMEANS_MEMO[sf_dir]
+    return _KMEANS_MEMO[key]
+
+
+def _exact_centroid_matrix(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+):
+    """Dense (k, 64) float64 matrix of the exact-trained centroids; the
+    no-empty-cluster assert keeps the dense layout honest (an empty
+    cluster would silently become the zero vector and split from the
+    oracle, which just drops the cluster)."""
+    import numpy as np
+
+    rows = _exact_centroid_rows(spark, sf_dir, k, iters)
+    assert len(rows) == k * 64, (
+        f"empty cluster: {len(rows)} centroid rows for k={k}"
+    )
+    cents = np.zeros((k, 64), dtype=np.float64)
+    for r in rows:
+        cents[r["cid"], r["dim"] - 1] = r["coord"]
+    return cents
 
 
 @query("kmeans_train", _kmeans_sql())
@@ -1652,19 +1676,139 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF top-k with the exact-oracle trainer's centroids (k=8,
     3 Lloyd rounds): strict-oracled end-to-end — the SQL side re-trains,
     re-assigns, probes, and ranks independently."""
-    import numpy as np
-
     from kafka_stream_unify_order_messages_spark.operators import (
         similarity as S,
     )
 
     emb = _load(spark, sf_dir, "embeddings")
-    rows = _exact_centroid_rows(spark, sf_dir)
-    assert len(rows) == 8 * 64, f"empty cluster: {len(rows)} centroid rows"
-    cents = np.zeros((8, 64), dtype=np.float64)
-    for r in rows:
-        cents[r["cid"], r["dim"] - 1] = r["coord"]
+    cents = _exact_centroid_matrix(spark, sf_dir, 8, 3)
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return S.ivf_topk(
         queries, emb, k=5, n_centroids=8, nprobe=4, centroids=cents
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_topk, GRADUATED to strict (round 8): formerly rows-only because
+# its coarse quantizer was the numpy batch trainer (data-trained
+# centroids a static oracle cannot replicate). Now it rides the same
+# exact-trained Lloyd's as ann_ivf_trained at its own geometry (k=16
+# cells, nprobe=4 -> a 4/16 corpus scan vs ann_ivf_trained's 4/8), so
+# the oracle re-trains the 16-cell model from scratch and value-checks
+# the full train -> assign -> probe -> rank chain.
+# ---------------------------------------------------------------------------
+
+
+@query("ann_ivf_topk", _ivf_trained_sql(k=5, n_centroids=16, nprobe=4))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = _exact_centroid_matrix(spark, sf_dir, 16, 3)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.ivf_topk(
+        queries, emb, k=5, n_centroids=16, nprobe=4, centroids=cents
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup, GRADUATED to strict (round 8): SemDeDup composition —
+# cluster-scoped exact cosine pairs -> connected components -> keep the
+# min id of each component — on the SAME exact-trained 16-cell model.
+# The oracle re-trains the model (unrolled Lloyd CTEs), re-assigns every
+# vector to its cell with the identical -2·v·c + |c|² argmin, scores
+# within-cell pairs with the 6dp-rounded cosine (numpy-GEMM vs SQL parity
+# for exactly this scoring is already pinned strict by
+# semdedup_agreement_eval), walks the transitive closure with a recursive
+# CTE (the dedup_cluster_labels pattern), and keeps non-losers.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_sql(
+    n_centroids: int = 16, iters: int = 3, dim: int = 64,
+    thr: float = 0.35,
+) -> str:
+    train = _kmeans_sql(n_centroids, iters, dim)
+    ctes = train[: train.rindex("\nSELECT ")]
+    # the reach CTE needs the RECURSIVE marker on the WITH that opens
+    # the trainer chain
+    ctes = ctes.replace("WITH ex AS (", "WITH RECURSIVE ex AS (", 1)
+    return f"""{ctes},
+cw AS (
+    SELECT cid, sum(c * c) AS n2 FROM c{iters} GROUP BY cid
+),
+vd AS (
+    SELECT m.vid, m.cid, m.m2 + w.n2 AS d
+    FROM (
+        SELECT e.vid, c.cid, -2 * sum(e.x * c.c) AS m2
+        FROM ex e JOIN c{iters} c USING (dim)
+        GROUP BY e.vid, c.cid
+    ) m JOIN cw w USING (cid)
+),
+cell AS (
+    SELECT vid, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+    FROM (
+        SELECT vid, cid AS cell,
+               row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM vd
+    ) a JOIN (
+        SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ) e USING (vid)
+    WHERE rn = 1
+),
+prs AS (
+    SELECT a.vid AS id_a, b.vid AS id_b
+    FROM cell a JOIN cell b
+      ON a.cell = b.cell AND a.vid < b.vid
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+          >= {thr!r}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM prs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+losers AS (
+    SELECT src AS vid
+    FROM reach
+    GROUP BY src
+    HAVING least(src, min(dst)) != src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vid FROM losers)
+"""
+
+
+@query("semantic_dedup", _semantic_dedup_sql())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition on the exact-trained 16-cell model:
+    cluster-scoped exact cosine pairs -> connected components -> keep
+    the min id of each component."""
+    from kafka_stream_unify_order_messages_spark.operators import (
+        dedup as DD,
+        similarity as S,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = S.semantic_dedup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        n_centroids=16,
+        threshold=0.35,
+        centroids=_exact_centroid_matrix(spark, sf_dir, 16, 3),
+    )
+    clusters = DD.dedup_clusters(pairs.select("id_a", "id_b"))
+    losers = F.broadcast(
+        clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("vec_id")
+        )
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id")

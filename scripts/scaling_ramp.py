@@ -89,6 +89,9 @@ RAMP_QUERIES = [
     # mergeable histogram quantile sketch over events: two scans + one
     # map-side-combined groupBy; everything after reduction is bin rows
     ("quantile_sketch_merged", "linear", "x100"),
+    # grouped quantile serving from the same sketch pass: identical scan
+    # shape plus per-group windows over bin rows (bounded frames)
+    ("quantile_sketch_by_group", "linear", "x100"),
     # exact-oracle Lloyd's trainer: per-iteration work linear in rows
     # (exploded-dims mean shuffle + broadcast centroid probe); the
     # correctness anchor runs on eval-sized corpora, production trains
@@ -101,6 +104,11 @@ RAMP_QUERIES = [
     ("ann_lsh_buckets", "linear", "x100"),
     ("ann_lsh_topk", "linear+q", "x100"),
     ("knn_join_topk", "linear+q", "x100"),
+    # fully-distributed MMR over knn_join candidates: the knn_join core
+    # (measured above) plus a candidate-bounded greedy re-rank that is
+    # O(fetch_k^2 * k) PER QUERY — constant in corpus size; with |Q|
+    # growing as n/20 in this harness the composed cost is linear+q
+    ("mmr_knn_diversified_topk", "linear+q", "x100"),
     ("ann_ivf_fixed", "linear+q", "x100"),
     # PQ-only ADC is an exhaustive scan — every query scores every code
     # (|Q|x|C| by construction); with |Q| growing alongside the corpus

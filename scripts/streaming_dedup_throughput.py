@@ -51,6 +51,7 @@ TIERS = [
     int(t) for t in os.environ.get(
         "SPARK_DEDUP_TIERS", "10000,100000"
     ).split(",")
+    if t.strip()  # SPARK_DEDUP_TIERS="" -> TTL-study-only run
 ]
 MODES = tuple(os.environ.get("SPARK_DEDUP_MODES", "bulk,sustained").split(","))
 RUN_VERIFIED = os.environ.get("SPARK_DEDUP_VERIFIED", "1") == "1"
@@ -88,6 +89,123 @@ def synth_docs(spark, n: int):
         F.col("id").alias("seq"),
         text.alias("text"),
     )
+
+
+def synth_docs_mixed(spark, n: int):
+    """(doc_id, seq, text) with NEAR and FAR duplicates, for the TTL
+    retention study: doc i with i % 10 == 9 re-sends doc (i - 9) [near —
+    the exemplar arrived seconds ago], and doc i with i % 10 == 4 in the
+    SECOND HALF re-sends doc (i % 100) from the opening batch [far — the
+    exemplar arrived at the start of the run, outside any short
+    retention window]. Designed rates: 10% near overall + 5% far in the
+    second half = 12.5% total."""
+    far = (F.col("id") % 10 == 4) & (F.col("id") >= n // 2)
+    near = (F.col("id") % 10 == 9) & (F.col("id") >= 9)
+    base = (
+        F.when(far, F.col("id") % 100)
+        .when(near, F.col("id") - 9)
+        .otherwise(F.col("id"))
+    )
+    word = lambda pos: F.concat(  # noqa: E731
+        F.lit("w"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", base.cast("string"), pos)), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % VOCAB
+        ).cast("string"),
+    )
+    text = F.concat_ws(
+        " ", *[word(F.lit(str(p))) for p in range(WORDS_PER_DOC)]
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("seq"),
+        text.alias("text"),
+    )
+
+
+def run_ttl_tier(
+    spark, n_docs: int, src: str, ttl_ms: int | None
+) -> dict:
+    """Sustained-mode run over the mixed near+far corpus, reporting the
+    state-store row count alongside throughput and found-dup rate. With
+    ``ttl_ms`` the query uses ProcessingTimeTimeout, so Spark schedules
+    micro-batches forever — poll the sink for completeness (all 4*n band
+    rows are emitted on arrival regardless of expiry), then let a couple
+    of idle batches run so pending timeouts sweep, then read the state
+    operator's numRowsTotal from the last progress event."""
+    name = f"dtp_ttl_{n_docs}_{ttl_ms or 0}"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", N_FILES // 10)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        band_decisions_stream(stream, ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.time()
+    target = 4 * n_docs
+    try:
+        if ttl_ms is None:
+            q.processAllAvailable()
+            elapsed = time.time() - t0
+        else:
+            # ProcessingTimeTimeout: processAllAvailable never returns
+            # (empty batches keep scheduling to fire timers) — poll
+            deadline = t0 + max(600, n_docs / 200)
+            while spark.table(name).count() < target:
+                if time.time() > deadline:
+                    raise TimeoutError(f"{name}: sink incomplete")
+                time.sleep(1.0)
+            elapsed = time.time() - t0
+            # idle grace: let pending timeouts fire and sweep expired
+            # buckets so the final state count reflects retention
+            time.sleep(ttl_ms / 1000 + 5)
+        decisions = spark.table(name)
+        n_rows = decisions.count()
+        assert n_rows == target, (n_rows, target)
+        n_dup = near_dup_verdicts(decisions).filter("is_dup").count()
+        prog = q.lastProgress
+        state_rows = (
+            prog["stateOperators"][0]["numRowsTotal"] if prog else None
+        )
+        peak_state = max(
+            (
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ),
+            default=state_rows,
+        )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return {
+        "docs_in": n_docs,
+        "ttl_ms": ttl_ms,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed),
+        "dup_rate": round(n_dup / n_docs, 4),
+        "state_rows_final": state_rows,
+        "state_rows_peak": peak_state,
+    }
 
 
 def run_tier(
@@ -174,12 +292,39 @@ def main() -> None:
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
+    # TTL retention study (SPARK_DEDUP_TTL=1): sustained hdfs over the
+    # mixed near+far corpus, retention window vs unbounded twin —
+    # state plateau + the recall trade, measured
+    if os.environ.get("SPARK_DEDUP_TTL", "0") == "1":
+        ttl_tier = int(os.environ.get("SPARK_DEDUP_TTL_TIER", "100000"))
+        ttl_ms = int(os.environ.get("SPARK_DEDUP_TTL_MS", "20000"))
+        src = tempfile.mkdtemp(prefix=f"dtp_ttl_src_{ttl_tier}_")
+        # range-partition by doc_id so file order tracks id order and
+        # "far" id distance IS arrival-time distance under
+        # maxFilesPerTrigger (hash repartition would scatter the
+        # first-100 exemplars across every micro-batch)
+        synth_docs_mixed(spark, ttl_tier).repartitionByRange(
+            N_FILES, "doc_id"
+        ).write.mode("overwrite").parquet(src)
+        try:
+            for ttl in (None, ttl_ms):
+                rec = run_ttl_tier(spark, ttl_tier, src, ttl)
+                rec.update(
+                    {"mode": "ttl_study", "store": "hdfs",
+                     "verified": False}
+                )
+                records.append(rec)
+                print(json.dumps(rec), flush=True)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
     # merge with prior records (tier/mode/store/verified keyed), so a
     # partial env-selected run extends rather than replaces the report
     prior_path = _ROOT / "STREAMING_DEDUP.json"
     if prior_path.exists():
         key = lambda r: (  # noqa: E731
-            r["docs_in"], r["mode"], r["store"], bool(r.get("verified"))
+            r["docs_in"], r["mode"], r["store"], bool(r.get("verified")),
+            r.get("ttl_ms"),
         )
         fresh = {key(r) for r in records}
         records = [
@@ -207,6 +352,8 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for r in records:
+        if r["mode"] == "ttl_study":
+            continue  # separate section below
         lines.append(
             f"| {r['docs_in']:,} | {r['mode']} | {r['store']} "
             f"| {'sig>=0.5' if r.get('verified') else 'no'} "
@@ -243,6 +390,10 @@ def main() -> None:
             "is rejecting band-collision FALSE positives "
             "(tests/test_dedup_stream.py).",
         ]
+    ttl_recs = sorted(
+        (r for r in records if r["mode"] == "ttl_study"),
+        key=lambda r: (r["docs_in"], r.get("ttl_ms") or 0),
+    )
     lines += [
         "",
         "State lifecycle: by default buckets never expire (dedup history "
@@ -251,6 +402,34 @@ def main() -> None:
         "touch re-arms (LRU), bounding state at a retention-window "
         "recall trade (tests/test_dedup_stream.py).",
     ]
+    if ttl_recs:
+        lines += [
+            "",
+            "## TTL retention study (sustained, hdfs, mixed corpus)",
+            "",
+            "Corpus with NEAR dups (exemplar re-sent 9 ids later — inside "
+            "any window) and FAR dups (second-half docs re-sending the "
+            "opening batch — outside a short window): designed 10% near + "
+            "2.5% far = 12.5%. Files range-partitioned by id so arrival "
+            "order tracks id order. The TTL run must catch near dups, "
+            "forget far exemplars (recall trade), and hold state at the "
+            "retention window while the unbounded twin's state grows "
+            "with novelty — this is the claim continuous 100 TB ingest "
+            "relies on.",
+            "",
+            "| docs | ttl | elapsed | docs/s | dup rate found "
+            "| state rows final | state rows peak |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in ttl_recs:
+            ttl_lbl = (
+                f"{r['ttl_ms'] / 1000:.0f} s" if r.get("ttl_ms") else "none"
+            )
+            lines.append(
+                f"| {r['docs_in']:,} | {ttl_lbl} | {r['elapsed_sec']} s "
+                f"| {r['docs_per_sec']:,} | {r['dup_rate']:.1%} "
+                f"| {r['state_rows_final']:,} | {r['state_rows_peak']:,} |"
+            )
     (_ROOT / "STREAMING_DEDUP.md").write_text("\n".join(lines) + "\n")
     print(f"wrote STREAMING_DEDUP.md with {len(records)} rows")
     spark.stop()

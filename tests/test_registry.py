@@ -63,25 +63,12 @@ def test_driver_window_rotation_covers_all_oracled():
 
 
 # Queries allowed to run without a SQL oracle (rows-only driver check).
-# Every entry must have a reason and a stronger pytest pinning correctness.
-ROWS_ONLY_ALLOWED = {
-    # data-trained k-means centroids cannot be a static SQL literal;
-    # exactness pinned by test_ivf.py (nprobe=all == brute force)
-    "ann_ivf_topk",
-    # same centroid-training limitation; within-cluster pair exactness
-    # and keep-one-per-component pinned by
-    # test_llm_ops.py::test_semantic_dedup_*; retention quality bounded
-    # by the fully-oracled semdedup_agreement_eval (fixed centroids)
-    "semantic_dedup",
-    # cross-implementation agreement harness (distributed trainer vs an
-    # independent pure-Python one) — the independent side is Python by
-    # construction, so no SQL oracle exists; perfection pinned by
-    # test_tokenizer.py::test_unigram_agreement_eval_is_perfect
-    "unigram_agreement_eval",
-    # unigram_learn_pieces / unigram_segment_stats graduated to strict
-    # oracles in round 7 (recursive-CTE Viterbi-EM re-training — see
-    # queries_training._unigram_ctes)
-}
+# Every entry must have a reason and a stronger pytest pinning
+# correctness. EMPTY since round 8: ann_ivf_topk and semantic_dedup
+# graduated onto the exact-trained k-means model (kmeans_train_exact,
+# SQL-replicable), and unigram_agreement_eval's oracle pins the eval to
+# the DuckDB-retrained model's perfect-agreement maxima.
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_every_query_is_oracle_checked_or_documented():
