@@ -91,18 +91,33 @@ def synth_docs(spark, n: int):
     )
 
 
+def _stamp_mtimes_in_path_order(src: str) -> None:
+    """Make FileStreamSource arrival order equal part-file path order:
+    Spark's file source sorts by modification time, which a parallel
+    write scrambles (task completion order); stamp strictly increasing
+    mtimes over the name-sorted part files."""
+    base = time.time() - 10_000
+    for i, p in enumerate(sorted(Path(src).glob("part-*.parquet"))):
+        os.utime(p, (base + i, base + i))
+
+
 def synth_docs_mixed(spark, n: int):
     """(doc_id, seq, text) with NEAR and FAR duplicates, for the TTL
     retention study: doc i with i % 10 == 9 re-sends doc (i - 9) [near —
     the exemplar arrived seconds ago], and doc i with i % 10 == 4 in the
-    SECOND HALF re-sends doc (i % 100) from the opening batch [far — the
-    exemplar arrived at the start of the run, outside any short
-    retention window]. Designed rates: 10% near overall + 5% far in the
-    second half = 12.5% total."""
+    SECOND HALF re-sends a DISTINCT doc from the opening 5% of ids
+    [far — the exemplar arrived at the start of the run, outside a
+    short retention window]. The far mapping is injective (doc
+    n/2 + 4 + 10j re-sends doc j), so under a TTL shorter than the
+    half-run gap EVERY far dup is a fresh miss — a re-used far exemplar
+    would be re-claimed by its first re-send and the rest would be
+    caught anyway, hiding the recall trade (measured: that variant
+    found the full dup rate). Designed rates: 10% near + 5% far = 15%
+    total."""
     far = (F.col("id") % 10 == 4) & (F.col("id") >= n // 2)
     near = (F.col("id") % 10 == 9) & (F.col("id") >= 9)
     base = (
-        F.when(far, F.col("id") % 100)
+        F.when(far, ((F.col("id") - F.lit(n // 2 + 4)) / 10).cast("long"))
         .when(near, F.col("id") - 9)
         .otherwise(F.col("id"))
     )
@@ -299,13 +314,16 @@ def main() -> None:
         ttl_tier = int(os.environ.get("SPARK_DEDUP_TTL_TIER", "100000"))
         ttl_ms = int(os.environ.get("SPARK_DEDUP_TTL_MS", "20000"))
         src = tempfile.mkdtemp(prefix=f"dtp_ttl_src_{ttl_tier}_")
-        # range-partition by doc_id so file order tracks id order and
-        # "far" id distance IS arrival-time distance under
-        # maxFilesPerTrigger (hash repartition would scatter the
-        # first-100 exemplars across every micro-batch)
+        # range-partition by doc_id so file CONTENT tracks id order,
+        # then stamp mtimes in path order: FileStreamSource orders by
+        # modification time, and parallel write tasks finish in
+        # scrambled order — without the stamp, batches are scrambled id
+        # ranges and the far-dup gap collapses (measured: the recall
+        # trade shrank ~3x under scrambled arrival)
         synth_docs_mixed(spark, ttl_tier).repartitionByRange(
             N_FILES, "doc_id"
         ).write.mode("overwrite").parquet(src)
+        _stamp_mtimes_in_path_order(src)
         try:
             for ttl in (None, ttl_ms):
                 rec = run_ttl_tier(spark, ttl_tier, src, ttl)
@@ -408,14 +426,21 @@ def main() -> None:
             "## TTL retention study (sustained, hdfs, mixed corpus)",
             "",
             "Corpus with NEAR dups (exemplar re-sent 9 ids later — inside "
-            "any window) and FAR dups (second-half docs re-sending the "
-            "opening batch — outside a short window): designed 10% near + "
-            "2.5% far = 12.5%. Files range-partitioned by id so arrival "
-            "order tracks id order. The TTL run must catch near dups, "
-            "forget far exemplars (recall trade), and hold state at the "
-            "retention window while the unbounded twin's state grows "
-            "with novelty — this is the claim continuous 100 TB ingest "
-            "relies on.",
+            "any window) and FAR dups (each second-half far dup re-sends "
+            "a DISTINCT doc from the opening 5% of ids — outside a short "
+            "window): designed 10% near + 5% far; true content-dup rate "
+            "14.5% (content classes merge where a far target is itself a "
+            "near-dup chain member — verified by a window-join count). "
+            "Files range-partitioned by id, mtimes stamped in path order "
+            "so arrival order tracks id order. "
+            "The TTL run must catch near dups, forget far exemplars "
+            "(the recall trade), and hold state at the retention window "
+            "while the unbounded twin's state grows with novelty — this "
+            "is the claim continuous 100 TB ingest relies on. State "
+            "final = after the post-drain idle grace (pending timeouts "
+            "sweep: with a TTL, fully-idle state drains to ~0); state "
+            "peak is the plateau the retention window holds during "
+            "ingest.",
             "",
             "| docs | ttl | elapsed | docs/s | dup rate found "
             "| state rows final | state rows peak |",

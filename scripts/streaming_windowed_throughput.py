@@ -156,11 +156,17 @@ def main() -> None:
     records = []
     for n in TIERS:
         src = tempfile.mkdtemp(prefix=f"wtp_src_{n}_")
-        # range-partition by id: file order tracks event time, so the
-        # watermark never drops an in-order row and stream==batch exactly
+        # range-partition by id AND stamp mtimes in path order: file
+        # content tracks event time, and FileStreamSource orders by
+        # modification time (parallel write tasks scramble it), so the
+        # watermark never sees out-of-order arrival and never drops a
+        # row — stream==batch stays exact
         synth_events(spark, n).repartitionByRange(
             N_FILES, "event_id"
         ).write.mode("overwrite").parquet(src)
+        base = time.time() - 10_000
+        for i, p in enumerate(sorted(Path(src).glob("part-*.parquet"))):
+            os.utime(p, (base + i, base + i))
         try:
             for mode in ("bulk", "sustained"):
                 rec = run_tier(spark, n, src, mode)
