@@ -105,19 +105,21 @@ def synth_docs_mixed(spark, n: int):
     """(doc_id, seq, text) with NEAR and FAR duplicates, for the TTL
     retention study: doc i with i % 10 == 9 re-sends doc (i - 9) [near —
     the exemplar arrived seconds ago], and doc i with i % 10 == 4 in the
-    SECOND HALF re-sends a DISTINCT doc from the opening 5% of ids
-    [far — the exemplar arrived at the start of the run, outside a
-    short retention window]. The far mapping is injective (doc
-    n/2 + 4 + 10j re-sends doc j), so under a TTL shorter than the
-    half-run gap EVERY far dup is a fresh miss — a re-used far exemplar
-    would be re-claimed by its first re-send and the rest would be
-    caught anyway, hiding the recall trade (measured: that variant
-    found the full dup rate). Designed rates: 10% near + 5% far = 15%
-    total."""
+    SECOND HALF re-sends a DISTINCT EVEN doc id from the opening batch
+    (the first 10% of ids) [far — the exemplar arrived at the start of
+    the run, outside a short retention window]. Two properties are
+    load-bearing: the far mapping is INJECTIVE (doc n/2 + 4 + 10j
+    re-sends doc 2j — a re-used far target would be re-claimed by its
+    first re-send and the rest caught anyway, hiding the recall trade),
+    and far targets are EVEN (odd ids ending in 9 are near-dup
+    RE-SENDERS whose own text never existed — targeting one makes the
+    far doc a duplicate of nothing; both failure modes were measured
+    before this shape). Designed rates: 10% near + 5% far = 15% total,
+    every designed dup a true verbatim dup."""
     far = (F.col("id") % 10 == 4) & (F.col("id") >= n // 2)
     near = (F.col("id") % 10 == 9) & (F.col("id") >= 9)
     base = (
-        F.when(far, ((F.col("id") - F.lit(n // 2 + 4)) / 10).cast("long"))
+        F.when(far, ((F.col("id") - F.lit(n // 2 + 4)) / 5).cast("long"))
         .when(near, F.col("id") - 9)
         .otherwise(F.col("id"))
     )
@@ -427,12 +429,13 @@ def main() -> None:
             "",
             "Corpus with NEAR dups (exemplar re-sent 9 ids later — inside "
             "any window) and FAR dups (each second-half far dup re-sends "
-            "a DISTINCT doc from the opening 5% of ids — outside a short "
-            "window): designed 10% near + 5% far; true content-dup rate "
-            "14.5% (content classes merge where a far target is itself a "
-            "near-dup chain member — verified by a window-join count). "
-            "Files range-partitioned by id, mtimes stamped in path order "
-            "so arrival order tracks id order. "
+            "a DISTINCT even doc id from the opening batch — outside a "
+            "short window; see synth_docs_mixed for why injective + even "
+            "are both load-bearing): designed 10% near + 5% far = 15%, "
+            "every designed dup a true verbatim dup (pinned by "
+            "tests/test_measurement_harnesses.py). Files "
+            "range-partitioned by id, mtimes stamped in path order so "
+            "arrival order tracks id order. "
             "The TTL run must catch near dups, forget far exemplars "
             "(the recall trade), and hold state at the retention window "
             "while the unbounded twin's state grows with novelty — this "

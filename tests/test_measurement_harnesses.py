@@ -98,3 +98,65 @@ def test_dedup_throughput_corpus_has_designed_dup_structure(spark):
     assert len(set(originals)) == len(originals)  # no accidental dups
     again = {r["doc_id"]: r["text"] for r in synth_docs(spark, 200).collect()}
     assert again == rows
+
+
+def test_ttl_study_corpus_mixed_near_far_structure(spark):
+    """The TTL retention study's generator (synth_docs_mixed): near dups
+    re-send (i-9) verbatim, far dups injectively re-send the opening 5%
+    (each far target re-sent exactly once — a re-used target's bucket
+    would be re-claimed by its first re-send and hide the recall trade),
+    and generation is deterministic."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "scripts")
+    )
+    from streaming_dedup_throughput import synth_docs_mixed
+
+    n = 400
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in synth_docs_mixed(spark, n).collect()
+    }
+    assert len(rows) == n
+    far_targets = []
+    for i in range(n):
+        if i % 10 == 9 and i >= 9:
+            assert rows[i] == rows[i - 9], f"near dup broken at {i}"
+        elif i % 10 == 4 and i >= n // 2:
+            j = (i - n // 2 - 4) // 5
+            # even target inside the opening batch: never a near-dup
+            # re-sender, so the far doc is a TRUE verbatim dup
+            assert j % 2 == 0 and j < n // 10
+            assert rows[i] == rows[j], f"far dup broken at {i}->{j}"
+            far_targets.append(j)
+    # injective far mapping
+    assert len(far_targets) == n // 20
+    assert len(set(far_targets)) == len(far_targets)
+    again = {
+        r["doc_id"]: r["text"]
+        for r in synth_docs_mixed(spark, n).collect()
+    }
+    assert again == rows
+
+
+def test_windowed_throughput_events_monotone_and_kicker_closes(spark):
+    """STREAMING_WINDOWED.md's generator: event time is monotone in id
+    (so range-partitioned + mtime-stamped files give in-order arrival
+    and the watermark never drops a row) and the kicker's timestamp is
+    beyond every real window end."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "scripts")
+    )
+    from streaming_windowed_throughput import _kicker, synth_events
+
+    ev = synth_events(spark, 500).orderBy("event_id").collect()
+    ts = [r["ts"] for r in ev]
+    assert all(a <= b for a, b in zip(ts, ts[1:]))
+    assert all(0.0 <= r["value"] < 1000.0 for r in ev)
+    kick = _kicker(spark).collect()[0]["ts"]
+    assert kick > ts[-1]
