@@ -315,6 +315,11 @@ def main() -> None:
         "Provider and semantics analysis for the CURRENT run is appended",
         "by the builder after reading the table; see the committed",
         "STREAMING.md for the round's narrative.",
+        "",
+        "Sibling measurements: STREAMING_DEDUP.md (stateful near-dup",
+        "dedup stream, TTL retention study) and STREAMING_WINDOWED.md",
+        "(windowed-histogram sketch stream, row-for-row batch-twin",
+        "parity).",
     ]
     lines.append("")
     (_ROOT / "STREAMING.md").write_text("\n".join(lines))
