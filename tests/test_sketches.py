@@ -182,3 +182,49 @@ def test_histogram_sketch_constant_column(spark):
     assert [(r["bin"], r["cnt"]) for r in rows] == [(0, 15)]
     est = SK.histogram_quantiles(merged, [0.5], 16).collect()[0]
     assert est["estimate"] == 7.0  # width is 0, every interpolation is lo
+
+
+def test_histogram_quantiles_q_zero_returns_first_bin_edge(spark):
+    # q=0.0's target rank is 0, which `cum - cnt < target` can never
+    # satisfy (the first bin's cum-cnt IS 0) — the clamp makes q=0 hit
+    # the first PRESENT bin and interpolate ~its left edge, instead of
+    # silently vanishing from the output
+    from kafka_stream_unify_order_messages_spark.operators import sketches as SK
+
+    rows = [("a", float(v)) for v in range(100, 200)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    merged = SK.merge_histogram_sketches(SK.histogram_sketch(df, "g", "v", 16))
+    est = {
+        r["q"]: r["estimate"]
+        for r in SK.histogram_quantiles(merged, [0.0, 0.5, 1.0], 16).collect()
+    }
+    assert set(est) == {0.0, 0.5, 1.0}  # q=0 row present
+    assert abs(est[0.0] - 100.0) < 1e-6  # lo = the data minimum
+    # grouped form too: each group's q=0 lands at ITS first present bin
+    df2 = spark.createDataFrame(
+        [("a", float(v)) for v in range(0, 50)]
+        + [("b", float(v)) for v in range(50, 100)],
+        ["g", "v"],
+    )
+    sk = SK.histogram_sketch(df2, "g", "v", 10)
+    by_g = {
+        (r["g"], r["q"]): r["estimate"]
+        for r in SK.histogram_quantiles(
+            sk, [0.0], 10, group_col="g"
+        ).collect()
+    }
+    assert abs(by_g[("a", 0.0)] - 0.0) < 1e-6
+    # b's first present bin starts at the global midpoint
+    assert abs(by_g[("b", 0.0)] - 49.5) < 1e-6
+
+
+def test_kmeans_train_exact_rejects_zero_iterations(spark):
+    import pytest
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 0)
