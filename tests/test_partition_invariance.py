@@ -22,6 +22,11 @@ REPRESENTATIVES = [
     "knn_join_topk",
     "quantile_sketch_merged",
     "kmeans_train",
+    # graduated round 8: cluster-scoped GEMM pairs -> connected
+    # components -> anti-join (the centroid memo is shared between the
+    # two sessions, so this pins the downstream path; the trainer's own
+    # invariance is the kmeans_train row above)
+    "semantic_dedup",
 ]
 
 
