@@ -301,3 +301,123 @@ def test_windowed_histogram_merges_with_batch_sketch(spark):
     got = {r["bin"]: r["cnt"] for r in merged.collect()}
     want = {r["bin"]: r["count"] for r in direct.collect()}
     assert got == want and sum(got.values()) == 200
+
+
+def test_streamed_sketches_roll_up_to_coarser_grain(spark, tmp_path):
+    """The docstring's roll-up claim, exercised from a REAL stream: the
+    10 s window sketches a stream emits are re-grained to 1 minute by
+    truncating window_start and summing bins (merge identity), and the
+    per-minute quantile read over the rolled-up sketch equals the one
+    computed directly from the raw rows in batch — the sketch never has
+    to be recomputed from data to serve a coarser grain."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        sketches as SK,
+    )
+    from kafka_stream_unify_order_messages_spark.streaming.windowed import (
+        windowed_value_histogram,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"ru_{_uuid.uuid4().hex[:8]}"
+    cols = ["event_id", "value", "timestamp"]
+    rows = [
+        (i, float((i * 37) % 100), f"2026-01-01T00:{(i // 60) % 3:02d}:{i % 60:02d}.000Z")
+        for i in range(180)
+    ]
+    table = pa.table({k: [r[j] for r in rows] for j, k in enumerate(cols)})
+    pq.write_table(table, f"{src}/batch-0000.parquet")
+    # kicker: closes every real 10 s window in append mode
+    kick = pa.table(
+        {
+            "event_id": [10_000],
+            "value": [0.0],
+            "timestamp": ["2026-01-01T09:00:00.000Z"],
+        }
+    )
+
+    events = spark.readStream.schema(
+        "event_id long, value double, timestamp string"
+    ).parquet(str(src))
+    q = (
+        windowed_value_histogram(
+            events, lo=0.0, hi=100.0, n_bins=8, window="10 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pq.write_table(kick, f"{src}/batch-0001.parquet")
+        q.processAllAvailable()
+        streamed = spark.table(name).filter(
+            F.col("window_start") < F.lit("2026-01-01T08:00:00")
+        )
+        # re-grain WITHOUT touching data: minute = trunc(window_start),
+        # shared fixed binning rides along as (lo, hi) literals
+        minute_sk = (
+            streamed.select(
+                F.date_trunc("minute", "window_start").alias("minute"),
+                F.lit(0.0).alias("lo"),
+                F.lit(100.0).alias("hi"),
+                "bin",
+                "cnt",
+            )
+            .groupBy("minute", "lo", "hi", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        est = SK.histogram_quantiles(
+            minute_sk, [0.5, 0.9], n_bins=8, group_col="minute"
+        )
+        got = {
+            (r["minute"].isoformat(), r["q"]): round(r["estimate"], 6)
+            for r in est.collect()
+        }
+        # direct batch reference at the coarser grain, same binning
+        raw = spark.createDataFrame(
+            rows, "event_id long, value double, timestamp string"
+        ).select(
+            F.date_trunc(
+                "minute", F.to_timestamp("timestamp")
+            ).alias("minute"),
+            "value",
+        )
+        direct = (
+            raw.crossJoin(
+                F.broadcast(
+                    raw.agg(
+                        F.lit(0.0).alias("lo"), F.lit(100.0).alias("hi")
+                    )
+                )
+            )
+            .groupBy(
+                "minute",
+                "lo",
+                "hi",
+                F.least(
+                    F.greatest(
+                        F.floor(F.col("value") / 100.0 * 8).cast("long"),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(7).cast("long"),
+                ).alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        want = {
+            (r["minute"].isoformat(), r["q"]): round(r["estimate"], 6)
+            for r in SK.histogram_quantiles(
+                direct, [0.5, 0.9], n_bins=8, group_col="minute"
+            ).collect()
+        }
+        assert got == want and len(got) == 6  # 3 minutes x 2 quantiles
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
