@@ -91,7 +91,7 @@ RAMP_QUERIES = [
     ("quantile_sketch_merged", "linear", "x100"),
     # grouped quantile serving from the same sketch pass: identical scan
     # shape plus per-group windows over bin rows (bounded frames)
-    ("quantile_sketch_by_group", "linear", "x100"),
+    ("quantile_sketch_by_group", "linear", "x300"),
     # exact-oracle Lloyd's trainer: per-iteration work linear in rows
     # (exploded-dims mean shuffle + broadcast centroid probe); the
     # correctness anchor runs on eval-sized corpora, production trains
@@ -108,7 +108,7 @@ RAMP_QUERIES = [
     # (measured above) plus a candidate-bounded greedy re-rank that is
     # O(fetch_k^2 * k) PER QUERY — constant in corpus size; with |Q|
     # growing as n/20 in this harness the composed cost is linear+q
-    ("mmr_knn_diversified_topk", "linear+q", "x100"),
+    ("mmr_knn_diversified_topk", "linear+q", "x300"),
     ("ann_ivf_fixed", "linear+q", "x100"),
     # PQ-only ADC is an exhaustive scan — every query scores every code
     # (|Q|x|C| by construction); with |Q| growing alongside the corpus
@@ -123,7 +123,7 @@ RAMP_QUERIES = [
     # n_centroids with sqrt(n) (operators/retrieval.py's trained path).
     # Capped at x10 like the other fixed-geometry baselines.
     ("ann_ivfpq_fixed", "linear+q", "x10"),
-    ("semantic_dedup", "cluster-bounded", "x100"),
+    ("semantic_dedup", "cluster-bounded", "x300"),
     # text retrieval: fixed query set, per-query work linear in the
     # corpus scan (DF/length stats + postings agg)
     ("bm25_topk", "linear", "x100"),
@@ -301,9 +301,13 @@ def main() -> None:
         " (documents",
         "500 -> 5,000 -> 15,000 -> 50,000 -> 500,000 -> 1.5M; embeddings 200 ->",
         "2,000 -> 6,000 -> 20,000 -> 200,000 -> 600k; events 10k -> 100k ->",
-        "300k -> 1M -> 10M -> 30M). x300 runs only for the four families",
-        "whose x10->x100 exponent was still climbing in round 5 (plateau",
-        "check); other rows keep their x100 caps. All on local[32].",
+        "300k -> 1M -> 10M -> 30M). x300 runs only for the families whose",
+        "x10->x100 exponent was still climbing when first measured (plateau",
+        "check); other rows keep their x100 caps. All on local[32]; the",
+        "x300 trainer tier (exact k-means over 600k vectors) needs",
+        "SPARK_DRIVER_MEMORY=32g — local mode puts the whole 'cluster' in",
+        "one JVM, so this is executor sizing, not a plan property (the 8g",
+        "default OOMs in the exploded-dims localCheckpoint).",
         "x3/x10/x100/x300 are synthetic supersets of sf0.1 with",
         "duplicate density held constant (scripts/gen_ramp_data.py documents why",
         "verbatim replication would corrupt the measurement). Per-step exponent",
