@@ -1201,7 +1201,7 @@ def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     threshold: float = 0.9,
     centroids: np.ndarray | None = None,
     max_cluster_size: int = 4096,
@@ -1226,12 +1226,33 @@ def semantic_dedup_pairs(
     ~``max_cluster_size``^2 regardless of skew. Rows replicate by their
     cluster's chunk count (1 for non-skewed clusters, so the common case
     pays nothing).
+
+    FIXED-k IS A SCALE CLIFF: with k held constant, per-cluster size
+    grows as n/k, so total pair work grows ~n²/k (measured: the k=16
+    registry query's x100→x300 exponent is 1.08, SCALING.md). Pass
+    ``n_centroids=None`` for the production AUTO mode — k =
+    max(16, ceil(sqrt(n))) — which holds expected per-cluster size to
+    ~sqrt(n) and total pair work to ~n·sqrt(n)/1 growth (the standard
+    SemDeDup deployment rule). The registry query keeps k=16 so its
+    oracle can re-train the same model in SQL.
     """
+    import math
+
     from pyspark.sql.types import DoubleType, StructField
 
     if centroids is None:
+        if n_centroids is None:
+            # auto-k: one count() action, paid only in auto mode
+            n_centroids = max(16, math.ceil(math.sqrt(corpus.count())))
         centroids = train_ivf_centroids(
-            corpus, id_col, vec_col, n_centroids=n_centroids
+            corpus,
+            id_col,
+            vec_col,
+            n_centroids=n_centroids,
+            # the trainer samples the lowest ids; keep the sample a few
+            # times larger than k so auto-k on a huge corpus never
+            # degenerates into duplicate seed centroids
+            sample_size=max(4096, 4 * n_centroids),
         )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 

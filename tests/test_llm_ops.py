@@ -928,3 +928,40 @@ def test_bloom_decontaminate_no_false_negatives(spark):
         assert bloom[doc_id][0] >= n_hits
     # exact column never exceeds the bloom column
     assert all(nb >= ne for nb, ne in bloom.values())
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """n_centroids=None (the production scale path for the fixed-k
+    ~n^2/k cliff measured in SCALING.md): k = max(16, ceil(sqrt(n))),
+    and the auto-mode pairs are exactly the fixed-k pairs at the same
+    k — auto only picks the geometry, never changes the scoring."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    k_auto = max(16, math.ceil(math.sqrt(n)))
+    auto = sorted(
+        map(
+            tuple,
+            S.semantic_dedup_pairs(
+                emb, n_centroids=None, threshold=0.35
+            ).collect(),
+        )
+    )
+    fixed = sorted(
+        map(
+            tuple,
+            S.semantic_dedup_pairs(
+                emb, n_centroids=k_auto, threshold=0.35
+            ).collect(),
+        )
+    )
+    assert auto == fixed and len(auto) > 0
+    # more cells than the default 16 once n > 256 (sf0.001 has 500)
+    assert k_auto > 16
