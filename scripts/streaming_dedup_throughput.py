@@ -147,7 +147,8 @@ def synth_docs_mixed(spark, n: int):
 
 
 def run_ttl_tier(
-    spark, n_docs: int, src: str, ttl_ms: int | None
+    spark, n_docs: int, src: str, ttl_ms: int | None,
+    store: str = "hdfs",
 ) -> dict:
     """Sustained-mode run over the mixed near+far corpus, reporting the
     state-store row count alongside throughput and found-dup rate. With
@@ -156,10 +157,13 @@ def run_ttl_tier(
     rows are emitted on arrival regardless of expiry), then let a couple
     of idle batches run so pending timeouts sweep, then read the state
     operator's numRowsTotal from the last progress event."""
-    name = f"dtp_ttl_{n_docs}_{ttl_ms or 0}"
+    name = f"dtp_ttl_{n_docs}_{ttl_ms or 0}_{store}"
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+        if store == "rocksdb"
+        else "org.apache.spark.sql.execution.streaming."
         "state.HDFSBackedStateStoreProvider",
     )
     stream = (
@@ -328,13 +332,14 @@ def main() -> None:
         _stamp_mtimes_in_path_order(src)
         try:
             for ttl in (None, ttl_ms):
-                rec = run_ttl_tier(spark, ttl_tier, src, ttl)
-                rec.update(
-                    {"mode": "ttl_study", "store": "hdfs",
-                     "verified": False}
-                )
-                records.append(rec)
-                print(json.dumps(rec), flush=True)
+                for store in ("hdfs", "rocksdb"):
+                    rec = run_ttl_tier(spark, ttl_tier, src, ttl, store)
+                    rec.update(
+                        {"mode": "ttl_study", "store": store,
+                         "verified": False}
+                    )
+                    records.append(rec)
+                    print(json.dumps(rec), flush=True)
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
@@ -412,7 +417,7 @@ def main() -> None:
         ]
     ttl_recs = sorted(
         (r for r in records if r["mode"] == "ttl_study"),
-        key=lambda r: (r["docs_in"], r.get("ttl_ms") or 0),
+        key=lambda r: (r["docs_in"], r.get("ttl_ms") or 0, r["store"]),
     )
     lines += [
         "",
@@ -445,16 +450,17 @@ def main() -> None:
             "peak is the plateau the retention window holds during "
             "ingest.",
             "",
-            "| docs | ttl | elapsed | docs/s | dup rate found "
-            "| state rows final | state rows peak |",
-            "|---|---|---|---|---|---|---|",
+            "| docs | ttl | state store | elapsed | docs/s "
+            "| dup rate found | state rows final | state rows peak |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for r in ttl_recs:
             ttl_lbl = (
                 f"{r['ttl_ms'] / 1000:.0f} s" if r.get("ttl_ms") else "none"
             )
             lines.append(
-                f"| {r['docs_in']:,} | {ttl_lbl} | {r['elapsed_sec']} s "
+                f"| {r['docs_in']:,} | {ttl_lbl} | {r['store']} "
+                f"| {r['elapsed_sec']} s "
                 f"| {r['docs_per_sec']:,} | {r['dup_rate']:.1%} "
                 f"| {r['state_rows_final']:,} | {r['state_rows_peak']:,} |"
             )
