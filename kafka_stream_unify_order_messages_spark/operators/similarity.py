@@ -56,6 +56,35 @@ def _normalized_matrix(vecs: np.ndarray) -> np.ndarray:
     return vecs / norms
 
 
+def _guard_query_batch(
+    queries: DataFrame,
+    id_col: str,
+    max_query_batch: int | None,
+    op_name: str,
+) -> None:
+    """Shared exhaustive-scan guard for every ANN operator that collects
+    its query side like a broadcast join's build side: a bounded probe
+    BEFORE the collect (so the guard fires before the driver
+    materializes an oversized batch) raises when |Q| exceeds
+    ``max_query_batch``. These serving-batch primitives all go quadratic
+    when |Q| grows with the corpus (measured for the ADC form in
+    SCALING.md); the corpus-scale path is ``knn_join`` (corpus-vs-
+    corpus, NEITHER side collected). Pass ``max_query_batch=None`` only
+    for a deliberate exhaustive baseline."""
+    if max_query_batch is None:
+        return
+    n = queries.select(id_col).limit(max_query_batch + 1).count()
+    if n > max_query_batch:
+        raise ValueError(
+            f"{op_name} got a >{max_query_batch}-query batch: the query "
+            f"side is collected driver-side and every query scores "
+            f"against the corpus, so cost goes quadratic when |Q| grows "
+            f"with the corpus (measured in SCALING.md). Use knn_join "
+            f"(corpus-vs-corpus, neither side collected), or pass "
+            f"max_query_batch=None for a deliberate exhaustive baseline."
+        )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -64,12 +93,16 @@ def brute_force_topk(
     k: int = 5,
     metric: str = "cosine",
     exclude_same_col: str | None = None,
+    max_query_batch: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, score, rnk).
 
     ``queries`` must be broadcast-sized (it is collected into a numpy
     matrix, like the build side of a broadcast join); ``corpus`` can be
     arbitrarily large and is never shuffled at full width.
+    ``max_query_batch`` enforces the broadcast-sized contract instead of
+    trusting the docstring (see _guard_query_batch; knn_join is the
+    corpus-vs-corpus path).
 
     ``exclude_same_col`` names a column present on BOTH sides whose
     equal values disqualify a (query, candidate) pair — the hard-
@@ -79,6 +112,7 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    _guard_query_batch(queries, id_col, max_query_batch, "brute_force_topk")
     q_cols = [id_col, vec_col] + (
         [exclude_same_col] if exclude_same_col else []
     )
@@ -316,6 +350,7 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     multi_probe: bool = False,
+    max_query_batch: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to shared LSH
     buckets. Queries ride broadcast with their bucket ids; each corpus
@@ -323,7 +358,9 @@ def lsh_topk(
     and GEMMs only bucket-matching (query-group x corpus-group) blocks —
     compute AND shuffle are both sum over buckets of |Q_b|·|C_b|, never
     |Q|·|corpus|. Survivors are pruned to batch-local top-k before the
-    single ranking shuffle.
+    single ranking shuffle. ``max_query_batch`` enforces the
+    broadcast-sized query contract (see _guard_query_batch; knn_join is
+    the corpus-vs-corpus path).
 
     ``multi_probe=True`` additionally probes every bucket at Hamming
     distance 1 from the query's (one hyperplane sign flipped) — the
@@ -332,6 +369,7 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
+    _guard_query_batch(queries, id_col, max_query_batch, "lsh_topk")
     planes = _hyperplane_matrix(n_planes, dim)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
@@ -694,6 +732,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: np.ndarray | None = None,
+    max_query_batch: int | None = 10_000,
 ) -> DataFrame:
     """IVF approximate top-k: each query scores only corpus vectors whose
     cell is among its ``nprobe`` nearest centroids. With nprobe ==
@@ -702,9 +741,12 @@ def ivf_topk(
     (vs data-oblivious hyperplane LSH). Each Arrow batch is grouped by
     cell and only probed cells are GEMMed, so per-batch compute tracks
     the nprobe/n_centroids fraction rather than the full batch.
+    ``max_query_batch`` enforces the broadcast-sized query contract
+    (see _guard_query_batch; knn_join is the corpus-vs-corpus path).
     """
     from pyspark.sql import Window
 
+    _guard_query_batch(queries, id_col, max_query_batch, "ivf_topk")
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids
@@ -977,6 +1019,7 @@ def ivfpq_topk(
     codebook: np.ndarray | None = None,
     n_sub: int = 8,
     n_codes: int = 16,
+    max_query_batch: int | None = 10_000,
 ) -> DataFrame:
     """IVF × PQ composition — the standard billion-scale ANN index shape
     (FAISS ``IVFx,PQy``): IVF prunes COMPUTE (each query touches only its
@@ -1001,6 +1044,7 @@ def ivfpq_topk(
         codebook = pq_codebook(n_sub=n_sub, n_codes=n_codes)
     n_sub, n_codes, sub_dim = codebook.shape
 
+    _guard_query_batch(queries, id_col, max_query_batch, "ivfpq_topk")
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.asarray([r[0] for r in q_rows])
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
@@ -1487,6 +1531,7 @@ def search_ivf_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    max_query_batch: int | None = 10_000,
 ) -> DataFrame:
     """IVF top-k against a PERSISTED index: the union of all queries'
     probed cells becomes an ``isin`` filter on the partition column, so
@@ -1494,8 +1539,10 @@ def search_ivf_index(
     other file of the index is opened), then the standard grouped-probe
     scoring runs on the survivors. Identical results to ``ivf_topk``
     over the full corpus with the same centroids, because rows outside
-    probed cells can never be scored."""
+    probed cells can never be scored. ``max_query_batch`` enforces the
+    broadcast-sized serving-batch contract (see _guard_query_batch)."""
     centroids, cells = load_ivf_index(spark, path)
+    _guard_query_batch(queries, id_col, max_query_batch, "search_ivf_index")
     q_rows = queries.select(id_col, vec_col).collect()
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     probes = _query_probes(q_raw, centroids, nprobe)
@@ -1512,6 +1559,7 @@ def search_ivf_index(
         n_centroids=centroids.shape[0],
         nprobe=nprobe,
         centroids=centroids,
+        max_query_batch=None,  # already guarded above — skip the re-probe
     )
 
 

@@ -130,3 +130,52 @@ def test_persisted_index_search_matches_live_ivf(spark, emb, queries, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     sec = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "centroid_id" in sec
+
+
+def test_query_collecting_ann_operators_guard_oversized_batches(spark):
+    """Every ANN operator that collects its query side like a broadcast
+    build side enforces the contract (the pq_topk guard, generalized):
+    a batch past max_query_batch raises and routes to knn_join instead
+    of silently going quadratic as |Q| grows with the corpus."""
+    import numpy as np
+    import pytest
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    big = emb.limit(30)
+    cents = S.train_ivf_centroids(emb, n_centroids=4)
+    calls = [
+        lambda: S.brute_force_topk(big, emb, k=3, max_query_batch=20),
+        lambda: S.lsh_topk(big, emb, k=3, max_query_batch=20),
+        lambda: S.ivf_topk(
+            big, emb, k=3, centroids=cents, nprobe=2, max_query_batch=20
+        ),
+        lambda: S.ivfpq_topk(
+            big, emb, k=3, centroids=cents, nprobe=2, max_query_batch=20
+        ),
+    ]
+    for call in calls:
+        with pytest.raises(ValueError, match="knn_join"):
+            call()
+    # at/below the cap everything still runs
+    out = S.brute_force_topk(big, emb, k=3, max_query_batch=30)
+    assert out.columns == ["query_id", "neighbor_id", "score", "rnk"]
+
+
+def test_search_ivf_index_guards_oversized_batches(spark, tmp_path):
+    import pytest
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    S.save_ivf_index(emb, path, n_centroids=4)
+    with pytest.raises(ValueError, match="knn_join"):
+        S.search_ivf_index(
+            spark, path, emb.limit(30), k=3, nprobe=2, max_query_batch=20
+        )
