@@ -103,7 +103,7 @@ RAMP_QUERIES = [
     ("table_profile", "linear", "x100"),
     ("ann_lsh_buckets", "linear", "x100"),
     ("ann_lsh_topk", "linear+q", "x100"),
-    ("knn_join_topk", "linear+q", "x100"),
+    ("knn_join_topk", "linear+q", "x300"),
     # fully-distributed MMR over knn_join candidates: the knn_join core
     # (measured above) plus a candidate-bounded greedy re-rank that is
     # O(fetch_k^2 * k) PER QUERY — constant in corpus size; with |Q|
