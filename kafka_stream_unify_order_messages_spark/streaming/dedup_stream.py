@@ -31,6 +31,14 @@ order, the stream's verdicts are bit-equal to the batch query's output
 (tests/test_dedup_stream.py proves it file-by-file through a real
 file-source stream). The batch query is strict-oracled against DuckDB,
 so the streaming operator inherits a value-checked oracle.
+
+For OUT-OF-ORDER arrival, `band_decisions_stream_event_time` is the
+REPLAY-DETERMINISTIC twin (the same relationship unify_stream_event_time
+has to unify_stream): verdicts are decided by the watermark instead of
+arrival, so the bucket's exemplar is the global minimum seq and the
+output is bit-equal to the batch query under ANY arrival order within
+the watermark delay — and identical across replays regardless of
+micro-batch slicing.
 """
 
 from __future__ import annotations
@@ -281,3 +289,186 @@ def near_dup_verdicts(band_decisions: DataFrame) -> DataFrame:
     if "est" in band_decisions.columns:
         aggs.append(F.max("est").alias("best_est"))
     return band_decisions.groupBy("doc_id", "seq").agg(*aggs)
+
+
+# event-time variant: a pending buffer rides in the bucket state until
+# the watermark passes each document's event time
+BUCKET_STATE_EVENT_SCHEMA = (
+    "first_seq long, first_id long,"
+    " pend_seqs array<long>, pend_ids array<long>, pend_ts array<long>"
+)
+
+
+def make_bucket_first_wins_event_fn():
+    """SEQ-DETERMINISTIC first-wins kernel (event-time twin of
+    ``make_bucket_first_wins_fn``): the bucket's exemplar is the MINIMUM
+    ``seq`` among all documents that ever touch it — the batch query
+    ``near_dup_first_wins``'s ``min(doc_id)`` — regardless of arrival
+    order, as long as every document arrives within the watermark delay
+    of its event time.
+
+    Mechanism: arrivals buffer in state; a buffered document is DECIDED
+    only once the watermark strictly passes its event time, because then
+    no lower-seq claimant can still arrive (a later row with a smaller
+    event time would be late and is filtered by the watermark before the
+    operator; event times must be monotone in ``seq`` — derive them from
+    the offset, as ``band_decisions_stream_event_time`` does). Decidable
+    rows resolve in (seq, doc_id) order, so the first decision a bucket
+    ever makes is its global-minimum seq: replaying the same input gives
+    the same verdicts for ANY micro-batch slicing — the determinism the
+    processing-time kernel (and the reference's wall-clock punctuation)
+    only has under seq-ordered arrival.
+
+    The exemplar half of the state is permanent (dedup history never
+    expires); only the pending buffer arms an event-time timeout, at the
+    earliest undecided event time.
+    """
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band = int(key[0])  # key order is (band, band_key)
+        if state.exists:
+            first_seq, first_id, p_seqs, p_ids, p_ts = state.get
+            pend = sorted(zip(p_seqs, p_ids, p_ts))
+        else:
+            first_seq, first_id, pend = None, None, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for doc_id, seq, ts in pdf[
+                    ["doc_id", "seq", "_ts_ms"]
+                ].itertuples(index=False):
+                    pend.append((int(seq), int(doc_id), int(ts)))
+            pend.sort()
+        wm = state.getCurrentWatermarkMs()
+        out = {
+            "doc_id": [], "seq": [], "band": [], "is_dup": [], "dup_of": []
+        }
+        remaining = []
+        for seq, doc_id, ts in pend:
+            # decidable at ts <= wm: Spark's pre-state late filter drops
+            # arriving rows with event time <= watermark (measured: a
+            # ts==0 row vanished against the initial 0 watermark), so no
+            # lower-seq claimant at or below wm can ever arrive. Event
+            # times must therefore be STRICTLY positive — the initial
+            # watermark is 0 and would eat a ts==0 row.
+            if ts <= wm:
+                if first_seq is None:
+                    first_seq, first_id = seq, doc_id
+                    dup, of = False, None
+                else:
+                    dup, of = True, first_id
+                out["doc_id"].append(doc_id)
+                out["seq"].append(seq)
+                out["band"].append(band)
+                out["is_dup"].append(dup)
+                out["dup_of"].append(of)
+            else:
+                remaining.append((seq, doc_id, ts))
+        state.update(
+            (
+                first_seq,
+                first_id,
+                [s for s, _d, _t in remaining],
+                [d for _s, d, _t in remaining],
+                [t for _s, _d, t in remaining],
+            )
+        )
+        if remaining:
+            # fire when the watermark passes the earliest undecided event
+            # time; clamp to wm+1 — EventTimeTimeout requires a timestamp
+            # STRICTLY above the watermark, and a pending row's ts may
+            # EQUAL it (the strict `ts < wm` decide rule keeps ts == wm
+            # pending)
+            state.setTimeoutTimestamp(
+                max(min(t for _s, _d, t in remaining), wm + 1)
+            )
+        if out["doc_id"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def band_decisions_stream_event_time(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    watermark_delay: str = "2 seconds",
+) -> DataFrame:
+    """REPLAY-DETERMINISTIC per-band first-wins decisions: the
+    event-time twin of ``band_decisions_stream``, exactly as
+    ``unify_stream_event_time`` twins ``unify_stream``.
+
+    The processing-time kernel matches the strict-oracled batch query
+    ``near_dup_first_wins`` only under seq-ordered arrival (first
+    ARRIVAL claims the bucket); this variant matches it under ANY
+    arrival order within ``watermark_delay``, and re-running the same
+    input under a different micro-batch slicing yields identical
+    verdicts. Event time is derived FROM ``seq`` (epoch millis), making
+    it strictly monotone in seq by construction — with a real Kafka
+    source, use the record timestamp and a seq that is monotone in it
+    (e.g. the offset).
+
+    Cost of determinism: decisions wait out the watermark delay (the
+    same latency trade as the event-time unify leg), and pending rows
+    buffer in state until decidable — bounded by arrival-rate x delay,
+    on top of the permanent one-exemplar-per-bucket state. A document's
+    band rows may surface in different micro-batches (each bucket's
+    timeout fires independently), so aggregate verdicts over the drained
+    frame or with a downstream stateful aggregation, not per-batch.
+    """
+    from kafka_stream_unify_order_messages_spark.operators.dedup import (
+        minhash_band_cols_local,
+    )
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(text_col).alias("text"),
+    )
+    keyed = minhash_band_cols_local(
+        base,
+        text_col="text",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    long_rows = (
+        keyed.select(
+            "doc_id",
+            "seq",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("long").alias("band"),
+                            F.col(f"_bk{b}").alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_bk"),
+        )
+        .select(
+            "doc_id",
+            "seq",
+            F.col("_bk.band").alias("band"),
+            F.col("_bk.band_key").alias("band_key"),
+        )
+        .withColumn("_ts_ms", F.col("seq"))
+        .withColumn("_event_time", F.timestamp_millis(F.col("seq")))
+        .withWatermark("_event_time", watermark_delay)
+    )
+    return long_rows.groupBy("band", "band_key").applyInPandasWithState(
+        make_bucket_first_wins_event_fn(),
+        outputStructType=BAND_DECISION_SCHEMA,
+        stateStructType=BUCKET_STATE_EVENT_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -268,3 +268,150 @@ def test_ttl_kernel_semantics():
     out3 = list(fn((0, "bk"), batch([(13, 3)]), fresh))[0]
     assert not out3["is_dup"].iloc[0]
     assert fresh.get == (3, 13)
+
+
+class FakeEventState:
+    """FakeState plus the event-time surface (watermark + timestamp
+    timeout) the event-time kernel uses."""
+
+    def __init__(self, value=None, timed_out=False, watermark_ms=0):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.watermark_ms = watermark_ms
+        self.timeout_ts = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def test_event_kernel_min_seq_wins_under_out_of_order_arrival():
+    """The seq-deterministic kernel's headline property: a LOWER-seq doc
+    arriving AFTER a higher-seq one still claims the bucket once the
+    watermark decides them — the verdict the processing-time kernel
+    (first ARRIVAL wins) cannot produce."""
+    import pandas as pd
+
+    from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+        make_bucket_first_wins_event_fn,
+    )
+
+    fn = make_bucket_first_wins_event_fn()
+    batch = lambda rows: iter(  # noqa: E731
+        [pd.DataFrame({
+            "doc_id": [r[0] for r in rows],
+            "seq": [r[1] for r in rows],
+            "_ts_ms": [r[1] for r in rows],  # event time = seq millis
+        })]
+    )
+    # doc 20 (seq 2000) arrives FIRST, watermark still behind both
+    state = FakeEventState(watermark_ms=500)
+    assert list(fn((0, "bk"), batch([(20, 2000)]), state)) == []
+    assert state.timeout_ts == 2000  # armed at earliest undecided
+    # doc 10 (seq 1000) arrives SECOND; watermark passes 1000 only
+    state.watermark_ms = 1500
+    out1 = list(fn((0, "bk"), batch([(10, 1000)]), state))[0]
+    assert list(out1["doc_id"]) == [10]
+    assert not out1["is_dup"].iloc[0]  # min seq claims despite late arrival
+    assert state.timeout_ts == 2000
+    # timeout fires once the watermark passes seq 2000
+    state.hasTimedOut = True
+    state.watermark_ms = 2500
+    out2 = list(fn((0, "bk"), iter([]), state))[0]
+    assert list(out2["doc_id"]) == [20]
+    assert bool(out2["is_dup"].iloc[0]) and out2["dup_of"].iloc[0] == 10
+    # exemplar state is permanent; pending buffer drained
+    assert state.get[:2] == (1000, 10) and state.get[2] == []
+
+
+def test_event_time_stream_matches_batch_under_scrambled_arrival(
+    spark, tmp_path
+):
+    """End-to-end: OUT-OF-ORDER arrival (a dup pair's copy arrives a
+    micro-batch BEFORE its lower-seq original) still yields verdicts
+    bit-equal to the seq-ordered batch twin — the replay-deterministic
+    contract of band_decisions_stream_event_time."""
+    from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+        band_decisions_stream_event_time,
+    )
+
+    base = [
+        (int(r["doc_id"]), str(r["text"]))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(20).collect()
+    ]
+    # seq = event-time millis, 100 apart; copies of docs 0/1 under fresh
+    # ids with HIGHER seq but EARLIER arrival (chunk 0); the 5 s delay
+    # keeps every original inside the watermark horizon the copies set
+    # ts must be strictly positive (the initial watermark is 0 and the
+    # pre-state late filter drops ts <= watermark)
+    originals = [
+        (doc_id, 1000 + i * 100, text)
+        for i, (doc_id, text) in enumerate(base)
+    ]
+    copies = [(9000, 3100, base[0][1]), (9001, 3200, base[1][1])]
+    kicker = [(99999, 60_000, "watermark kicker text payload")]
+    all_rows = originals + copies  # kicker excluded from the contract
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"etdedup_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        band_decisions_stream_event_time(stream, watermark_delay="5 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # copies FIRST, originals second (all within the 2 s delay of
+        # the running max event time), kicker last to close the horizon
+        _write_chunk(src, copies, 0)
+        query.processAllAvailable()
+        _write_chunk(src, originals, 1)
+        query.processAllAvailable()
+        _write_chunk(src, kicker, 2)
+        query.processAllAvailable()
+        query.processAllAvailable()  # let armed timeouts fire
+        got = {
+            r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+            for r in near_dup_verdicts(
+                spark.table(name).filter(F.col("doc_id") < 99999)
+            ).collect()
+        }
+    finally:
+        query.stop()
+
+    want = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in _expected_verdicts(spark, all_rows).collect()
+    }
+    assert got == want
+    # the copies arrived FIRST but lose to their lower-seq originals —
+    # the processing-time kernel would have claimed the buckets for them
+    assert got[9000] == (True, base[0][0])
+    assert got[9001] == (True, base[1][0])
+    assert got[base[0][0]][0] is False
