@@ -39,6 +39,7 @@ import pyspark.sql.functions as F
 from kafka_stream_unify_order_messages_spark import get_spark
 from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
     band_decisions_stream,
+    band_decisions_stream_event_time,
     near_dup_verdicts,
 )
 
@@ -229,6 +230,78 @@ def run_ttl_tier(
     }
 
 
+def run_event_tier(spark, n_docs: int, src: str, store: str) -> dict:
+    """Sustained-mode run through the REPLAY-DETERMINISTIC event-time
+    twin (band_decisions_stream_event_time): event time = seq millis, so
+    the corpus spans n_docs ms of event time and the watermark advances
+    with the data; a far-future kicker closes the final delay window.
+    The kicker's own band rows are excluded from the verdict count."""
+    name = f"dtp_event_{store}_{n_docs}"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+        if store == "rocksdb"
+        else "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", N_FILES // 10)
+        .parquet(src)
+        # event time must be strictly positive (doc 0's ts==0 would be
+        # dropped against the initial 0 watermark — see the kernel's
+        # decide-rule comment); a uniform shift preserves seq order
+        .withColumn("seq", F.col("seq") + F.lit(1000))
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        band_decisions_stream_event_time(stream, watermark_delay="2 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.time()
+    kicker_id = 10 * n_docs + 7
+    target = 4 * n_docs
+    try:
+        q.processAllAvailable()  # drain the real input
+        # close the final watermark window
+        spark.createDataFrame(
+            [(kicker_id, n_docs + 10_000_000, "watermark kicker payload")],
+            SCHEMA,
+        ).write.mode("append").parquet(src)
+        deadline = time.time() + max(600, n_docs / 200)
+        while (
+            spark.table(name)
+            .filter(F.col("doc_id") != kicker_id)
+            .count()
+            < target
+        ):
+            if time.time() > deadline:
+                raise TimeoutError(f"{name}: sink incomplete")
+            q.processAllAvailable()
+            time.sleep(0.5)
+        elapsed = time.time() - t0
+        decisions = spark.table(name).filter(F.col("doc_id") != kicker_id)
+        n_dup = near_dup_verdicts(decisions).filter("is_dup").count()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return {
+        "docs_in": n_docs,
+        "mode": "event",
+        "store": store,
+        "verified": False,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed),
+        "dup_rate": round(n_dup / n_docs, 4),
+    }
+
+
 def run_tier(
     spark, n_docs: int, src: str, mode: str, store: str,
     verify: bool = False,
@@ -293,8 +366,27 @@ def main() -> None:
         synth_docs(spark, n).repartition(N_FILES).write.mode(
             "overwrite"
         ).parquet(src)
+        src_ev = None
         try:
             for mode in MODES:
+                if mode == "event":
+                    # ordered arrival: event time = seq ms and the 2 s
+                    # watermark delay only tolerates bounded disorder, so
+                    # the event leg reads a range-partitioned mtime-stamped
+                    # copy (the hash-partitioned shared corpus would feed
+                    # whole files of low seqs AFTER the watermark passed
+                    # them -> dropped as late)
+                    if src_ev is None:
+                        src_ev = tempfile.mkdtemp(prefix=f"dtp_ev_src_{n}_")
+                        synth_docs(spark, n).repartitionByRange(
+                            N_FILES, "doc_id"
+                        ).write.mode("overwrite").parquet(src_ev)
+                        _stamp_mtimes_in_path_order(src_ev)
+                    for store in ("hdfs", "rocksdb"):
+                        rec = run_event_tier(spark, n, src_ev, store)
+                        records.append(rec)
+                        print(json.dumps(rec), flush=True)
+                    continue
                 for store in ("hdfs", "rocksdb"):
                     rec = run_tier(spark, n, src, mode, store)
                     records.append(rec)
@@ -312,6 +404,8 @@ def main() -> None:
                         print(json.dumps(rec), flush=True)
         finally:
             shutil.rmtree(src, ignore_errors=True)
+            if src_ev:
+                shutil.rmtree(src_ev, ignore_errors=True)
 
     # TTL retention study (SPARK_DEDUP_TTL=1): sustained hdfs over the
     # mixed near+far corpus, retention window vs unbounded twin —
@@ -370,8 +464,18 @@ def main() -> None:
         "strict-oracled via the batch twin `near_dup_first_wins`).",
         "**bulk** = one micro-batch (backfill profile); **sustained** =",
         "~10 micro-batches (continuous-ingest profile, per-batch commits",
-        "of the growing bucket state). State = 4 buckets per UNIQUE doc —",
-        "duplicates add no state, so state grows with the novelty rate.",
+        "of the growing bucket state); **event** = the",
+        "REPLAY-DETERMINISTIC event-time twin",
+        "(band_decisions_stream_event_time) in the sustained profile —",
+        "verdicts decided by the watermark (exemplar = global min seq,",
+        "bit-equal to the batch twin under any in-window arrival), so",
+        "every doc buffers in state until the watermark passes it and is",
+        "touched a second time by the deciding timeout; the throughput",
+        "gap vs sustained IS the price of determinism (the event-time",
+        "unify leg trades the same way, STREAMING.md). State = 4 buckets",
+        "per UNIQUE doc — duplicates add no state, so state grows with",
+        "the novelty rate; the event twin adds a pending buffer bounded",
+        "by arrival rate x watermark delay.",
         "",
         "| docs | mode | state store | verified | elapsed | docs/s | dup rate found |",
         "|---|---|---|---|---|---|---|",
