@@ -297,6 +297,12 @@ BUCKET_STATE_EVENT_SCHEMA = (
     "first_seq long, first_id long,"
     " pend_seqs array<long>, pend_ids array<long>, pend_ts array<long>"
 )
+# verified event-time: exemplar signature + per-pending-doc signatures
+BUCKET_STATE_EVENT_VERIFIED_SCHEMA = (
+    "first_seq long, first_id long, sig array<long>,"
+    " pend_seqs array<long>, pend_ids array<long>, pend_ts array<long>,"
+    " pend_sigs array<array<long>>"
+)
 
 
 def make_bucket_first_wins_event_fn():
@@ -391,6 +397,85 @@ def make_bucket_first_wins_event_fn():
     return fn
 
 
+def make_bucket_verified_event_fn(threshold: float, num_hashes: int):
+    """Verified + seq-deterministic: the event-time kernel carrying the
+    exemplar's full minhash signature (make_bucket_verified_fn's rule:
+    a collision is a duplicate only when the estimated jaccard clears
+    ``threshold``; sub-threshold colliders never claim the bucket) on
+    the watermark-decided pending buffer (make_bucket_first_wins_event_fn's
+    mechanism — see its docstring for the decide rule)."""
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band = int(key[0])  # key order is (band, band_key)
+        if state.exists:
+            first_seq, first_id, first_sig, p_seqs, p_ids, p_ts, p_sigs = (
+                state.get
+            )
+            first_sig = list(first_sig) if first_sig is not None else None
+            pend = sorted(
+                zip(p_seqs, p_ids, p_ts, [list(g) for g in p_sigs])
+            )
+        else:
+            first_seq, first_id, first_sig, pend = None, None, None, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for doc_id, seq, ts, sig in pdf[
+                    ["doc_id", "seq", "_ts_ms", "_sig"]
+                ].itertuples(index=False):
+                    pend.append(
+                        (int(seq), int(doc_id), int(ts),
+                         [int(x) for x in sig])
+                    )
+            pend.sort()
+        wm = state.getCurrentWatermarkMs()
+        out = {
+            "doc_id": [], "seq": [], "band": [],
+            "is_dup": [], "dup_of": [], "est": [],
+        }
+        remaining = []
+        for seq, doc_id, ts, sig in pend:
+            if ts <= wm:  # decide rule: see make_bucket_first_wins_event_fn
+                if first_seq is None:
+                    first_seq, first_id, first_sig = seq, doc_id, sig
+                    dup, of, est = False, None, None
+                else:
+                    n_eq = sum(a == b for a, b in zip(sig, first_sig))
+                    est = n_eq / num_hashes
+                    dup = est >= threshold
+                    of = first_id if dup else None
+                out["doc_id"].append(doc_id)
+                out["seq"].append(seq)
+                out["band"].append(band)
+                out["is_dup"].append(dup)
+                out["dup_of"].append(of)
+                out["est"].append(est)
+            else:
+                remaining.append((seq, doc_id, ts, sig))
+        state.update(
+            (
+                first_seq,
+                first_id,
+                first_sig,
+                [s for s, _d, _t, _g in remaining],
+                [d for _s, d, _t, _g in remaining],
+                [t for _s, _d, t, _g in remaining],
+                [g for _s, _d, _t, g in remaining],
+            )
+        )
+        if remaining:
+            state.setTimeoutTimestamp(
+                max(min(t for _s, _d, t, _g in remaining), wm + 1)
+            )
+        if out["doc_id"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def band_decisions_stream_event_time(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -399,6 +484,7 @@ def band_decisions_stream_event_time(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    verify_threshold: float | None = None,
     watermark_delay: str = "2 seconds",
 ) -> DataFrame:
     """REPLAY-DETERMINISTIC per-band first-wins decisions: the
@@ -415,16 +501,24 @@ def band_decisions_stream_event_time(
     source, use the record timestamp and a seq that is monotone in it
     (e.g. the offset).
 
+    ``verify_threshold`` composes exactly as in ``band_decisions_stream``:
+    the exemplar's full minhash signature rides in state and a collision
+    only counts as a duplicate when the estimated jaccard clears the
+    threshold (sub-threshold colliders never claim the bucket) — here
+    against the SEQ-MINIMUM exemplar rather than the first arrival.
+
     Cost of determinism: decisions wait out the watermark delay (the
-    same latency trade as the event-time unify leg), and pending rows
-    buffer in state until decidable — bounded by arrival-rate x delay,
-    on top of the permanent one-exemplar-per-bucket state. A document's
+    same latency trade as the event-time unify leg, measured in
+    STREAMING_DEDUP.md's event rows), and pending rows buffer in state
+    until decidable — bounded by arrival-rate x delay, on top of the
+    permanent one-exemplar-per-bucket state. A document's
     band rows may surface in different micro-batches (each bucket's
     timeout fires independently), so aggregate verdicts over the drained
     frame or with a downstream stateful aggregation, not per-batch.
     """
     from kafka_stream_unify_order_messages_spark.operators.dedup import (
         minhash_band_cols_local,
+        minhash_sig_band_cols_local,
     )
 
     base = docs.select(
@@ -432,17 +526,23 @@ def band_decisions_stream_event_time(
         F.col(seq_col).cast("long").alias("seq"),
         F.col(text_col).alias("text"),
     )
-    keyed = minhash_band_cols_local(
+    verified = verify_threshold is not None
+    keyed_fn = (
+        minhash_sig_band_cols_local if verified else minhash_band_cols_local
+    )
+    keyed = keyed_fn(
         base,
         text_col="text",
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
     )
+    carry = ["_sig"] if verified else []
     long_rows = (
         keyed.select(
             "doc_id",
             "seq",
+            *carry,
             F.explode(
                 F.array(
                     *[
@@ -458,6 +558,7 @@ def band_decisions_stream_event_time(
         .select(
             "doc_id",
             "seq",
+            *carry,
             F.col("_bk.band").alias("band"),
             F.col("_bk.band_key").alias("band_key"),
         )
@@ -465,10 +566,21 @@ def band_decisions_stream_event_time(
         .withColumn("_event_time", F.timestamp_millis(F.col("seq")))
         .withWatermark("_event_time", watermark_delay)
     )
+    if verified:
+        fn = make_bucket_verified_event_fn(verify_threshold, num_hashes)
+        out_schema, state_schema = (
+            BAND_DECISION_VERIFIED_SCHEMA,
+            BUCKET_STATE_EVENT_VERIFIED_SCHEMA,
+        )
+    else:
+        fn = make_bucket_first_wins_event_fn()
+        out_schema, state_schema = (
+            BAND_DECISION_SCHEMA, BUCKET_STATE_EVENT_SCHEMA,
+        )
     return long_rows.groupBy("band", "band_key").applyInPandasWithState(
-        make_bucket_first_wins_event_fn(),
-        outputStructType=BAND_DECISION_SCHEMA,
-        stateStructType=BUCKET_STATE_EVENT_SCHEMA,
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

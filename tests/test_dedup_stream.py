@@ -415,3 +415,111 @@ def test_event_time_stream_matches_batch_under_scrambled_arrival(
     assert got[9000] == (True, base[0][0])
     assert got[9001] == (True, base[1][0])
     assert got[base[0][0]][0] is False
+
+
+def test_verified_event_time_stream_under_scrambled_arrival(
+    spark, tmp_path
+):
+    """Verified + event-time: the signature rule (dup only when the
+    jaccard estimate vs the exemplar clears the threshold) composed with
+    watermark-decided, seq-deterministic exemplars — an exact re-send
+    arriving BEFORE its lower-seq original still loses to it with
+    est 1.0, and a sub-threshold band collider stays non-dup."""
+    from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+        band_decisions_stream_event_time,
+    )
+
+    base = [
+        (int(r["doc_id"]), str(r["text"]))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(20).collect()
+    ]
+    originals = [
+        (doc_id, 1000 + i * 100, text)
+        for i, (doc_id, text) in enumerate(base)
+    ]
+    # exact copy of doc 0 and a heavily-edited partial of doc 3 (shares
+    # bands through the kept half; est in (0, 1)), both arriving first
+    words = base[3][1].split()
+    half = " ".join(words[: len(words) // 2])
+    filler = " ".join(f"zz{i} qq{i} kk{i}" for i in range(len(words) // 6))
+    copies = [(9000, 3100, base[0][1]), (9100, 3200, half + " " + filler)]
+    kicker = [(99999, 60_000, "watermark kicker text payload")]
+    all_rows = originals + copies
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"etdedupv_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        band_decisions_stream_event_time(
+            stream, verify_threshold=0.5, watermark_delay="5 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _write_chunk(src, copies, 0)
+        query.processAllAvailable()
+        _write_chunk(src, originals, 1)
+        query.processAllAvailable()
+        _write_chunk(src, kicker, 2)
+        query.processAllAvailable()
+        query.processAllAvailable()
+        got = {
+            r["doc_id"]: (bool(r["is_dup"]), r["dup_of"], r["best_est"])
+            for r in near_dup_verdicts(
+                spark.table(name).filter(F.col("doc_id") < 99999)
+            ).collect()
+        }
+    finally:
+        query.stop()
+
+    # batch re-derivation: exemplar = bucket's min (seq, doc_id) over
+    # ALL rows (arrival-independent), est vs exemplar, dup iff >= 0.5
+    df = spark.createDataFrame(all_rows, SCHEMA)
+    wide = D.minhash_signatures_wide(df, "doc_id", "text", 16, 3)
+    bands = D.minhash_band_keys(wide, "doc_id", 4, 16).join(
+        df.select("doc_id", "seq"), "doc_id"
+    )
+    firsts = bands.groupBy("band", "band_key").agg(
+        F.min(F.struct("seq", "doc_id")).alias("first")
+    )
+    cand = (
+        bands.join(firsts, ["band", "band_key"])
+        .filter(F.col("first.seq") < F.col("seq"))
+        .select("doc_id", "seq", F.col("first.doc_id").alias("first_id"))
+        .distinct()
+    )
+    a = wide.select(
+        "doc_id", *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(16)]
+    )
+    b = wide.select(
+        F.col("doc_id").alias("first_id"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(16)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    sim = cand.join(a, "doc_id").join(b, "first_id").select(
+        "doc_id", "seq", "first_id", (n_eq / F.lit(16.0)).alias("est")
+    )
+    agg = sim.groupBy("doc_id", "seq").agg(
+        F.max("est").alias("best_est"),
+        F.min(F.when(F.col("est") >= 0.5, F.col("first_id"))).alias(
+            "dup_of"
+        ),
+    )
+    want = {
+        r["doc_id"]: (r["dup_of"] is not None, r["dup_of"], r["best_est"])
+        for r in df.select("doc_id", "seq")
+        .join(agg, ["doc_id", "seq"], "left")
+        .collect()
+    }
+    assert got == want
+    # the exact copy arrived first but loses to its lower-seq original
+    assert got[9000] == (True, base[0][0], 1.0)
