@@ -112,7 +112,30 @@ def main() -> None:
 
     # Full per-query detail always lands in a sibling file for the judge.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(json.dumps(result, indent=1) + "\n")
+    detail_text = json.dumps(result, indent=1) + "\n"
+    detail_path.write_text(detail_text)
+
+    # Bind the (possibly truncated) stdout blob to the detail file so the
+    # two cannot drift silently: the blob carries the detail file's
+    # content hash and query count, and the un-truncatable `value` field
+    # is asserted identical to the detail total before anything prints.
+    import hashlib
+
+    result["detail_sha256"] = hashlib.sha256(
+        detail_text.encode()
+    ).hexdigest()[:16]
+    result["detail_n_queries"] = len(timings)
+    detail_parsed = json.loads(detail_text)
+    assert detail_parsed["value"] == result["value"], (
+        "BENCH blob/detail total drift",
+        detail_parsed["value"],
+        result["value"],
+    )
+    assert len(detail_parsed["queries"]) == len(timings), (
+        "BENCH detail file lost queries",
+        len(detail_parsed["queries"]),
+        len(timings),
+    )
 
     # The driver keeps only the last 2000 chars of stdout and parses the
     # JSON line out of that tail (round 1's full per-query line exceeded it
@@ -129,6 +152,9 @@ def main() -> None:
         result["queries_omitted"] = len(timings) - len(result["queries"])
         result["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(result, separators=(",", ":"))
+    # truncation must drop only `queries` entries — total/count/hash stay
+    assert result["value"] == detail_parsed["value"]
+    assert result["detail_n_queries"] == len(detail_parsed["queries"])
     print(line)
     spark.stop()
 

@@ -6,17 +6,22 @@ Spark never interprets the bytes except inside explicitly-invoked
 Arrow-batched decode/feature UDFs, so filters/joins/dedup on metadata stay
 JVM-side and columnar while payloads stream through untouched.
 
-Decoding is gated on an OPTIONAL dependency: when Pillow is importable on
-the executors, ``decode_media`` opens payloads with the real codec (any
-format PIL reads) and ``decoded_phash`` computes the classic aHash over
-real decoded pixels; rows PIL cannot parse yield nulls (quarantine, don't
-kill the 100 TB job). Without Pillow — as in this container —
-``decode_media`` keeps the honest stub behavior: ``NotImplementedError``
-at execution unless given the deterministic fake decoder
-(``fake_decode=True``), which derives pixel-like properties from the
-payload bytes. Everything AROUND the decode — schema, partitioning,
+Decoding resolves through a three-tier codec chain: when Pillow is
+importable on the executors (OPTIONAL dependency), ``decode_media`` opens
+payloads with the real codec (any format PIL reads) and ``decoded_phash``
+computes the classic aHash over real decoded pixels; rows PIL cannot
+parse yield nulls (quarantine, don't kill the 100 TB job). Without
+Pillow — as in this container — a STDLIB codec (``decode_image_bytes``:
+real PNG via zlib inflate + per-scanline filter reversal, plus binary
+PPM/PGM) decodes recognized payloads, so the decode and resize contracts
+are runtime-proven on real image bytes even here; ``resize_media``'s
+stdlib path resizes nearest-neighbor (LANCZOS stays Pillow-gated).
+Payloads NO codec path recognizes keep the honest stub behavior:
+``NotImplementedError`` at execution unless given the deterministic fake
+decoder (``fake_decode=True``), which derives pixel-like properties from
+the payload bytes. Everything AROUND the decode — schema, partitioning,
 ``mapInPandas`` batch shape, frame-slicing, feature vectors — is real and
-tested either way.
+tested in every tier.
 
 Scale notes: payload bytes never shuffle except where semantically
 required (frame explode); metadata-only transforms select away the binary
@@ -93,6 +98,196 @@ def _try_import_pil():
         return None
 
 
+# ---------------------------------------------------------------------------
+# Stdlib-only image codec (PNG + PPM/PGM): runtime-proves the decode
+# contract in codec-less environments. PNG here is the real format —
+# zlib-inflated IDAT with per-scanline filter reversal per the PNG spec
+# (RFC 2083 §6) — restricted to the common core: 8-bit depth, color
+# types 0 (grayscale), 2 (RGB), 6 (RGBA), no interlace. Recognized
+# inputs outside that core raise NotImplementedError (an honest gate —
+# the payload is a VALID image this mini-codec can't handle; Pillow on
+# the executors would); corrupt bytes of a recognized format raise
+# ValueError (quarantine). Error taxonomy is load-bearing for
+# decode_media's null-vs-raise behavior below.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_MODES = {0: "L", 2: "RGB", 6: "RGBA"}
+
+
+def sniff_image_format(b: bytes) -> str | None:
+    """'png' / 'ppm' (P5 PGM counts) when the stdlib codec recognizes
+    the payload's magic, else None."""
+    if b[:8] == _PNG_MAGIC:
+        return "png"
+    if b[:2] in (b"P5", b"P6") and (len(b) > 2 and b[2:3].isspace()):
+        return "ppm"
+    return None
+
+
+def _decode_png(b: bytes) -> tuple[int, int, str, np.ndarray]:
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", b[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid IHDR method fields")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG needs Pillow")
+    if depth != 8 or ct not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ct} needs Pillow"
+        )
+    nch = _PNG_CHANNELS[ct]
+    stride = w * nch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"IDAT inflate failed: {e}") from e
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("raster size mismatch")
+    out = bytearray(stride * h)
+    prior = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                bb = prior[i]
+                c = prior[i - nch] if i >= nch else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = bytes(line)
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, nch)
+    return w, h, _PNG_MODES[ct], px
+
+
+def _decode_ppm(b: bytes) -> tuple[int, int, str, np.ndarray]:
+    # P6 (binary RGB) / P5 (binary grayscale); '#' comments allowed in
+    # the header per the netpbm spec
+    magic = b[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(b):
+            raise ValueError("truncated PPM header")
+        c = b[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(b) and b[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        else:
+            raise ValueError("bad PPM header byte")
+    w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PPM dimensions")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs Pillow")
+    pos += 1  # single whitespace after maxval
+    nch = 3 if magic == b"P6" else 1
+    need = w * h * nch
+    raster = b[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, nch)
+    return w, h, ("RGB" if nch == 3 else "L"), px
+
+
+def decode_image_bytes(b: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Stdlib-only decode of a recognized payload: (width, height, mode,
+    pixels HxWxC uint8). ValueError = corrupt bytes of a recognized
+    format (quarantine); NotImplementedError = valid but outside the
+    mini-codec's core (needs Pillow). Unrecognized magic also raises
+    NotImplementedError — use ``sniff_image_format`` to pre-screen."""
+    fmt = sniff_image_format(bytes(b))
+    if fmt == "png":
+        return _decode_png(bytes(b))
+    if fmt == "ppm":
+        return _decode_ppm(bytes(b))
+    raise NotImplementedError("unrecognized image format; needs Pillow")
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal stdlib PNG encoder (filter 0 scanlines, one IDAT): the
+    re-encode half of the no-Pillow resize path, and the fixture factory
+    for the codec tests. Accepts HxW (grayscale) or HxWx{1,3,4} uint8."""
+    import struct
+    import zlib
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    ct = {1: 0, 3: 2, 4: 6}[nch]
+    raw = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -100,17 +295,24 @@ def decode_media(
 ) -> DataFrame:
     """Decode payloads to (id, width, height, mode) via mapInPandas.
 
-    Three modes, one schema:
+    Decoder resolution, one schema throughout:
     - Pillow importable on executors (optional dependency): REAL decode —
       ``PIL.Image.open`` per payload; rows PIL cannot parse yield null
       width/height/mode instead of failing the task (a 100 TB corpus
       always contains corrupt blobs; quarantine with
       ``filter(width IS NULL)``, don't retry the job).
+    - no Pillow, payload magic recognized by the stdlib codec (PNG /
+      binary PPM/PGM — see ``decode_image_bytes``): REAL decode via
+      zlib + filter reversal; corrupt bytes of a recognized format
+      quarantine as nulls exactly like the Pillow path; recognized-but-
+      unsupported features (interlace, 16-bit, palette) raise — they are
+      valid images this environment genuinely cannot decode.
     - ``fake_decode=True``: deterministic stub deriving dimensions from
-      the payload bytes, so the full pipeline is testable end-to-end in
-      codec-less environments (this container).
-    - neither: the returned DataFrame raises ``NotImplementedError`` on
-      execution — an honest gate, not silent garbage.
+      the payload bytes, so the full pipeline is testable end-to-end
+      regardless of payload format.
+    - no codec path applies (no Pillow AND unrecognized magic): the
+      returned DataFrame raises ``NotImplementedError`` on execution —
+      an honest gate, not silent garbage.
     """
     schema = f"{_id_field_ddl(df, id_col)}, width int, height int, mode string"
 
@@ -132,20 +334,36 @@ def decode_media(
                     }
                 )
                 continue
-            if image_mod is None:
-                raise NotImplementedError(
-                    "media decoding requires an image codec library "
-                    "(Pillow), not available in this environment; "
-                    "pass fake_decode=True for the deterministic stub"
-                )
             import io
 
             widths: list = []
             heights: list = []
             modes: list = []
             for b in pdf["payload"]:
+                bb = bytes(b)
+                if image_mod is None:
+                    # stdlib fallback: real decode for recognized
+                    # formats; honest NotImplementedError otherwise
+                    if sniff_image_format(bb) is None:
+                        raise NotImplementedError(
+                            "payload format not decodable without an "
+                            "image codec library (Pillow); the stdlib "
+                            "fallback handles PNG and binary PPM/PGM — "
+                            "pass fake_decode=True for the "
+                            "deterministic stub"
+                        )
+                    try:
+                        w, h, mode, _px = decode_image_bytes(bb)
+                        widths.append(w)
+                        heights.append(h)
+                        modes.append(mode)
+                    except ValueError:  # corrupt bytes -> quarantine
+                        widths.append(None)
+                        heights.append(None)
+                        modes.append(None)
+                    continue
                 try:
-                    with image_mod.open(io.BytesIO(bytes(b))) as im:
+                    with image_mod.open(io.BytesIO(bb)) as im:
                         widths.append(im.width)
                         heights.append(im.height)
                         modes.append(im.mode)
@@ -176,12 +394,16 @@ def resize_media(
     """Resize payloads to a fixed (width, height) thumbnail and re-encode:
     (id, thumb binary, thumb_width, thumb_height) via mapInPandas — the
     standard normalize-before-feature-extraction step of an image
-    training pipeline. Same three-mode contract as ``decode_media``:
-    Pillow on the executors does a real LANCZOS resize + PNG re-encode
-    (undecodable payloads quarantine as null thumbs); ``fake_decode``
-    derives a deterministic pseudo-thumbnail from the payload bytes so
-    the Spark-side plumbing (schema, batching, null quarantine) is
-    testable in codec-less environments; neither raises an honest
+    training pipeline. Same decoder-resolution contract as
+    ``decode_media``: Pillow on the executors does a real LANCZOS resize
+    + PNG re-encode (undecodable payloads quarantine as null thumbs);
+    without Pillow, payloads the stdlib codec recognizes (PNG / binary
+    PPM/PGM) get a real decode + NEAREST-NEIGHBOR resize + stdlib PNG
+    re-encode (LANCZOS needs Pillow's filter kernels — the quality knob
+    stays Pillow-gated, the contract does not); ``fake_decode`` derives
+    a deterministic pseudo-thumbnail from the payload bytes so the
+    Spark-side plumbing (schema, batching, null quarantine) is testable
+    regardless of payload format; no codec path at all raises an honest
     ``NotImplementedError``. Batch shape: one Arrow batch in, one out —
     never a Python call per row.
     """
@@ -223,18 +445,32 @@ def resize_media(
                     }
                 )
                 continue
-            if image_mod is None:
-                raise NotImplementedError(
-                    "media resize requires an image codec library "
-                    "(Pillow), not available in this environment; "
-                    "pass fake_decode=True for the deterministic stub"
-                )
             import io
 
             thumbs = []
             for b in pdf["payload"]:
+                bb = bytes(b)
+                if image_mod is None:
+                    if sniff_image_format(bb) is None:
+                        raise NotImplementedError(
+                            "payload format not resizable without an "
+                            "image codec library (Pillow); the stdlib "
+                            "fallback handles PNG and binary PPM/PGM — "
+                            "pass fake_decode=True for the "
+                            "deterministic stub"
+                        )
+                    try:
+                        _w, _h, _mode, px = decode_image_bytes(bb)
+                        # nearest-neighbor index map: pixel (y, x) of
+                        # the thumb reads source (y*H//height, x*W//width)
+                        ys = (np.arange(height) * _h) // height
+                        xs = (np.arange(width) * _w) // width
+                        thumbs.append(encode_png(px[ys][:, xs]))
+                    except ValueError:  # corrupt -> quarantine
+                        thumbs.append(None)
+                    continue
                 try:
-                    with image_mod.open(io.BytesIO(bytes(b))) as im:
+                    with image_mod.open(io.BytesIO(bb)) as im:
                         out = io.BytesIO()
                         im.resize(
                             (width, height),

@@ -2866,15 +2866,21 @@ SELECT query_id, neighbor_id, score, rnk FROM (
 def ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    # the exhaustive-scan guard stays ON (default max_query_batch=10k):
-    # this query is the ADC compression-quality baseline and |Q| = n/20
-    # grows with the corpus, so a user lifting this call onto a real
-    # corpus gets pq_topk's ValueError routing them to ann_ivfpq_fixed /
-    # knn_join instead of a silent quadratic burn. Every oracle scale and
-    # the SCALING.md ramp ceiling (x100 -> |Q| = 10k) sit at or under the
-    # guard; only a deliberate exhaustive baseline passes
-    # max_query_batch=None (the SCALING.md negative-result row's license).
-    return S.pq_topk(queries, emb, k=5, n_sub=8, n_codes=16)
+    # the exhaustive-scan guard stays ON, with the ceiling PINNED rather
+    # than inherited: this query is the ADC compression-quality baseline
+    # and |Q| = n/20 grows with the corpus, so a user lifting this call
+    # onto a real corpus gets pq_topk's ValueError routing them to
+    # ann_ivfpq_fixed / knn_join instead of a silent quadratic burn.
+    # The SCALING.md ramp ceiling (x100 -> 200k vectors -> |Q| = 10,000)
+    # sits EXACTLY at the guard; pinning max_query_batch=10_000 here (and
+    # asserting the tier/guard relationship at config time in
+    # scripts/scaling_ramp.py) means a future guard-default change or
+    # ramp-tier bump fails loudly up front, not mid-benchmark. Only a
+    # deliberate exhaustive baseline passes max_query_batch=None (the
+    # SCALING.md negative-result row's license).
+    return S.pq_topk(
+        queries, emb, k=5, n_sub=8, n_codes=16, max_query_batch=10_000
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -587,8 +587,11 @@ def _current_round() -> int:
 
 
 def _driver_checked_names() -> set[str]:
-    """Union of every query name that has EVER appeared in a driver
-    CORRECTNESS_r{N}.json — i.e. has an independent driver-green row.
+    """Union of every query name with a PASSING row in some driver
+    CORRECTNESS_r{N}.json — i.e. has an independent driver-GREEN row
+    (hash_match true and no recorded error; a failed driver row keeps
+    its query in the coverage-first tier so the next round re-checks it
+    instead of demoting it to the confirmed rotation).
 
     The registry grew faster than the 36 rotating window slots per round
     (210 queries vs 36), so a plain round-keyed rotation leaves a long
@@ -606,9 +609,16 @@ def _driver_checked_names() -> set[str]:
         files = sorted(root.glob("CORRECTNESS_r*.json"))
         for p in files:
             try:
-                checked.update(json.loads(p.read_text()))
+                data = json.loads(p.read_text())
             except (OSError, ValueError):
                 continue
+            checked.update(
+                k
+                for k, v in data.items()
+                if isinstance(v, dict)
+                and v.get("hash_match")
+                and not v.get("err")
+            )
         if files:
             break
     return checked

@@ -38,7 +38,10 @@ has to unify_stream): verdicts are decided by the watermark instead of
 arrival, so the bucket's exemplar is the global minimum seq and the
 output is bit-equal to the batch query under ANY arrival order within
 the watermark delay — and identical across replays regardless of
-micro-batch slicing.
+micro-batch slicing. Its bounded-state option is ``retention_ms``
+(the event-time twin of ``ttl_ms``): exemplars idle past a
+watermark-driven event-time horizon are forgotten, so even the
+forgetting replays deterministically.
 """
 
 from __future__ import annotations
@@ -292,20 +295,22 @@ def near_dup_verdicts(band_decisions: DataFrame) -> DataFrame:
 
 
 # event-time variant: a pending buffer rides in the bucket state until
-# the watermark passes each document's event time
+# the watermark passes each document's event time; last_ts records the
+# event time of the bucket's most recent touch (the retention clock)
 BUCKET_STATE_EVENT_SCHEMA = (
     "first_seq long, first_id long,"
-    " pend_seqs array<long>, pend_ids array<long>, pend_ts array<long>"
+    " pend_seqs array<long>, pend_ids array<long>, pend_ts array<long>,"
+    " last_ts long"
 )
 # verified event-time: exemplar signature + per-pending-doc signatures
 BUCKET_STATE_EVENT_VERIFIED_SCHEMA = (
     "first_seq long, first_id long, sig array<long>,"
     " pend_seqs array<long>, pend_ids array<long>, pend_ts array<long>,"
-    " pend_sigs array<array<long>>"
+    " pend_sigs array<array<long>>, last_ts long"
 )
 
 
-def make_bucket_first_wins_event_fn():
+def make_bucket_first_wins_event_fn(retention_ms: int | None = None):
     """SEQ-DETERMINISTIC first-wins kernel (event-time twin of
     ``make_bucket_first_wins_fn``): the bucket's exemplar is the MINIMUM
     ``seq`` among all documents that ever touch it — the batch query
@@ -314,20 +319,31 @@ def make_bucket_first_wins_event_fn():
     of its event time.
 
     Mechanism: arrivals buffer in state; a buffered document is DECIDED
-    only once the watermark strictly passes its event time, because then
-    no lower-seq claimant can still arrive (a later row with a smaller
-    event time would be late and is filtered by the watermark before the
-    operator; event times must be monotone in ``seq`` — derive them from
-    the offset, as ``band_decisions_stream_event_time`` does). Decidable
+    only once the watermark reaches its event time (``ts <= wm``),
+    because then no lower-seq claimant can still arrive (Spark's
+    pre-state late filter drops arrivals with event time <= watermark,
+    and event times must be monotone in ``seq`` — derive them from the
+    offset, as ``band_decisions_stream_event_time`` does). Decidable
     rows resolve in (seq, doc_id) order, so the first decision a bucket
     ever makes is its global-minimum seq: replaying the same input gives
     the same verdicts for ANY micro-batch slicing — the determinism the
     processing-time kernel (and the reference's wall-clock punctuation)
     only has under seq-ordered arrival.
 
-    The exemplar half of the state is permanent (dedup history never
-    expires); only the pending buffer arms an event-time timeout, at the
-    earliest undecided event time.
+    By default the exemplar half of the state is permanent (dedup
+    history never expires) and only the pending buffer arms an
+    event-time timeout, at the earliest undecided event time. For
+    INFINITE streams ``retention_ms`` is the event-time twin of the
+    processing-time kernel's ``ttl_ms``: a bucket whose last touch's
+    EVENT TIME (``last_ts``) falls ``retention_ms`` behind the watermark
+    forgets its exemplar — the next claimant is fresh, so the dedup
+    horizon is "anything seen within the retention window of event
+    time". Every touch re-arms (LRU semantics), and the horizon is
+    watermark-driven, so it is as replay-deterministic as the verdicts:
+    the same input forgets the same exemplars at the same watermarks
+    under any micro-batch slicing. Retention can never race a pending
+    decision: while rows pend, ``last_ts >= max(pending ts) > wm``, so
+    the idle horizon is unreachable until the buffer drains.
     """
 
     def fn(
@@ -337,16 +353,19 @@ def make_bucket_first_wins_event_fn():
     ) -> Iterator[pd.DataFrame]:
         band = int(key[0])  # key order is (band, band_key)
         if state.exists:
-            first_seq, first_id, p_seqs, p_ids, p_ts = state.get
+            first_seq, first_id, p_seqs, p_ids, p_ts, last_ts = state.get
             pend = sorted(zip(p_seqs, p_ids, p_ts))
         else:
-            first_seq, first_id, pend = None, None, []
+            first_seq, first_id, pend, last_ts = None, None, [], None
         if not state.hasTimedOut:
             for pdf in pdfs:
                 for doc_id, seq, ts in pdf[
                     ["doc_id", "seq", "_ts_ms"]
                 ].itertuples(index=False):
-                    pend.append((int(seq), int(doc_id), int(ts)))
+                    ts = int(ts)
+                    pend.append((int(seq), int(doc_id), ts))
+                    if last_ts is None or ts > last_ts:
+                        last_ts = ts
             pend.sort()
         wm = state.getCurrentWatermarkMs()
         out = {
@@ -356,10 +375,14 @@ def make_bucket_first_wins_event_fn():
         for seq, doc_id, ts in pend:
             # decidable at ts <= wm: Spark's pre-state late filter drops
             # arriving rows with event time <= watermark (measured: a
-            # ts==0 row vanished against the initial 0 watermark), so no
-            # lower-seq claimant at or below wm can ever arrive. Event
-            # times must therefore be STRICTLY positive — the initial
-            # watermark is 0 and would eat a ts==0 row.
+            # ts==0 row vanished against the initial 0 watermark), so
+            # once wm reaches a pending row's ts no lower-seq claimant
+            # at or below it can ever arrive — deciding AT equality is
+            # safe and keeps latency one timeout-hop lower than a strict
+            # rule would. Event times must therefore be STRICTLY
+            # positive — the initial watermark is 0 and would eat a
+            # ts==0 row. The ts == wm boundary is pinned by
+            # tests/test_dedup_stream.py.
             if ts <= wm:
                 if first_seq is None:
                     first_seq, first_id = seq, doc_id
@@ -373,6 +396,19 @@ def make_bucket_first_wins_event_fn():
                 out["dup_of"].append(of)
             else:
                 remaining.append((seq, doc_id, ts))
+        if (
+            retention_ms is not None
+            and not remaining
+            and first_seq is not None
+            and last_ts is not None
+            and wm >= last_ts + retention_ms
+        ):
+            # idle past the event-time horizon: forget the exemplar (any
+            # rows decided this call still emit below)
+            state.remove()
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+            return
         state.update(
             (
                 first_seq,
@@ -380,30 +416,44 @@ def make_bucket_first_wins_event_fn():
                 [s for s, _d, _t in remaining],
                 [d for _s, d, _t in remaining],
                 [t for _s, _d, t in remaining],
+                last_ts,
             )
         )
         if remaining:
-            # fire when the watermark passes the earliest undecided event
-            # time; clamp to wm+1 — EventTimeTimeout requires a timestamp
-            # STRICTLY above the watermark, and a pending row's ts may
-            # EQUAL it (the strict `ts < wm` decide rule keeps ts == wm
-            # pending)
-            state.setTimeoutTimestamp(
-                max(min(t for _s, _d, t in remaining), wm + 1)
-            )
+            fire_at = min(t for _s, _d, t in remaining)
+        elif retention_ms is not None and first_seq is not None:
+            fire_at = last_ts + retention_ms
+        else:
+            fire_at = None
+        if fire_at is not None:
+            # fire when the watermark passes the earliest undecided
+            # event time (or, with retention and an empty buffer, the
+            # idle horizon). The wm+1 clamp is a defensive invariant,
+            # not behavior: EventTimeTimeout requires a timestamp
+            # STRICTLY above the watermark, and under the `ts <= wm`
+            # decide rule every remaining ts already exceeds wm (rows at
+            # ts <= wm just decided), while an un-forgotten horizon
+            # satisfies last_ts + retention_ms > wm (else the branch
+            # above removed the state) — so the max() never alters
+            # fire_at; it only guards the Spark contract if either
+            # invariant is ever broken.
+            state.setTimeoutTimestamp(max(fire_at, wm + 1))
         if out["doc_id"]:
             yield pd.DataFrame(out)
 
     return fn
 
 
-def make_bucket_verified_event_fn(threshold: float, num_hashes: int):
+def make_bucket_verified_event_fn(
+    threshold: float, num_hashes: int, retention_ms: int | None = None
+):
     """Verified + seq-deterministic: the event-time kernel carrying the
     exemplar's full minhash signature (make_bucket_verified_fn's rule:
     a collision is a duplicate only when the estimated jaccard clears
     ``threshold``; sub-threshold colliders never claim the bucket) on
     the watermark-decided pending buffer (make_bucket_first_wins_event_fn's
-    mechanism — see its docstring for the decide rule)."""
+    mechanism — see its docstring for the decide rule and for
+    ``retention_ms``, the watermark-driven event-time exemplar horizon)."""
 
     def fn(
         key: Any,
@@ -412,24 +462,30 @@ def make_bucket_verified_event_fn(threshold: float, num_hashes: int):
     ) -> Iterator[pd.DataFrame]:
         band = int(key[0])  # key order is (band, band_key)
         if state.exists:
-            first_seq, first_id, first_sig, p_seqs, p_ids, p_ts, p_sigs = (
-                state.get
-            )
+            (
+                first_seq, first_id, first_sig,
+                p_seqs, p_ids, p_ts, p_sigs, last_ts,
+            ) = state.get
             first_sig = list(first_sig) if first_sig is not None else None
             pend = sorted(
                 zip(p_seqs, p_ids, p_ts, [list(g) for g in p_sigs])
             )
         else:
-            first_seq, first_id, first_sig, pend = None, None, None, []
+            first_seq, first_id, first_sig, pend, last_ts = (
+                None, None, None, [], None,
+            )
         if not state.hasTimedOut:
             for pdf in pdfs:
                 for doc_id, seq, ts, sig in pdf[
                     ["doc_id", "seq", "_ts_ms", "_sig"]
                 ].itertuples(index=False):
+                    ts = int(ts)
                     pend.append(
-                        (int(seq), int(doc_id), int(ts),
+                        (int(seq), int(doc_id), ts,
                          [int(x) for x in sig])
                     )
+                    if last_ts is None or ts > last_ts:
+                        last_ts = ts
             pend.sort()
         wm = state.getCurrentWatermarkMs()
         out = {
@@ -455,6 +511,17 @@ def make_bucket_verified_event_fn(threshold: float, num_hashes: int):
                 out["est"].append(est)
             else:
                 remaining.append((seq, doc_id, ts, sig))
+        if (
+            retention_ms is not None
+            and not remaining
+            and first_seq is not None
+            and last_ts is not None
+            and wm >= last_ts + retention_ms
+        ):
+            state.remove()
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+            return
         state.update(
             (
                 first_seq,
@@ -464,12 +531,19 @@ def make_bucket_verified_event_fn(threshold: float, num_hashes: int):
                 [d for _s, d, _t, _g in remaining],
                 [t for _s, _d, t, _g in remaining],
                 [g for _s, _d, _t, g in remaining],
+                last_ts,
             )
         )
         if remaining:
-            state.setTimeoutTimestamp(
-                max(min(t for _s, _d, t, _g in remaining), wm + 1)
-            )
+            fire_at = min(t for _s, _d, t, _g in remaining)
+        elif retention_ms is not None and first_seq is not None:
+            fire_at = last_ts + retention_ms
+        else:
+            fire_at = None
+        if fire_at is not None:
+            # wm+1 clamp: defensive invariant only — see
+            # make_bucket_first_wins_event_fn
+            state.setTimeoutTimestamp(max(fire_at, wm + 1))
         if out["doc_id"]:
             yield pd.DataFrame(out)
 
@@ -486,6 +560,7 @@ def band_decisions_stream_event_time(
     shingle_n: int = 3,
     verify_threshold: float | None = None,
     watermark_delay: str = "2 seconds",
+    retention_ms: int | None = None,
 ) -> DataFrame:
     """REPLAY-DETERMINISTIC per-band first-wins decisions: the
     event-time twin of ``band_decisions_stream``, exactly as
@@ -507,11 +582,22 @@ def band_decisions_stream_event_time(
     threshold (sub-threshold colliders never claim the bucket) — here
     against the SEQ-MINIMUM exemplar rather than the first arrival.
 
+    ``retention_ms`` is the event-time twin of ``band_decisions_stream``'s
+    ``ttl_ms`` for INFINITE streams: a bucket whose last touch's event
+    time falls ``retention_ms`` behind the watermark forgets its
+    exemplar (next claimant is fresh — the retention-window recall
+    trade). Because the horizon is watermark-driven, forgetting is as
+    replay-deterministic as the verdicts. Default None = permanent
+    dedup history.
+
     Cost of determinism: decisions wait out the watermark delay (the
     same latency trade as the event-time unify leg, measured in
-    STREAMING_DEDUP.md's event rows), and pending rows buffer in state
-    until decidable — bounded by arrival-rate x delay, on top of the
-    permanent one-exemplar-per-bucket state. A document's
+    STREAMING_DEDUP.md's event rows — larger micro-batches close most
+    of the gap by letting more rows decide in the batch that carries
+    them, see the event-mode tuning section there), and pending rows
+    buffer in state until decidable — bounded by arrival-rate x delay,
+    on top of the one-exemplar-per-bucket state (permanent unless
+    ``retention_ms``). A document's
     band rows may surface in different micro-batches (each bucket's
     timeout fires independently), so aggregate verdicts over the drained
     frame or with a downstream stateful aggregation, not per-batch.
@@ -567,13 +653,15 @@ def band_decisions_stream_event_time(
         .withWatermark("_event_time", watermark_delay)
     )
     if verified:
-        fn = make_bucket_verified_event_fn(verify_threshold, num_hashes)
+        fn = make_bucket_verified_event_fn(
+            verify_threshold, num_hashes, retention_ms
+        )
         out_schema, state_schema = (
             BAND_DECISION_VERIFIED_SCHEMA,
             BUCKET_STATE_EVENT_VERIFIED_SCHEMA,
         )
     else:
-        fn = make_bucket_first_wins_event_fn()
+        fn = make_bucket_first_wins_event_fn(retention_ms)
         out_schema, state_schema = (
             BAND_DECISION_SCHEMA, BUCKET_STATE_EVENT_SCHEMA,
         )

@@ -230,13 +230,25 @@ def run_ttl_tier(
     }
 
 
-def run_event_tier(spark, n_docs: int, src: str, store: str) -> dict:
+def run_event_tier(
+    spark, n_docs: int, src: str, store: str,
+    files_per_trigger: int | None = None,
+) -> dict:
     """Sustained-mode run through the REPLAY-DETERMINISTIC event-time
     twin (band_decisions_stream_event_time): event time = seq millis, so
     the corpus spans n_docs ms of event time and the watermark advances
     with the data; a far-future kicker closes the final delay window.
-    The kicker's own band rows are excluded from the verdict count."""
-    name = f"dtp_event_{store}_{n_docs}"
+    The kicker's own band rows are excluded from the verdict count.
+
+    ``files_per_trigger`` (default N_FILES // 10 = the sustained
+    profile) is the micro-batch sizing knob for the determinism-cost
+    study: every doc is touched twice (buffer, then watermark-decide),
+    but a row whose event time is already behind the watermark of a
+    LATER row in the same batch decides in the batch that carries it —
+    larger batches convert timeout-touches into same-batch decides, so
+    the event/sustained gap should shrink as batches grow."""
+    fpt = N_FILES // 10 if files_per_trigger is None else files_per_trigger
+    name = f"dtp_event_{store}_{n_docs}_f{fpt}"
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming."
@@ -247,7 +259,7 @@ def run_event_tier(spark, n_docs: int, src: str, store: str) -> dict:
     )
     stream = (
         spark.readStream.schema(SCHEMA)
-        .option("maxFilesPerTrigger", N_FILES // 10)
+        .option("maxFilesPerTrigger", fpt)
         .parquet(src)
         # event time must be strictly positive (doc 0's ts==0 would be
         # dropped against the initial 0 watermark — see the kernel's
@@ -296,6 +308,7 @@ def run_event_tier(spark, n_docs: int, src: str, store: str) -> dict:
         "mode": "event",
         "store": store,
         "verified": False,
+        "files_per_trigger": fpt,
         "elapsed_sec": round(elapsed, 2),
         "docs_per_sec": round(n_docs / elapsed),
         "dup_rate": round(n_dup / n_docs, 4),
@@ -382,10 +395,32 @@ def main() -> None:
                             N_FILES, "doc_id"
                         ).write.mode("overwrite").parquet(src_ev)
                         _stamp_mtimes_in_path_order(src_ev)
-                    for store in ("hdfs", "rocksdb"):
-                        rec = run_event_tier(spark, n, src_ev, store)
-                        records.append(rec)
-                        print(json.dumps(rec), flush=True)
+                    # micro-batch sizing sweep (SPARK_DEDUP_EVENT_FPT,
+                    # comma-separated maxFilesPerTrigger values): the
+                    # determinism-cost tuning study — default is the
+                    # sustained profile's 2 files/batch only
+                    fpts = [
+                        int(x)
+                        for x in os.environ.get(
+                            "SPARK_DEDUP_EVENT_FPT", str(N_FILES // 10)
+                        ).split(",")
+                        if x.strip()
+                    ]
+                    for fpt in fpts:
+                        for store in ("hdfs", "rocksdb"):
+                            rec = run_event_tier(
+                                spark, n, src_ev, store,
+                                files_per_trigger=fpt,
+                            )
+                            records.append(rec)
+                            print(json.dumps(rec), flush=True)
+                        # the kicker row appended by each run changes the
+                        # source; rebuild it clean for the next knob value
+                        shutil.rmtree(src_ev, ignore_errors=True)
+                        synth_docs(spark, n).repartitionByRange(
+                            N_FILES, "doc_id"
+                        ).write.mode("overwrite").parquet(src_ev)
+                        _stamp_mtimes_in_path_order(src_ev)
                     continue
                 for store in ("hdfs", "rocksdb"):
                     rec = run_tier(spark, n, src, mode, store)
@@ -444,6 +479,12 @@ def main() -> None:
         key = lambda r: (  # noqa: E731
             r["docs_in"], r["mode"], r["store"], bool(r.get("verified")),
             r.get("ttl_ms"),
+            # event rows are additionally keyed by micro-batch sizing;
+            # pre-knob records (no field) were measured at the sustained
+            # default
+            r.get("files_per_trigger", N_FILES // 10)
+            if r["mode"] == "event"
+            else None,
         )
         fresh = {key(r) for r in records}
         records = [
@@ -483,6 +524,11 @@ def main() -> None:
     for r in records:
         if r["mode"] == "ttl_study":
             continue  # separate section below
+        if (
+            r["mode"] == "event"
+            and r.get("files_per_trigger", N_FILES // 10) != N_FILES // 10
+        ):
+            continue  # non-default micro-batch sizing: tuning section
         lines.append(
             f"| {r['docs_in']:,} | {r['mode']} | {r['store']} "
             f"| {'sig>=0.5' if r.get('verified') else 'no'} "
@@ -519,6 +565,48 @@ def main() -> None:
             "is rejecting band-collision FALSE positives "
             "(tests/test_dedup_stream.py).",
         ]
+    ev_recs = sorted(
+        (r for r in records if r["mode"] == "event"),
+        key=lambda r: (
+            r["docs_in"],
+            r.get("files_per_trigger", N_FILES // 10),
+            r["store"],
+        ),
+    )
+    if len({r.get("files_per_trigger", N_FILES // 10) for r in ev_recs}) > 1:
+        sus = {
+            (r["docs_in"], r["store"]): r["docs_per_sec"]
+            for r in records
+            if r["mode"] == "sustained" and not r.get("verified")
+        }
+        lines += [
+            "",
+            "## Event-mode micro-batch tuning (the determinism-cost knob)",
+            "",
+            "Every event-mode doc is touched twice (buffer, then",
+            "watermark-decide), but a row already behind the watermark of",
+            "a LATER row in the same micro-batch decides in the batch that",
+            "carries it — larger batches (maxFilesPerTrigger over the",
+            f"{N_FILES}-file corpus) convert second touches into same-batch",
+            "decides and amortize per-batch state commits. The gap vs the",
+            "processing-time sustained profile is therefore a TUNABLE",
+            "latency/throughput trade, not a fixed tax: batch size is the",
+            "knob, and the residual gap at one-batch ingest is the",
+            "irreducible cost of buffering + watermark bookkeeping.",
+            "",
+            "| docs | files/batch | state store | elapsed | docs/s "
+            "| vs sustained | dup rate |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in ev_recs:
+            s = sus.get((r["docs_in"], r["store"]))
+            rel = f"{r['docs_per_sec'] / s:.2f}x" if s else "—"
+            lines.append(
+                f"| {r['docs_in']:,} "
+                f"| {r.get('files_per_trigger', N_FILES // 10)} "
+                f"| {r['store']} | {r['elapsed_sec']} s "
+                f"| {r['docs_per_sec']:,} | {rel} | {r['dup_rate']:.1%} |"
+            )
     ttl_recs = sorted(
         (r for r in records if r["mode"] == "ttl_study"),
         key=lambda r: (r["docs_in"], r.get("ttl_ms") or 0, r["store"]),
@@ -529,7 +617,13 @@ def main() -> None:
         "is permanent); for infinite streams `ttl_ms` arms a per-bucket "
         "processing-time timeout — idle buckets are forgotten, every "
         "touch re-arms (LRU), bounding state at a retention-window "
-        "recall trade (tests/test_dedup_stream.py).",
+        "recall trade (tests/test_dedup_stream.py). The event-time twin "
+        "has the same bounded-state option as `retention_ms`: an "
+        "exemplar idle past a WATERMARK-driven event-time horizon is "
+        "forgotten, so even the forgetting is replay-deterministic, and "
+        "retention can never race a pending decision (while rows pend, "
+        "the bucket's last touch is ahead of the watermark by "
+        "construction) — kernel-pinned in tests/test_dedup_stream.py.",
     ]
     if ttl_recs:
         lines += [

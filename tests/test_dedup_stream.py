@@ -345,6 +345,105 @@ def test_event_kernel_min_seq_wins_under_out_of_order_arrival():
     assert state.get[:2] == (1000, 10) and state.get[2] == []
 
 
+def test_event_kernel_ts_equals_watermark_decides():
+    """Boundary pin for the decide rule: a pending row whose event time
+    EQUALS the watermark is decided (ts <= wm), not kept pending. Safe
+    because Spark's pre-state late filter drops arrivals with event time
+    <= watermark (measured — see the kernel comment), so once wm == ts
+    no lower-seq claimant at that timestamp can ever arrive. This is the
+    case an earlier stale comment claimed stayed pending; the comment
+    now matches the code and this test keeps it that way."""
+    import pandas as pd
+
+    from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+        make_bucket_first_wins_event_fn,
+    )
+
+    fn = make_bucket_first_wins_event_fn()
+    batch = lambda rows: iter(  # noqa: E731
+        [pd.DataFrame({
+            "doc_id": [r[0] for r in rows],
+            "seq": [r[1] for r in rows],
+            "_ts_ms": [r[1] for r in rows],
+        })]
+    )
+    # arrival at ts 2000 while wm < 2000: pends, timer at its ts
+    state = FakeEventState(watermark_ms=1999)
+    assert list(fn((0, "bk"), batch([(42, 2000)]), state)) == []
+    assert state.timeout_ts == 2000
+    # watermark reaches EXACTLY 2000: the row decides
+    state.hasTimedOut = True
+    state.watermark_ms = 2000
+    out = list(fn((0, "bk"), iter([]), state))[0]
+    assert list(out["doc_id"]) == [42]
+    assert not out["is_dup"].iloc[0]
+    assert state.get[:2] == (2000, 42) and state.get[2] == []
+    # no pending rows and no retention -> no timer re-armed (exemplar
+    # state is permanent by default)
+    state.timeout_ts = None
+    state.hasTimedOut = False
+    out2 = list(fn((0, "bk"), batch([(43, 2500)]), state))
+    # ts 2500 > wm 2000: pends, timer at 2500 (> wm, clamp inert)
+    assert out2 == [] and state.timeout_ts == 2500
+
+
+def test_event_kernel_retention_forgets_idle_exemplar():
+    """Event-time retention (the bounded-state story for the
+    replay-deterministic twin): an exemplar whose bucket has been idle
+    past `retention_ms` of EVENT time (watermark-driven) is forgotten —
+    the next claimant is fresh; touches re-arm the horizon; retention
+    never races a pending decision."""
+    import pandas as pd
+
+    from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+        make_bucket_first_wins_event_fn,
+    )
+
+    fn = make_bucket_first_wins_event_fn(retention_ms=2000)
+    batch = lambda rows: iter(  # noqa: E731
+        [pd.DataFrame({
+            "doc_id": [r[0] for r in rows],
+            "seq": [r[1] for r in rows],
+            "_ts_ms": [r[1] for r in rows],
+        })]
+    )
+    # doc 10 @ ts 1000 arrives with wm already past it: decides, claims
+    state = FakeEventState(watermark_ms=1500)
+    out1 = list(fn((0, "bk"), batch([(10, 1000)]), state))[0]
+    assert not out1["is_dup"].iloc[0]
+    # empty pending buffer + retention -> timer armed at the idle
+    # horizon last_ts + retention = 3000
+    assert state.get[:2] == (1000, 10) and state.get[5] == 1000
+    assert state.timeout_ts == 3000
+
+    # a touch INSIDE the window dups against the exemplar and re-arms
+    state.hasTimedOut = False
+    state.watermark_ms = 2900
+    out2 = list(fn((0, "bk"), batch([(12, 2800)]), state))[0]
+    assert bool(out2["is_dup"].iloc[0]) and out2["dup_of"].iloc[0] == 10
+    assert state.get[5] == 2800 and state.timeout_ts == 4800
+
+    # horizon timeout fires with the bucket idle: exemplar forgotten
+    state.hasTimedOut = True
+    state.watermark_ms = 4800
+    assert list(fn((0, "bk"), iter([]), state)) == []
+    assert state.removed
+
+    # post-forget claimant is FRESH (the retention recall trade)
+    fresh = FakeEventState(watermark_ms=6000)
+    out3 = list(fn((0, "bk"), batch([(20, 5500)]), fresh))[0]
+    assert not out3["is_dup"].iloc[0]
+    assert fresh.get[:2] == (5500, 20)
+
+    # retention cannot race a pending decision: while rows pend, the
+    # timer targets the earliest undecided ts, not the horizon, and the
+    # idle branch is unreachable (last_ts >= pending ts > wm)
+    pend_state = FakeEventState(watermark_ms=1000)
+    assert list(fn((0, "bk"), batch([(30, 5000)]), pend_state)) == []
+    assert pend_state.timeout_ts == 5000
+    assert not pend_state.removed and pend_state.get[2] == [5000]
+
+
 def test_event_time_stream_matches_batch_under_scrambled_arrival(
     spark, tmp_path
 ):

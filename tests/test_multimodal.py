@@ -62,6 +62,8 @@ except ImportError:
     reason="Pillow installed: decode_media takes the real codec path",
 )
 def test_decode_stub_raises_without_codec(media):
+    # the media fixture's payloads are utf-8 text — NO codec path
+    # (Pillow absent, stdlib magic unrecognized) -> honest gate intact
     from py4j.protocol import Py4JJavaError
 
     decoded = M.decode_media(media, fake_decode=False)
@@ -70,6 +72,198 @@ def test_decode_stub_raises_without_codec(media):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, Py4JJavaError
     )
+
+
+# --- stdlib codec: pure-function tests (run in EVERY environment) -------
+
+
+def _checker(w, h, nch):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * 7 + y * 13) % 256
+    return np.stack(
+        [(base + 40 * c) % 256 for c in range(nch)], axis=-1
+    ).astype("uint8")
+
+
+def test_stdlib_png_roundtrip_all_color_types():
+    import numpy as np
+
+    for nch, mode in ((1, "L"), (3, "RGB"), (4, "RGBA")):
+        px = _checker(20, 13, nch)
+        blob = M.encode_png(px)
+        w, h, got_mode, got = M.decode_image_bytes(blob)
+        assert (w, h, got_mode) == (20, 13, mode)
+        assert np.array_equal(got, px)
+
+
+def test_stdlib_png_filter_reversal_all_filters():
+    """Hand-filter scanlines with each PNG filter type (Sub/Up/Average/
+    Paeth per RFC 2083 §6) and check the decoder reconstructs the exact
+    pixels — the part of PNG decode that is NOT just zlib."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = _checker(9, 5, 3)  # 5 rows -> filters 0..4, one each
+    h, w, nch = px.shape
+    stride = w * nch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        line = px[y].tobytes()
+        f = y % 5
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - nch] if i >= nch else 0
+            up = prior[i]
+            ul = prior[i - nch] if i >= nch else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = (line[i] - left) & 0xFF
+            elif f == 2:
+                v = (line[i] - up) & 0xFF
+            elif f == 3:
+                v = (line[i] - ((left + up) >> 1)) & 0xFF
+            else:
+                v = (line[i] - paeth(left, up, ul)) & 0xFF
+            raw.append(v)
+        prior = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got_w, got_h, mode, got = M.decode_image_bytes(blob)
+    assert (got_w, got_h, mode) == (w, h, "RGB")
+    assert np.array_equal(got, px)
+
+
+def test_stdlib_png_error_taxonomy():
+    import pytest as _pytest
+
+    blob = bytearray(M.encode_png(_checker(8, 8, 3)))
+    # flip a byte inside IDAT: CRC mismatch -> ValueError (corrupt)
+    corrupt = bytearray(blob)
+    corrupt[-20] ^= 0xFF
+    with _pytest.raises(ValueError):
+        M.decode_image_bytes(bytes(corrupt))
+    # interlaced flag: valid PNG feature outside the mini-codec's core
+    # -> NotImplementedError (needs Pillow), NOT a quarantine
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
+    inter = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + blob[8 + 12 + 13:]
+    )
+    with _pytest.raises(NotImplementedError):
+        M.decode_image_bytes(bytes(inter))
+    # unrecognized magic -> NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        M.decode_image_bytes(b"plainly not an image")
+    assert M.sniff_image_format(b"plainly not an image") is None
+    # truncation -> ValueError
+    with _pytest.raises(ValueError):
+        M.decode_image_bytes(bytes(blob[: len(blob) // 2]))
+
+
+def test_stdlib_ppm_decode_with_comments():
+    import numpy as np
+
+    px = _checker(6, 4, 3)
+    blob = b"P6 # comment\n# another\n 6 4\n255\n" + px.tobytes()
+    w, h, mode, got = M.decode_image_bytes(blob)
+    assert (w, h, mode) == (6, 4, "RGB")
+    assert np.array_equal(got, px)
+    gray = _checker(5, 3, 1)
+    blob5 = b"P5\n5 3\n255\n" + gray.tobytes()
+    w, h, mode, got = M.decode_image_bytes(blob5)
+    assert (w, h, mode) == (5, 3, "L")
+    assert np.array_equal(got, gray)
+    with pytest.raises(ValueError):
+        M.decode_image_bytes(b"P6\n6 4\n255\n" + px.tobytes()[:-5])
+
+
+# --- stdlib codec through the Spark operators (no-Pillow environments) --
+
+
+@pytest.mark.skipif(
+    _PIL_IMAGE is not None,
+    reason="Pillow installed: decode_media prefers the PIL codec",
+)
+def test_decode_media_stdlib_real_bytes(spark):
+    """The round-9 unblock: real decode runs WITHOUT Pillow — PNG and
+    PPM payloads yield true dimensions through the full mapInPandas
+    path, corrupt bytes of a recognized format quarantine as nulls."""
+    png = M.encode_png(_checker(48, 32, 3))
+    gray_png = M.encode_png(_checker(10, 7, 1))
+    ppm = b"P6\n25 9\n255\n" + _checker(25, 9, 3).tobytes()
+    corrupt = bytearray(png)
+    corrupt[-20] ^= 0xFF  # IDAT CRC break
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(gray_png)),
+            (3, bytearray(ppm)),
+            (4, corrupt),
+        ],
+        "doc_id long, payload binary",
+    )
+    dims = {
+        r.doc_id: (r.width, r.height, r.mode)
+        for r in M.decode_media(df).collect()
+    }
+    assert dims[1] == (48, 32, "RGB")
+    assert dims[2] == (10, 7, "L")
+    assert dims[3] == (25, 9, "RGB")
+    assert dims[4] == (None, None, None)
+
+
+@pytest.mark.skipif(
+    _PIL_IMAGE is not None,
+    reason="Pillow installed: resize_media prefers the PIL codec",
+)
+def test_resize_media_stdlib_nearest_roundtrip(spark):
+    """No-Pillow resize: nearest-neighbor over stdlib-decoded pixels,
+    re-encoded as a real PNG the stdlib decoder can read back; a solid
+    color survives resizing exactly; corrupt payloads quarantine."""
+    import numpy as np
+
+    solid = np.full((48, 64, 3), (200, 10, 10), dtype="uint8")
+    png = M.encode_png(solid)
+    corrupt = bytearray(png)
+    corrupt[-20] ^= 0xFF
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, corrupt)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in M.resize_media(df, 224, 224).collect()}
+    w, h, mode, px = M.decode_image_bytes(bytes(out[1]["thumb"]))
+    assert (w, h, mode) == (224, 224, "RGB")
+    assert (px == np.array([200, 10, 10], dtype="uint8")).all()
+    assert (out[1]["thumb_width"], out[1]["thumb_height"]) == (224, 224)
+    assert out[2]["thumb"] is None  # corrupt -> quarantined
 
 
 @pytest.mark.skipif(_PIL_IMAGE is None, reason="Pillow not installed")
