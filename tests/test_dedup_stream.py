@@ -516,6 +516,68 @@ def test_event_time_stream_matches_batch_under_scrambled_arrival(
     assert got[base[0][0]][0] is False
 
 
+def test_event_time_retention_e2e(spark, tmp_path):
+    """End-to-end retention through the real streaming path: a dup
+    re-sent INSIDE the event-time horizon is flagged; after the bucket
+    idles past `retention_ms` of watermark progress the exemplar is
+    forgotten, so a re-send of the SAME text OUTSIDE the horizon is
+    fresh — the retention-window recall trade, replay-deterministic
+    because the horizon is watermark-driven."""
+    from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
+        band_decisions_stream_event_time,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while the morning "
+        "light slowly fills the open sky with warm color and shape"
+    )
+    other = (
+        "completely different words fill this second document about "
+        "rivers mountains and the slow geology of continental drift"
+    )
+    rows0 = [(1, 1000, text), (2, 2000, text)]     # exemplar + near dup
+    rows1 = [(3, 9000, other)]                      # advances wm past the
+    #                                4 s horizon of bucket last_ts 2000
+    rows2 = [(4, 9500, text)]                       # re-send PAST horizon
+    kicker = [(99999, 60_000, "watermark kicker text payload")]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    name = f"etret_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    query = (
+        band_decisions_stream_event_time(
+            stream, watermark_delay="1 second", retention_ms=4000
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for n, chunk in enumerate([rows0, rows1, rows2, kicker]):
+            _write_chunk(src, chunk, n)
+            query.processAllAvailable()
+        query.processAllAvailable()  # let armed timeouts fire
+        got = {
+            r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+            for r in near_dup_verdicts(
+                spark.table(name).filter(F.col("doc_id") < 99999)
+            ).collect()
+        }
+    finally:
+        query.stop()
+
+    assert got[1] == (False, None)   # exemplar
+    assert got[2] == (True, 1)       # inside the horizon: caught
+    assert got[3] == (False, None)   # unrelated text
+    # the designed recall trade: same text, but the bucket idled past
+    # last_ts (2000) + retention (4000) < wm (8000) before doc 4 arrived
+    # -> exemplar forgotten, re-send is FRESH
+    assert got[4] == (False, None)
+
+
 def test_verified_event_time_stream_under_scrambled_arrival(
     spark, tmp_path
 ):
