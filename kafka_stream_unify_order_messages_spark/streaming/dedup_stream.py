@@ -592,9 +592,13 @@ def band_decisions_stream_event_time(
 
     Cost of determinism: decisions wait out the watermark delay (the
     same latency trade as the event-time unify leg, measured in
-    STREAMING_DEDUP.md's event rows — larger micro-batches close most
-    of the gap by letting more rows decide in the batch that carries
-    them, see the event-mode tuning section there), and pending rows
+    STREAMING_DEDUP.md's event rows). The throughput gap vs the
+    processing-time kernel is TUNABLE, not fixed: larger micro-batches
+    let more rows decide in the batch that carries them instead of via
+    a later timeout touch — measured 0.53x -> 0.77x of sustained
+    throughput going from 10-batch to single-batch ingest at 100k docs
+    (STREAMING_DEDUP.md event-mode tuning section); the residual is the
+    irreducible buffer+decide double handling. Pending rows
     buffer in state until decidable — bounded by arrival-rate x delay,
     on top of the one-exemplar-per-bucket state (permanent unless
     ``retention_ms``). A document's
