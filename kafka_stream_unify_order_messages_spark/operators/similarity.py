@@ -56,33 +56,43 @@ def _normalized_matrix(vecs: np.ndarray) -> np.ndarray:
     return vecs / norms
 
 
-def _guard_query_batch(
+_GUARD_DEFAULT_REASON = (
+    "the query side is collected driver-side and every query scores "
+    "against the corpus, so cost goes quadratic when |Q| grows with "
+    "the corpus (measured in SCALING.md). Use knn_join "
+    "(corpus-vs-corpus, neither side collected)"
+)
+
+
+def _collect_query_batch(
     queries: DataFrame,
-    id_col: str,
+    cols: list[str],
     max_query_batch: int | None,
     op_name: str,
-) -> None:
-    """Shared exhaustive-scan guard for every ANN operator that collects
-    its query side like a broadcast join's build side: a bounded probe
-    BEFORE the collect (so the guard fires before the driver
-    materializes an oversized batch) raises when |Q| exceeds
-    ``max_query_batch``. These serving-batch primitives all go quadratic
-    when |Q| grows with the corpus (measured for the ADC form in
-    SCALING.md); the corpus-scale path is ``knn_join`` (corpus-vs-
-    corpus, NEITHER side collected). Pass ``max_query_batch=None`` only
-    for a deliberate exhaustive baseline."""
+    reason: str = _GUARD_DEFAULT_REASON,
+) -> list:
+    """Guarded collect of the serving-batch query side, shared by every
+    ANN operator that collects queries like a broadcast join's build
+    side. The exhaustive-scan guard is FOLDED into the collect itself
+    (one Spark action per call, not probe + collect — serving batches
+    are the hot path): at most ``max_query_batch + 1`` rows ever reach
+    the driver (the ``limit`` bounds the job), and crossing the cap
+    raises with the scale-safe alternative named in the message. These
+    serving-batch primitives all go quadratic when |Q| grows with the
+    corpus (measured for the ADC form in SCALING.md); the corpus-scale
+    path is ``knn_join`` (corpus-vs-corpus, NEITHER side collected).
+    Pass ``max_query_batch=None`` only for a deliberate exhaustive
+    baseline."""
     if max_query_batch is None:
-        return
-    n = queries.select(id_col).limit(max_query_batch + 1).count()
-    if n > max_query_batch:
+        return queries.select(*cols).collect()
+    rows = queries.select(*cols).limit(max_query_batch + 1).collect()
+    if len(rows) > max_query_batch:
         raise ValueError(
-            f"{op_name} got a >{max_query_batch}-query batch: the query "
-            f"side is collected driver-side and every query scores "
-            f"against the corpus, so cost goes quadratic when |Q| grows "
-            f"with the corpus (measured in SCALING.md). Use knn_join "
-            f"(corpus-vs-corpus, neither side collected), or pass "
-            f"max_query_batch=None for a deliberate exhaustive baseline."
+            f"{op_name} got a >{max_query_batch}-query batch: {reason}, "
+            f"or pass max_query_batch=None for a deliberate exhaustive "
+            f"baseline."
         )
+    return rows
 
 
 def brute_force_topk(
@@ -101,7 +111,7 @@ def brute_force_topk(
     matrix, like the build side of a broadcast join); ``corpus`` can be
     arbitrarily large and is never shuffled at full width.
     ``max_query_batch`` enforces the broadcast-sized contract instead of
-    trusting the docstring (see _guard_query_batch; knn_join is the
+    trusting the docstring (see _collect_query_batch; knn_join is the
     corpus-vs-corpus path).
 
     ``exclude_same_col`` names a column present on BOTH sides whose
@@ -112,11 +122,12 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    _guard_query_batch(queries, id_col, max_query_batch, "brute_force_topk")
     q_cols = [id_col, vec_col] + (
         [exclude_same_col] if exclude_same_col else []
     )
-    q_rows = queries.select(*q_cols).collect()
+    q_rows = _collect_query_batch(
+        queries, q_cols, max_query_batch, "brute_force_topk"
+    )
     q_ids = [r[0] for r in q_rows]
     q_excl = (
         np.asarray([r[2] for r in q_rows]) if exclude_same_col else None
@@ -359,7 +370,7 @@ def lsh_topk(
     compute AND shuffle are both sum over buckets of |Q_b|·|C_b|, never
     |Q|·|corpus|. Survivors are pruned to batch-local top-k before the
     single ranking shuffle. ``max_query_batch`` enforces the
-    broadcast-sized query contract (see _guard_query_batch; knn_join is
+    broadcast-sized query contract (see _collect_query_batch; knn_join is
     the corpus-vs-corpus path).
 
     ``multi_probe=True`` additionally probes every bucket at Hamming
@@ -369,9 +380,10 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    _guard_query_batch(queries, id_col, max_query_batch, "lsh_topk")
+    q_rows = _collect_query_batch(
+        queries, [id_col, vec_col], max_query_batch, "lsh_topk"
+    )
     planes = _hyperplane_matrix(n_planes, dim)
-    q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     q_mat = _normalized_matrix(q_raw)
@@ -742,18 +754,21 @@ def ivf_topk(
     cell and only probed cells are GEMMed, so per-batch compute tracks
     the nprobe/n_centroids fraction rather than the full batch.
     ``max_query_batch`` enforces the broadcast-sized query contract
-    (see _guard_query_batch; knn_join is the corpus-vs-corpus path).
+    (see _collect_query_batch; knn_join is the corpus-vs-corpus path).
     """
     from pyspark.sql import Window
 
-    _guard_query_batch(queries, id_col, max_query_batch, "ivf_topk")
+    # guarded collect FIRST so an oversized batch fails before paying
+    # centroid training
+    q_rows = _collect_query_batch(
+        queries, [id_col, vec_col], max_query_batch, "ivf_topk"
+    )
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids
         )
     import math
 
-    q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     q_mat = _normalized_matrix(q_raw)
@@ -928,23 +943,18 @@ def pq_topk(
         codebook = pq_codebook(n_sub=n_sub, n_codes=n_codes)
     n_sub, n_codes, sub_dim = codebook.shape
 
-    if max_query_batch is not None:
-        # bounded probe BEFORE the collect (same pattern as
-        # hamming_pairs' saturation guard): the guard exists to stop
-        # oversized batches, so it must fire before the driver
-        # materializes one
-        n = queries.select(id_col).limit(max_query_batch + 1).count()
-        if n > max_query_batch:
-            raise ValueError(
-                f"pq_topk got a >{max_query_batch}-query batch: "
-                f"exhaustive ADC scores every (query, code) pair and "
-                f"goes quadratic when |Q| grows with the corpus "
-                f"(measured in SCALING.md). Use ivfpq_topk (probed "
-                f"cells only) or knn_join (corpus-vs-corpus), or pass "
-                f"max_query_batch=None for a deliberate exhaustive "
-                f"baseline."
-            )
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(
+        queries,
+        [id_col, vec_col],
+        max_query_batch,
+        "pq_topk",
+        reason=(
+            "exhaustive ADC scores every (query, code) pair and goes "
+            "quadratic when |Q| grows with the corpus (measured in "
+            "SCALING.md). Use ivfpq_topk (probed cells only) or "
+            "knn_join (corpus-vs-corpus)"
+        ),
+    )
     q_ids = np.asarray([r[0] for r in q_rows])
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     # LUT[qi, s, c] = dot(q_sub, codeword) — the per-query ADC table
@@ -1044,8 +1054,9 @@ def ivfpq_topk(
         codebook = pq_codebook(n_sub=n_sub, n_codes=n_codes)
     n_sub, n_codes, sub_dim = codebook.shape
 
-    _guard_query_batch(queries, id_col, max_query_batch, "ivfpq_topk")
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(
+        queries, [id_col, vec_col], max_query_batch, "ivfpq_topk"
+    )
     q_ids = np.asarray([r[0] for r in q_rows])
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     lut = np.einsum(
@@ -1540,10 +1551,11 @@ def search_ivf_index(
     scoring runs on the survivors. Identical results to ``ivf_topk``
     over the full corpus with the same centroids, because rows outside
     probed cells can never be scored. ``max_query_batch`` enforces the
-    broadcast-sized serving-batch contract (see _guard_query_batch)."""
+    broadcast-sized serving-batch contract (see _collect_query_batch)."""
     centroids, cells = load_ivf_index(spark, path)
-    _guard_query_batch(queries, id_col, max_query_batch, "search_ivf_index")
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(
+        queries, [id_col, vec_col], max_query_batch, "search_ivf_index"
+    )
     q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     probes = _query_probes(q_raw, centroids, nprobe)
     probed = sorted({int(c) for row in probes for c in row})
