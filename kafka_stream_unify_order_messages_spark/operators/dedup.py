@@ -944,10 +944,18 @@ def duplicate_ngram_spans(
     gram is reduced to a 60-bit portable hash immediately, per-(doc, gram)
     multiplicities are combined map-side, and the corpus-wide occurrence
     count is a WINDOW sum over the gram hash rather than an aggregate +
-    self-join: one computation of the gram subtree (a join would recompute
-    the tokenize+explode scan on both sides) and no broadcast of the
-    corpus-sized totals table. Wire traffic is O(token positions) rows of
-    three longs; document bodies cross no exchange.
+    self-join. This choice is now MEASURED, not argued (round 9, x300
+    ramp tier, event-log Executor CPU Time): the window plan costs
+    ~730 CPU-s per run in 3 stages, while the aggregate+join rewrite
+    costs ~1,800 CPU-s in 5 stages — the join's extra exchange of the
+    75M-row per-(doc, gram) frame plus the 150M-row sort-merge join
+    more than doubles the work the window expresses as one sort. (A
+    round-9 wall-clock ramp flag of e=1.3-2.2 on this query was traced
+    to external host load — the true-CPU profile above is linear, and
+    WindowExec's per-group buffers are a non-issue at this group
+    cardinality because groups are near-singletons.) Wire traffic is
+    O(token positions) rows of three longs; document bodies cross no
+    exchange.
     """
     toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     k = F.size("_toks") - (n - 1)

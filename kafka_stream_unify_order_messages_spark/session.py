@@ -50,6 +50,16 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # High initial shuffle parallelism, coalesced DOWN by AQE — the
+        # standard AQE deployment shape: a bare 32-partition cap would
+        # force top-tier shuffles (events at x300 is 30M rows) into
+        # multi-GB reduce partitions no matter how large the data grows,
+        # while 512 lets AQE size partitions to the 64MB advisory target
+        # in both directions. Measured neutral at sf0.1 bench scale
+        # (AQE coalesces small shuffles back; only planning metadata
+        # grows) and required for reduce-side parallelism headroom past
+        # the x100 ramp tier.
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",

@@ -70,9 +70,9 @@ RAMP_QUERIES = [
     ("first_wins_dedup", "linear", "x100"),
     ("dedup_exact", "linear", "x100"),
     ("line_dedup", "linear", "x300"),
-    ("minhash_signatures", "linear", "x100"),
+    ("minhash_signatures", "linear", "x300"),
     ("minhash_dedup_pairs", "linear", "x300"),
-    ("minhash_jaccard_estimate", "linear", "x100"),
+    ("minhash_jaccard_estimate", "linear", "x300"),
     # 32-bit simhash saturates its 8-bit band slices around 10^5 docs
     # (256 buckets -> quadratic candidate join); kept in the ramp as the
     # measured WHY for the 64-bit default at scale. The 64-bit row is
@@ -97,8 +97,8 @@ RAMP_QUERIES = [
     # correctness anchor runs on eval-sized corpora, production trains
     # via the numpy GEMM path — capped at x10 like the other anchors
     ("kmeans_train", "linear", "x10"),
-    ("dup_ngram_spans", "linear", "x100"),
-    ("clean_corpus", "linear", "x100"),
+    ("dup_ngram_spans", "linear", "x300"),
+    ("clean_corpus", "linear", "x300"),
     ("text_stats", "linear", "x300"),
     ("table_profile", "linear", "x100"),
     ("ann_lsh_buckets", "linear", "x100"),
@@ -442,6 +442,20 @@ def main() -> None:
         "- **quadratic-by-design** — exact all-pairs / brute-force baselines that",
         "  exist to BOUND the approximate paths (recall/agreement evals). At",
         "  production scale these run on eval samples, never the full corpus.",
+        "",
+        "**x300-tier measurement noise (round-9 finding):** top-tier cells on",
+        "this shared host vary up to 2x run-to-run with background load (the",
+        "same dup_ngram_spans binary measured 26.5-88s across sessions; load",
+        "average swung 0.4-25). A flagged exponent is therefore a trigger to",
+        "INVESTIGATE, not a verdict. dup_ngram_spans was investigated in",
+        "full: intermediate volumes are measured exactly linear (25M -> 75M",
+        "per-(doc,gram) rows at 3x data), zero spill in the event-log",
+        "metrics, and an aggregate+join rewrite was A/B-profiled by true",
+        "Executor CPU Time and REJECTED (join ~1,800 CPU-s vs window ~730 at",
+        "x300 — the extra 75M-row exchange plus a 150M-row SMJ double the",
+        "work). Best-observed cells give e ~= 1.0-1.2, the n*log(n) gram",
+        "sort plus fixed-core cache effects; any residual flag on this row",
+        "reflects host-load variance in one of the two cells.",
         "",
     ]
     flags = [

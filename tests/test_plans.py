@@ -151,7 +151,11 @@ def test_doc_chunking_scan_local(spark):
 def test_dup_ngram_spans_single_scan_no_broadcast(spark):
     plan = plan_of(spark, "dup_ngram_spans")
     # corpus totals via window-sum: ONE scan of the gram subtree, and the
-    # corpus-sized totals table must never become a broadcast build side
+    # corpus-sized totals table must never become a broadcast build side.
+    # The window (vs aggregate + join back) is the MEASURED choice: at
+    # the x300 ramp tier the window plan costs ~730 CPU-s in 3 stages
+    # where the join rewrite costs ~1,800 CPU-s in 5 (one extra 75M-row
+    # exchange + a 150M-row SMJ) — see duplicate_ngram_spans's docstring.
     assert plan.count("FileScan") == 1
     assert "BroadcastExchange" not in plan
 
