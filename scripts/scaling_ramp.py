@@ -515,18 +515,18 @@ def main() -> None:
         "not a verdict — the e_cpu(top) column (whole-JVM /proc CPU, valid",
         "because local mode puts the entire cluster in one process) is the",
         "noise-robust cross-check recorded for every re-measured row.",
-        "dup_ngram_spans was investigated in full: intermediate volumes are",
-        "measured exactly linear (25M -> 75M per-(doc,gram) rows at 3x",
-        "data), zero spill in the event-log metrics, and an aggregate+join",
-        "rewrite was A/B-profiled by task-attributed Executor CPU Time and",
-        "REJECTED (join ~1,800 CPU-s vs window ~730 at x300 — the extra",
-        "75M-row exchange plus a 150M-row SMJ double the work).",
-        "Best-observed pairs converge on e ~= 1.15-1.2 across all three",
-        "metrics (wall, task CPU, /proc CPU): a bounded single-JVM",
-        "artifact — n*log(n) sort depth, LLC pressure, and GC at a fixed",
-        "heap — that cluster deployment sizes away (per-executor heaps and",
-        "partition counts scale with data; this header's executor-sizing",
-        "caveat). Cells above that reflect co-load in the measured window.",
+        "The column exists because of the dup_ngram_spans investigation:",
+        "its x300 cell first measured at wall e=1.27-1.85 depending on the",
+        "session. The full workup — intermediate volumes measured exactly",
+        "linear (25M -> 75M per-(doc,gram) rows at 3x data), zero spill in",
+        "the event-log metrics, an aggregate+join rewrite A/B-profiled by",
+        "task-attributed Executor CPU Time and REJECTED (join ~1,800 CPU-s",
+        "vs window ~730 at x300: the extra 75M-row exchange plus a 150M-row",
+        "SMJ double the work) — predicted linearity, and a clean measurement",
+        "window confirmed it: the recorded row is wall e=0.89 /",
+        "e_cpu=0.96. Co-loaded windows inflated even /proc CPU up to 3x",
+        "(memory-stall cycles burn on our clock), so a flag is only CONFIRMED",
+        "when a quiet re-measure reproduces it.",
         "",
     ]
     confirmed = []
