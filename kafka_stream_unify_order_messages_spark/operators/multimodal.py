@@ -118,11 +118,27 @@ _PNG_MODES = {0: "L", 2: "RGB", 6: "RGBA"}
 
 def sniff_image_format(b: bytes) -> str | None:
     """'png' / 'ppm' (P5 PGM counts) when the stdlib codec recognizes
-    the payload's magic, else None."""
+    the payload's magic, else None.
+
+    The PPM check requires a DIGIT after the magic's whitespace/comment
+    run, not just the magic itself: prose that merely starts "P6 is..."
+    must fall through to the NotImplementedError honest gate (payload is
+    not an image), not into _decode_ppm's ValueError (payload is a
+    corrupt image) — the two routes quarantine differently."""
     if b[:8] == _PNG_MAGIC:
         return "png"
     if b[:2] in (b"P5", b"P6") and (len(b) > 2 and b[2:3].isspace()):
-        return "ppm"
+        pos = 2
+        while pos < len(b):
+            c = b[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":  # header comment runs to end of line
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+            else:
+                return "ppm" if c.isdigit() else None
+        return None
     return None
 
 

@@ -612,6 +612,10 @@ def _driver_checked_names() -> set[str]:
                 data = json.loads(p.read_text())
             except (OSError, ValueError):
                 continue
+            if not isinstance(data, dict):
+                # malformed artifact (e.g. a list-format file): skip it
+                # like a parse failure instead of crashing query ordering
+                continue
             checked.update(
                 k
                 for k, v in data.items()

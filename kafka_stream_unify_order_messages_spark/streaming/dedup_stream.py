@@ -42,6 +42,14 @@ micro-batch slicing. Its bounded-state option is ``retention_ms``
 (the event-time twin of ``ttl_ms``): exemplars idle past a
 watermark-driven event-time horizon are forgotten, so even the
 forgetting replays deterministically.
+
+CHECKPOINT COMPATIBILITY: adding ``last_ts`` (round 9) widened the
+event-time kernels' state row. A stream restarted from a pre-change
+checkpoint is handled defensively in Python (old 5/7-field tuples read
+as ``last_ts=None``; retention re-arms on the bucket's next touch), but
+Spark's JVM-side state deserializer may reject the widened schema
+before Python runs — event-time dedup streams upgraded across that
+change should restart on a FRESH checkpoint.
 """
 
 from __future__ import annotations
@@ -353,7 +361,18 @@ def make_bucket_first_wins_event_fn(retention_ms: int | None = None):
     ) -> Iterator[pd.DataFrame]:
         band = int(key[0])  # key order is (band, band_key)
         if state.exists:
-            first_seq, first_id, p_seqs, p_ids, p_ts, last_ts = state.get
+            st = state.get
+            if len(st) == 5:
+                # pre-retention checkpoint layout (no last_ts column):
+                # tolerate it as last_ts=None — retention re-arms on the
+                # bucket's next touch. NOTE: whether a 5-field checkpoint
+                # even reaches Python depends on Spark's state-row
+                # deserializer accepting the widened schema; if the JVM
+                # rejects it, restart the stream on a fresh checkpoint.
+                first_seq, first_id, p_seqs, p_ids, p_ts = st
+                last_ts = None
+            else:
+                first_seq, first_id, p_seqs, p_ids, p_ts, last_ts = st
             pend = sorted(zip(p_seqs, p_ids, p_ts))
         else:
             first_seq, first_id, pend, last_ts = None, None, [], None
@@ -462,10 +481,17 @@ def make_bucket_verified_event_fn(
     ) -> Iterator[pd.DataFrame]:
         band = int(key[0])  # key order is (band, band_key)
         if state.exists:
-            (
-                first_seq, first_id, first_sig,
-                p_seqs, p_ids, p_ts, p_sigs, last_ts,
-            ) = state.get
+            st = state.get
+            if len(st) == 7:
+                # pre-retention checkpoint layout (no last_ts) — see the
+                # first-wins kernel's note on JVM-side schema acceptance
+                first_seq, first_id, first_sig, p_seqs, p_ids, p_ts, p_sigs = st
+                last_ts = None
+            else:
+                (
+                    first_seq, first_id, first_sig,
+                    p_seqs, p_ids, p_ts, p_sigs, last_ts,
+                ) = st
             first_sig = list(first_sig) if first_sig is not None else None
             pend = sorted(
                 zip(p_seqs, p_ids, p_ts, [list(g) for g in p_sigs])

@@ -390,25 +390,34 @@ def main() -> None:
         # CPU-based exponent for the row's TOP measured step (see
         # _jvm_cpu_seconds: robust to host-load swings that distort wall
         # cells) — None for rows not re-measured since the cpu column
-        # was added
+        # was added. cpu_step records WHICH step the exponent covers:
+        # clearing a wall flag with a cpu pair from a LOWER tier would
+        # let a stale cell vouch for a step it never measured.
         c = cpu_results.get(name, {})
-        e_cpu = None
-        for a, b in zip(_LABELS, _LABELS[1:]):
+        e_cpu, cpu_step = None, None
+        for i, (a, b) in enumerate(zip(_LABELS, _LABELS[1:])):
             if a in c and b in c and c[a] > 0:
                 e_cpu = round(
                     math.log10(c[b] / c[a])
                     / math.log10(sizes[b] / sizes[a]),
                     2,
                 )
-        rows.append((name, shape, r, es, e_cpu))
+                cpu_step = i
+        rows.append((name, shape, r, es, e_cpu, cpu_step))
 
     out = {
         "runs": runs,
         "scales": sizes,
         "results": results,
         "cpu_results": cpu_results,
-        "exponents": {n: es for n, _, _, es, _ec in rows},
-        "cpu_top_exponents": {n: ec for n, _, _, _es, ec in rows},
+        "exponents": {n: es for n, _, _, es, _ec, _cs in rows},
+        "cpu_top_exponents": {n: ec for n, _, _, _es, ec, _cs in rows},
+        "cpu_top_exponent_steps": {
+            n: (
+                f"{_LABELS[cs]}->{_LABELS[cs + 1]}" if cs is not None else None
+            )
+            for n, _, _, _es, _ec, cs in rows
+        },
     }
     (_ROOT / "SCALING.json").write_text(json.dumps(out, indent=1) + "\n")
 
@@ -444,7 +453,7 @@ def main() -> None:
         "| e_cpu(top) |",
         "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, shape, r, es, e_cpu in rows:
+    for name, shape, r, es, e_cpu, _cs in rows:
         t = [f"{r[lbl]:.2f}" if lbl in r else "—" for lbl in _LABELS]
         lines.append(
             f"| {name} | {shape} | " + " | ".join(t) + " | "
@@ -531,16 +540,25 @@ def main() -> None:
     ]
     confirmed = []
     cleared = []
-    for n, shape, _r, es, e_cpu in rows:
+    remeasure = []
+    for n, shape, _r, es, e_cpu, cpu_step in rows:
         if shape != "linear" or es[-1] is None or es[-1] <= 1.2:
             continue
+        wall_step = len(es) - 1
         # a wall-clock flag with a linear CPU exponent is host-load noise
         # in a wall cell, not a scale defect (see the measurement-noise
-        # note above and _jvm_cpu_seconds)
-        if e_cpu is not None and e_cpu <= 1.2:
+        # note above and _jvm_cpu_seconds) — but ONLY a cpu pair covering
+        # the SAME step can vouch for it: CPU-linear/wall-superlinear on
+        # the same step is noise, while a lower-tier cpu cell says
+        # nothing about the flagged step (and a genuinely IO/spill-bound
+        # defect IS CPU-linear, so same-step clearing is already the
+        # generous reading; the quiet-window rule remains the arbiter)
+        if e_cpu is not None and cpu_step == wall_step and e_cpu <= 1.2:
             cleared.append((n, es[-1], e_cpu))
-        else:
+        elif e_cpu is not None and cpu_step == wall_step:
             confirmed.append((n, es[-1], e_cpu))
+        else:
+            remeasure.append((n, es[-1], e_cpu))
     if confirmed:
         lines.append("**Flagged super-linear (investigate):** " + ", ".join(
             f"{n} (e={e}, e_cpu={cell(ec)})" for n, e, ec in confirmed
@@ -548,18 +566,28 @@ def main() -> None:
     else:
         lines.append(
             "**No linear-family query exceeded e=1.2 on its top step"
-            + (" (by CPU; wall flags below are host-noise-cleared)"
-               if cleared else "")
+            + (" (by same-step CPU; wall flags below are"
+               " host-noise-cleared)" if cleared else "")
             + ".**"
         )
     if cleared:
         lines.append("")
         lines.append(
-            "**Wall-flagged, CPU-cleared (host noise):** " + ", ".join(
+            "**Wall-flagged, CPU-cleared on the same step (host noise):** "
+            + ", ".join(
                 f"{n} (wall e={e}, cpu e={ec})" for n, e, ec in cleared
             )
         )
-    flags = confirmed
+    if remeasure:
+        lines.append("")
+        lines.append(
+            "**Wall-flagged, needs quiet re-measure (no same-step CPU"
+            " cell):** " + ", ".join(
+                f"{n} (wall e={e}, stale cpu e={cell(ec)})"
+                for n, e, ec in remeasure
+            )
+        )
+    flags = confirmed + remeasure
     lines.append("")
     (_ROOT / "SCALING.md").write_text("\n".join(lines))
     print(json.dumps({"flagged": flags, "written": "SCALING.md"}))

@@ -205,6 +205,25 @@ def test_stdlib_ppm_decode_with_comments():
         M.decode_image_bytes(b"P6\n6 4\n255\n" + px.tobytes()[:-5])
 
 
+def test_ppm_sniff_requires_header_digit():
+    """Prose that merely STARTS with the PPM magic ('P6 is...') must hit
+    the honest not-an-image gate (NotImplementedError), not the corrupt-
+    image quarantine (ValueError): the sniff requires a digit after the
+    magic's whitespace/comment run."""
+    for text in (
+        b"P6 is the binary RGB netpbm format",
+        b"P5\tnotes on grayscale payloads",
+        b"P6 # only a comment, no header digits",
+        b"P6 ",  # magic + whitespace, then nothing
+    ):
+        assert M.sniff_image_format(text) is None
+        with pytest.raises(NotImplementedError):
+            M.decode_image_bytes(text)
+    # comments between magic and dimensions still sniff as PPM
+    assert M.sniff_image_format(b"P6 # c\n# c2\n 6 4\n255\n") == "ppm"
+    assert M.sniff_image_format(b"P5\n5 3\n255\n") == "ppm"
+
+
 # --- stdlib codec through the Spark operators (no-Pillow environments) --
 
 

@@ -71,6 +71,27 @@ def test_driver_window_rotation_covers_all_oracled():
 ROWS_ONLY_ALLOWED: set[str] = set()
 
 
+def test_driver_checked_names_skips_malformed_artifacts(tmp_path, monkeypatch):
+    """A CORRECTNESS_r*.json whose top level is a LIST (or junk) is
+    skipped like a parse failure — query ordering must never crash on a
+    malformed driver artifact."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(["not", "a", "dict"]))
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{broken json")
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(
+        {"good_q": {"hash_match": True},
+         "bad_q": {"hash_match": True, "err": "boom"},
+         "weird": "not-a-dict-value"}
+    ))
+    # _driver_checked_names globs Path(__file__).parent.parent first
+    monkeypatch.setattr(
+        registry, "__file__", str(tmp_path / "pkg" / "registry.py")
+    )
+    checked = registry._driver_checked_names()
+    assert checked == {"good_q"}
+
+
 def test_every_query_is_oracle_checked_or_documented():
     missing = set(registry.QUERIES) - set(registry.ORACLES)
     assert missing <= ROWS_ONLY_ALLOWED, (
