@@ -6,11 +6,19 @@ function over an inverted-index shape, built entirely from DataFrame
 aggregations so Catalyst keeps every stage in whole-stage codegen.
 
 Scale shape (the 100 TB story):
-- term frequencies take ONE shuffle: groupBy (doc, token) over the
-  exploded token stream, with document length carried through the
-  aggregation (no second doc-keyed join).
-- document frequencies aggregate the tf frame by token — output is
-  vocabulary-sized, broadcast back to the scorer.
+- the query-token semi-join is pushed BELOW the tf shuffle: the
+  exploded token stream joins the (tiny, broadcast) distinct query
+  token set BEFORE the (doc, token) aggregation, so the tf exchange
+  carries only rows whose token some query mentions — the corpus-wide
+  posting lists for ~10 terms, not the full corpus token stream. (The
+  round-10 workup of bm25_topk's climbing ramp exponent measured the
+  unfiltered plan hash-aggregating 44.5M (doc, token) groups at the
+  x300 tier when only the matching slice was ever consumed.)
+- document frequencies aggregate the FILTERED tf frame by token —
+  output is bounded by the query vocabulary (a handful of rows), never
+  the corpus vocabulary. The previous plan aggregated and BROADCAST the
+  full corpus vocabulary, a frame that grows with the data — at 100 TB
+  that broadcast is a scale killer; the query-bounded one is free.
 - the query side is tiny by construction (a handful of query strings)
   and is broadcast, so scoring never shuffles the corpus again; the
   only post-tf exchange is the (query, doc) score aggregation.
@@ -32,17 +40,29 @@ def term_frequencies(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_filter: DataFrame | None = None,
 ) -> DataFrame:
     """(id, token, tf, dl): per-document term counts with document length.
 
     dl rides through the groupBy as first() (constant per document), so
     the whole frame costs exactly one exchange on (id, token).
+
+    ``token_filter`` (a 1-column ``token`` frame, assumed small) is
+    semi-joined BELOW that exchange: when only a known term subset is
+    ever consumed (BM25 with a fixed query set), the shuffle and the
+    aggregation hash table carry the matching posting rows only. dl is
+    computed from the FULL token stream before the filter, so document
+    lengths are unaffected.
     """
     toks = docs.select(
         F.col(id_col),
         T.token_count(text_col).alias("dl"),
         F.explode(T.tokens(text_col)).alias("token"),
     )
+    if token_filter is not None:
+        toks = toks.join(
+            F.broadcast(token_filter.select("token").distinct()), "token"
+        )
     return toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.first("dl").alias("dl"),
@@ -61,25 +81,32 @@ def bm25_topk(
     """Top-k documents per query under Okapi BM25.
 
     ``queries`` is a small (query_id, query) frame — it is broadcast, as
-    are the vocabulary-sized document frequencies and the 1-row corpus
-    stats, so the corpus-sized side moves through exactly two exchanges
-    (tf build, score aggregation) regardless of query count.
+    are the query-vocabulary-sized document frequencies and the 1-row
+    corpus stats, so the corpus-sized side moves through exactly two
+    exchanges (the query-token-filtered tf build, score aggregation)
+    regardless of query count. The query-token semi-join runs BELOW the
+    tf exchange and df aggregates the filtered frame (see the module
+    docstring's scale shape — df values for query tokens are identical
+    to the full-vocabulary aggregation's).
 
     idf uses the non-negative variant ln(1 + (N - df + 0.5)/(df + 0.5)).
     Scores are rounded to 6 decimals BEFORE ranking (ties then break on
     doc id), so rankings are reproducible across engines.
     """
-    tf = term_frequencies(docs, id_col, text_col)
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(T.tokens("query"))).alias("token"),
+    )
+    tf = term_frequencies(docs, id_col, text_col, token_filter=qterms)
 
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(T.token_count(text_col)).alias("avgdl"),
     )
+    # df over the FILTERED tf: one row per (doc, token-in-some-query),
+    # so per-token counts equal the full aggregation's for every token
+    # the scorer can reference — and the broadcast is query-sized
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    qterms = queries.select(
-        "query_id",
-        F.explode(F.array_distinct(T.tokens("query"))).alias("token"),
-    )
 
     scored = (
         tf.join(F.broadcast(qterms), "token")

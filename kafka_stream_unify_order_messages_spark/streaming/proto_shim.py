@@ -1,0 +1,502 @@
+"""Pure-stdlib protobuf shim for PySpark's transformWithState protocol.
+
+PySpark's ``transformWithStateInPandas`` Python worker speaks to the JVM
+state server through protobuf messages (``StateMessage.proto``), and the
+generated ``pyspark/sql/streaming/proto/StateMessage_pb2.py`` requires
+the ``google.protobuf`` runtime — an optional dependency this
+environment cannot install (README documents pip failing at DNS). That
+single import is the ONLY thing gating the repo's StatefulProcessor port
+(streaming/unify_tws.py) from running end-to-end.
+
+The protocol's actual surface is small and one-directional per message
+class: request messages are only ever SERIALIZED by the Python side,
+response messages only ever PARSED, and the schema uses nothing beyond
+proto3 varint scalars (int32/int64/bool/enum), length-delimited fields
+(string/bytes/sub-message), unpacked repeated fields, and oneofs. This
+module implements exactly that subset of the public protobuf wire format
+(https://protobuf.dev/programming-guides/encoding/) as a generic
+descriptor-driven runtime:
+
+- ``_parse_file_descriptor`` reads the serialized ``FileDescriptorProto``
+  blob that protoc embeds in the installed ``StateMessage_pb2.py``
+  (extracted via ``ast.literal_eval`` — never imported, so
+  ``google.protobuf`` is not touched), using a hand-written wire decoder
+  for the descriptor schema itself (field numbers per
+  ``google/protobuf/descriptor.proto``, a public, frozen format).
+- ``_build_module`` turns each message descriptor into a Python class
+  with ``__init__(**kwargs)``, attribute get/set, ``SerializeToString``,
+  ``ParseFromString``, ``HasField`` and ``WhichOneof`` — the full set of
+  operations ``stateful_processor_api_client.py`` and the
+  value/list/map state clients perform. File-level enum values are
+  exposed as module attributes (``CREATED``, ``CLOSED``, ...) exactly
+  like generated proto3 modules.
+- ``install()`` registers the built module in ``sys.modules`` under the
+  generated module's name IF the real protobuf runtime is unavailable,
+  so the lazy ``import pyspark.sql.streaming.proto.StateMessage_pb2``
+  inside the client methods resolves to the shim. With google.protobuf
+  installed the shim steps aside entirely.
+
+Deliberate divergences from the real runtime (safe for this protocol,
+asserted by tests/test_proto_shim.py):
+- Reading an unset singular sub-message field AUTO-VIVIFIES it (the
+  client writes through such reads: ``cmd.ttl.durationMs = x``; it never
+  reads a request sub-message it does not mean to set).
+- Scalar fields serialize only when != proto3 default; sub-message and
+  oneof-member fields serialize whenever set, including empty ones
+  (``RemoveImplicitKey()`` must still emit its zero-length tag).
+- Parsing overwrites singular fields on repetition instead of merging
+  field-by-field (the state server never splits a sub-message).
+
+Scope note: this unblocks the sandbox's missing `pyspark[connect]`
+extra; on a real cluster with protobuf installed none of this code runs.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+import struct
+import sys
+import types
+from typing import Any
+
+GENERATED_MODULE = "pyspark.sql.streaming.proto.StateMessage_pb2"
+
+# FieldDescriptorProto.type values (descriptor.proto, public + frozen)
+_T_INT64 = 3
+_T_INT32 = 5
+_T_BOOL = 8
+_T_STRING = 9
+_T_MESSAGE = 11
+_T_BYTES = 12
+_T_UINT32 = 13
+_T_ENUM = 14
+_T_SINT32 = 17
+_T_SINT64 = 18
+_VARINT_TYPES = {_T_INT64, _T_INT32, _T_BOOL, _T_ENUM, _T_UINT32,
+                 _T_SINT32, _T_SINT64}
+_LEN_TYPES = {_T_STRING, _T_MESSAGE, _T_BYTES}
+_LABEL_REPEATED = 3
+
+
+# ---------------------------------------------------------------------------
+# wire-format primitives
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result, shift = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _write_varint(out: bytearray, value: int) -> None:
+    if value < 0:
+        value &= (1 << 64) - 1  # two's-complement, 10 bytes, per the spec
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _signed(value: int) -> int:
+    """Interpret a decoded varint as two's-complement int64."""
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
+    if wire_type == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire_type == 1:
+        pos += 8
+    elif wire_type == 2:
+        n, pos = _read_varint(buf, pos)
+        pos += n
+    elif wire_type == 5:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported wire type {wire_type}")
+    if pos > len(buf):
+        raise ValueError("truncated field")
+    return pos
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a message's fields.
+    Varint values come through raw (unsigned); length-delimited as bytes."""
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        num, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, pos = _read_varint(buf, pos)
+            yield num, wt, v
+        elif wt == 2:
+            n, pos = _read_varint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError("truncated length-delimited field")
+            yield num, wt, buf[pos : pos + n]
+            pos += n
+        else:
+            start = pos
+            pos = _skip_field(buf, pos, wt)
+            yield num, wt, buf[start:pos]
+
+
+# ---------------------------------------------------------------------------
+# descriptor.proto subset parser (field numbers are public + frozen)
+# ---------------------------------------------------------------------------
+
+def _parse_fields(blob: bytes, spec: dict[int, tuple[str, Any]]) -> dict:
+    """Generic sub-parser: spec maps field number -> (name, handler);
+    handler None = raw value, 'str' = utf-8, 'repeat'/<fn> = append
+    parsed sub-message."""
+    out: dict[str, Any] = {}
+    for num, _wt, val in _iter_fields(blob):
+        if num not in spec:
+            continue
+        name, handler = spec[num]
+        if handler is None:
+            out[name] = val
+        elif handler == "str":
+            out[name] = val.decode("utf-8")
+        else:  # (list-of-submessage, parser fn)
+            out.setdefault(name, []).append(handler(val))
+    return out
+
+
+def _parse_enum_value(blob: bytes) -> dict:
+    return _parse_fields(blob, {1: ("name", "str"), 2: ("number", None)})
+
+
+def _parse_enum(blob: bytes) -> dict:
+    return _parse_fields(
+        blob, {1: ("name", "str"), 2: ("value", _parse_enum_value)}
+    )
+
+
+def _parse_field_desc(blob: bytes) -> dict:
+    return _parse_fields(
+        blob,
+        {
+            1: ("name", "str"),
+            3: ("number", None),
+            4: ("label", None),
+            5: ("type", None),
+            6: ("type_name", "str"),
+            9: ("oneof_index", None),
+        },
+    )
+
+
+def _parse_oneof(blob: bytes) -> dict:
+    return _parse_fields(blob, {1: ("name", "str")})
+
+
+def _parse_message_desc(blob: bytes) -> dict:
+    return _parse_fields(
+        blob,
+        {
+            1: ("name", "str"),
+            2: ("field", _parse_field_desc),
+            3: ("nested_type", _parse_message_desc),
+            4: ("enum_type", _parse_enum),
+            8: ("oneof_decl", _parse_oneof),
+        },
+    )
+
+
+def _parse_file_descriptor(blob: bytes) -> dict:
+    return _parse_fields(
+        blob,
+        {
+            1: ("name", "str"),
+            2: ("package", "str"),
+            4: ("message_type", _parse_message_desc),
+            5: ("enum_type", _parse_enum),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# dynamic message classes
+# ---------------------------------------------------------------------------
+
+_SCALAR_DEFAULTS = {
+    _T_INT64: 0, _T_INT32: 0, _T_UINT32: 0, _T_SINT32: 0, _T_SINT64: 0,
+    _T_BOOL: False, _T_ENUM: 0, _T_STRING: "", _T_BYTES: b"",
+}
+
+
+class _Message:
+    """Base for generated-equivalent message classes. Subclasses carry
+    ``_FIELDS`` (name -> field descriptor dict, with 'message_cls'
+    resolved post-build) and ``_ONEOFS`` (oneof name -> member names)."""
+
+    _FIELDS: dict[str, dict] = {}
+    _ONEOFS: dict[str, list[str]] = {}
+
+    def __init__(self, **kwargs: Any) -> None:
+        object.__setattr__(self, "_values", {})
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    # -- attribute protocol -------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        # only called when normal lookup fails: field access
+        fields = type(self)._FIELDS
+        if name not in fields:
+            raise AttributeError(
+                f"{type(self).__name__} has no field {name!r}"
+            )
+        values = self.__dict__["_values"]
+        if name in values:
+            return values[name]
+        fd = fields[name]
+        if fd.get("label") == _LABEL_REPEATED:
+            values[name] = []
+            return values[name]
+        if fd["type"] == _T_MESSAGE:
+            # auto-vivify so `msg.sub.field = x` writes through (see
+            # module docstring: the client only reads request
+            # sub-messages it intends to set)
+            values[name] = fd["message_cls"]()
+            return values[name]
+        return _SCALAR_DEFAULTS[fd["type"]]
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        fields = type(self)._FIELDS
+        if name not in fields:
+            raise AttributeError(
+                f"{type(self).__name__} has no field {name!r}"
+            )
+        self.__dict__["_values"][name] = value
+
+    # -- protobuf API surface the state clients use -------------------------
+    def HasField(self, name: str) -> bool:
+        return name in self.__dict__["_values"]
+
+    def WhichOneof(self, oneof: str) -> str | None:
+        for member in type(self)._ONEOFS.get(oneof, []):
+            if member in self.__dict__["_values"]:
+                return member
+        return None
+
+    def SerializeToString(self) -> bytes:
+        out = bytearray()
+        values = self.__dict__["_values"]
+        for name in type(self)._FIELD_ORDER:
+            if name not in values:
+                continue
+            fd = type(self)._FIELDS[name]
+            val = values[name]
+            items = val if fd.get("label") == _LABEL_REPEATED else [val]
+            for item in items:
+                if fd["type"] == _T_MESSAGE:
+                    body = item.SerializeToString()
+                    _write_varint(out, (fd["number"] << 3) | 2)
+                    _write_varint(out, len(body))
+                    out += body
+                elif fd["type"] in _VARINT_TYPES:
+                    iv = int(item)
+                    if iv == 0 and fd.get("label") != _LABEL_REPEATED:
+                        continue  # proto3 zero-default elision
+                    _write_varint(out, fd["number"] << 3)
+                    _write_varint(out, iv)
+                elif fd["type"] == _T_STRING:
+                    data = item.encode("utf-8")
+                    if not data and fd.get("label") != _LABEL_REPEATED:
+                        continue
+                    _write_varint(out, (fd["number"] << 3) | 2)
+                    _write_varint(out, len(data))
+                    out += data
+                elif fd["type"] == _T_BYTES:
+                    data = bytes(item)
+                    if not data and fd.get("label") != _LABEL_REPEATED:
+                        continue
+                    _write_varint(out, (fd["number"] << 3) | 2)
+                    _write_varint(out, len(data))
+                    out += data
+                else:
+                    raise TypeError(
+                        f"unsupported field type {fd['type']} in "
+                        f"{type(self).__name__}.{name}"
+                    )
+        return bytes(out)
+
+    def ParseFromString(self, data: bytes) -> int:
+        values = self.__dict__["_values"]
+        values.clear()
+        by_number = type(self)._BY_NUMBER
+        for num, wt, raw in _iter_fields(data):
+            fd = by_number.get(num)
+            if fd is None:
+                continue  # unknown field: skip, per the spec
+            name = fd["name"]
+            if fd["type"] == _T_MESSAGE:
+                sub = fd["message_cls"]()
+                sub.ParseFromString(raw)
+                val = sub
+            elif fd["type"] in _VARINT_TYPES:
+                if wt == 2:  # packed repeated varints
+                    vals, pos = [], 0
+                    while pos < len(raw):
+                        v, pos = _read_varint(raw, pos)
+                        vals.append(self._coerce_varint(fd, v))
+                    if fd.get("label") == _LABEL_REPEATED:
+                        values.setdefault(name, []).extend(vals)
+                        continue
+                    val = vals[-1] if vals else 0
+                else:
+                    val = self._coerce_varint(fd, raw)
+            elif fd["type"] == _T_STRING:
+                val = raw.decode("utf-8")
+            else:  # bytes
+                val = bytes(raw)
+            if fd.get("label") == _LABEL_REPEATED:
+                values.setdefault(name, []).append(val)
+            else:
+                values[name] = val
+        return len(data)
+
+    @staticmethod
+    def _coerce_varint(fd: dict, v: int) -> Any:
+        if fd["type"] == _T_BOOL:
+            return bool(v)
+        if fd["type"] in (_T_INT32, _T_INT64):
+            return _signed(v)
+        return v  # uint32 / enum
+
+    def __repr__(self) -> str:  # debugging aid only
+        vals = ", ".join(
+            f"{k}={v!r}" for k, v in self.__dict__["_values"].items()
+        )
+        return f"{type(self).__name__}({vals})"
+
+
+def _make_message_class(desc: dict, registry: dict[str, type]) -> type:
+    fields = {f["name"]: dict(f) for f in desc.get("field", [])}
+    oneofs: dict[str, list[str]] = {}
+    decls = [o["name"] for o in desc.get("oneof_decl", [])]
+    for f in fields.values():
+        idx = f.get("oneof_index")
+        if idx is not None and idx < len(decls):
+            oneofs.setdefault(decls[idx], []).append(f["name"])
+    cls = type(
+        desc["name"],
+        (_Message,),
+        {
+            "_FIELDS": fields,
+            "_ONEOFS": oneofs,
+            "_FIELD_ORDER": sorted(fields, key=lambda n: fields[n]["number"]),
+            "_BY_NUMBER": {f["number"]: f for f in fields.values()},
+        },
+    )
+    registry[desc["name"]] = cls
+    for nested in desc.get("nested_type", []):
+        _make_message_class(nested, registry)
+    return cls
+
+
+def build_module(blob: bytes, module_name: str = GENERATED_MODULE):
+    """Build a StateMessage_pb2-equivalent module from a serialized
+    FileDescriptorProto blob."""
+    fdp = _parse_file_descriptor(blob)
+    mod = types.ModuleType(module_name)
+    mod.__doc__ = (
+        "Pure-Python shim for the generated protobuf module (see "
+        "kafka_stream_unify_order_messages_spark.streaming.proto_shim)."
+    )
+    registry: dict[str, type] = {}
+    for mdesc in fdp.get("message_type", []):
+        _make_message_class(mdesc, registry)
+    # resolve message-typed fields to their classes (type_name is
+    # fully-qualified: '.package.Message' — local names only here)
+    for cls in registry.values():
+        for f in cls._FIELDS.values():
+            if f["type"] == _T_MESSAGE:
+                local = f["type_name"].rsplit(".", 1)[-1]
+                f["message_cls"] = registry[local]
+    for name, cls in registry.items():
+        setattr(mod, name, cls)
+    # file-level enums: generated proto3 modules expose both the enum
+    # type name and each value as module attributes
+    for edesc in fdp.get("enum_type", []):
+        values = {
+            v["name"]: v.get("number", 0) for v in edesc.get("value", [])
+        }
+        setattr(mod, edesc["name"], types.SimpleNamespace(**values))
+        for vname, vnum in values.items():
+            setattr(mod, vname, vnum)
+    return mod
+
+
+def _extract_blob() -> bytes:
+    """Pull the serialized FileDescriptorProto out of the installed
+    generated module's SOURCE (never imported: importing it would pull
+    in google.protobuf, the thing this shim exists to avoid)."""
+    import importlib.util
+
+    spec = importlib.util.find_spec(GENERATED_MODULE)
+    if spec is None or not spec.origin:
+        raise ImportError(f"{GENERATED_MODULE} source not found")
+    with open(spec.origin, encoding="utf-8") as f:
+        src = f.read()
+    m = re.search(
+        r"AddSerializedFile\(\s*(b(?:'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"))",
+        src,
+        re.S,
+    )
+    if not m:
+        raise ImportError(
+            f"serialized descriptor not found in {spec.origin}"
+        )
+    return ast.literal_eval(m.group(1))
+
+
+def protobuf_available() -> bool:
+    import importlib.util
+
+    try:
+        return (
+            importlib.util.find_spec("google") is not None
+            and importlib.util.find_spec("google.protobuf") is not None
+        )
+    except (ImportError, ValueError):
+        return False
+
+
+def install(force: bool = False) -> bool:
+    """Register the shim as the generated protobuf module when the real
+    runtime is missing. Returns True when the shim is (already) active.
+
+    Called at import time of streaming.unify_tws, which is exactly the
+    module a Spark worker imports while unpickling the StatefulProcessor
+    — so the registration lands in every worker process BEFORE the state
+    client's first lazy ``import ...StateMessage_pb2``. Idempotent; a
+    no-op whenever google.protobuf is importable (the real generated
+    module then wins, byte-compatible by construction).
+    """
+    existing = sys.modules.get(GENERATED_MODULE)
+    if existing is not None and getattr(existing, "__shim__", False):
+        return True
+    if not force and protobuf_available():
+        return False
+    if existing is not None:  # real module already imported: leave it
+        return False
+    mod = build_module(_extract_blob())
+    mod.__shim__ = True
+    sys.modules[GENERATED_MODULE] = mod
+    return True
