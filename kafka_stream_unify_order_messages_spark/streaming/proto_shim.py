@@ -446,14 +446,32 @@ def build_module(blob: bytes, module_name: str = GENERATED_MODULE):
 def _extract_blob() -> bytes:
     """Pull the serialized FileDescriptorProto out of the installed
     generated module's SOURCE (never imported: importing it would pull
-    in google.protobuf, the thing this shim exists to avoid)."""
-    import importlib.util
+    in google.protobuf, the thing this shim exists to avoid). Reads via
+    the loader so zip-shipped pyspark (the JVM launches its driver-side
+    TWS worker with PYTHONPATH=.../pyspark.zip) works too."""
+    import importlib
+    import importlib.machinery
 
-    spec = importlib.util.find_spec(GENERATED_MODULE)
-    if spec is None or not spec.origin:
-        raise ImportError(f"{GENERATED_MODULE} source not found")
-    with open(spec.origin, encoding="utf-8") as f:
-        src = f.read()
+    # resolve the generated FILE via the parent package's search path,
+    # NOT find_spec on the full name: once the shim occupies sys.modules
+    # (spec-less), find_spec raises ValueError on it
+    parent = importlib.import_module(GENERATED_MODULE.rsplit(".", 1)[0])
+    spec = importlib.machinery.PathFinder.find_spec(
+        GENERATED_MODULE.rsplit(".", 1)[1], list(parent.__path__)
+    )
+    if spec is None:
+        raise ImportError(f"{GENERATED_MODULE} not found")
+    src = None
+    if spec.loader is not None and hasattr(spec.loader, "get_source"):
+        try:
+            src = spec.loader.get_source(spec.name)
+        except (ImportError, OSError):
+            src = None
+    if src is None and spec.origin:
+        with open(spec.origin, encoding="utf-8") as f:
+            src = f.read()
+    if src is None:
+        raise ImportError(f"{GENERATED_MODULE} source not readable")
     m = re.search(
         r"AddSerializedFile\(\s*(b(?:'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"))",
         src,
@@ -461,20 +479,23 @@ def _extract_blob() -> bytes:
     )
     if not m:
         raise ImportError(
-            f"serialized descriptor not found in {spec.origin}"
+            f"serialized descriptor not found in {GENERATED_MODULE}"
         )
     return ast.literal_eval(m.group(1))
 
 
 def protobuf_available() -> bool:
-    import importlib.util
+    """True only when the protobuf RUNTIME is importable. find_spec on
+    'google.protobuf' is not enough: a leftover namespace package (an
+    empty google/ dir in site-packages) resolves while
+    'from google.protobuf import descriptor' — the generated module's
+    actual first line — still fails. Probe the real symbol."""
+    import importlib
 
     try:
-        return (
-            importlib.util.find_spec("google") is not None
-            and importlib.util.find_spec("google.protobuf") is not None
-        )
-    except (ImportError, ValueError):
+        importlib.import_module("google.protobuf.descriptor")
+        return True
+    except ImportError:
         return False
 
 
@@ -498,5 +519,13 @@ def install(force: bool = False) -> bool:
         return False
     mod = build_module(_extract_blob())
     mod.__shim__ = True
+    # a real ModuleSpec keeps importlib.util.find_spec(GENERATED_MODULE)
+    # working after installation (a spec-less sys.modules entry makes it
+    # raise ValueError — pyspark's own feature probes use find_spec)
+    import importlib.machinery
+
+    mod.__spec__ = importlib.machinery.ModuleSpec(
+        GENERATED_MODULE, loader=None, origin="proto_shim"
+    )
     sys.modules[GENERATED_MODULE] = mod
     return True

@@ -30,10 +30,14 @@ state store provider (``spark.sql.streaming.stateStore.providerClass =
 same engine the reference's store runs on.
 
 Runtime dependency note: Spark's TWS Python runner speaks a
-protobuf-based state-server protocol, so running the query end-to-end
-needs the ``protobuf`` package (``pip install pyspark[connect]`` pulls
-it). The processor itself is plain pandas/python — its semantics are
-covered deterministically in tests/test_unify_tws.py without protobuf.
+protobuf-based state-server protocol. With the ``protobuf`` package
+installed (``pip install pyspark[connect]``) the generated module is
+used as-is; without it, importing THIS module installs the pure-stdlib
+wire-format shim (streaming/proto_shim.py) in its place — and because a
+Spark worker imports this module while unpickling the processor, the
+shim lands in every worker process before the state client's first lazy
+protobuf import. The processor's semantics are additionally covered
+deterministically in tests/test_unify_tws.py without any runner.
 """
 
 from __future__ import annotations
@@ -43,7 +47,12 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.stateful_processor import (
+
+from kafka_stream_unify_order_messages_spark.streaming import proto_shim
+
+proto_shim.install()
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     ExpiredTimerInfo,
     StatefulProcessor,
     StatefulProcessorHandle,

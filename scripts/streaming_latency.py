@@ -87,8 +87,16 @@ def _wave_table(events: list[dict]) -> pa.Table:
     return pa.table({c: pa.array(vals[c], type=pa.string()) for c in COLS})
 
 
-def run_variant(rocksdb: bool) -> dict:
-    """One full measured latency run under the given state store."""
+def run_variant(rocksdb: bool, tws: bool = False) -> dict:
+    """One full measured latency run under the given state store.
+
+    ``tws=True`` runs the v2 ``transformWithStateInPandas`` topology
+    (streaming/unify_tws.py — real per-key timers instead of the v1
+    single implicit timeout; requires RocksDB, which is forced on).
+    In this sandbox its state-server protocol runs over the pure-stdlib
+    protobuf shim (streaming/proto_shim.py)."""
+    if tws:
+        rocksdb = True  # TWS requires the RocksDB provider
     # 3 state partitions: exact parity with the reference's 3-partition
     # topics (streams.properties) — every micro-batch pays one state-
     # store commit and one Arrow/python round trip per partition, so
@@ -96,7 +104,8 @@ def run_variant(rocksdb: bool) -> dict:
     # Kafka Streams makes with topic partition count. (Throughput runs
     # keep 32: there the per-batch volume amortizes them.)
     spark = get_spark(
-        f"streaming-latency-{'rocksdb' if rocksdb else 'hdfs'}",
+        "streaming-latency-"
+        + ("tws" if tws else "rocksdb" if rocksdb else "hdfs"),
         master="local[32]",
         shuffle_partitions=3,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -146,8 +155,16 @@ def run_variant(rocksdb: bool) -> dict:
         for row in rows:
             emitted.setdefault(row[0], now)
 
+    if tws:
+        from kafka_stream_unify_order_messages_spark.streaming.unify_tws import (
+            unify_stream_tws,
+        )
+
+        unified = unify_stream_tws(stream, buffer_ms=BUFFER_MS)
+    else:
+        unified = unify_stream(stream, buffer_ms=BUFFER_MS)
     q = (
-        unify_stream(stream, buffer_ms=BUFFER_MS)
+        unified
         .writeStream.foreachBatch(on_batch)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -217,6 +234,7 @@ def run_variant(rocksdb: bool) -> dict:
 
     return {
         "_lats": lats,  # raw latencies, pooled by run_pooled
+        "topology": "tws" if tws else "v1",
         "state_store": "rocksdb" if rocksdb else "hdfs",
         "n_orders": N_LIFECYCLES,
         "emitted": len(measured),
@@ -309,13 +327,13 @@ def floor_probe(seconds: float = 22.0) -> dict:
 N_RUNS = 3  # percentile stability: pool orders across runs per provider
 
 
-def run_pooled(rocksdb: bool) -> dict:
+def run_pooled(rocksdb: bool, tws: bool = False) -> dict:
     """N_RUNS independent runs per provider, latencies POOLED before the
     percentiles (1800 orders instead of 600): single-run p95 on this box
     swings ~0.4 s run-to-run because one slow micro-batch drags a whole
     20-order wave into the tail; pooling reports the distribution, and
     per-run p95s are kept alongside so the spread stays visible."""
-    runs = [run_variant(rocksdb=rocksdb) for _ in range(N_RUNS)]
+    runs = [run_variant(rocksdb=rocksdb, tws=tws) for _ in range(N_RUNS)]
     lats: list[float] = []
     for r in runs:
         lats.extend(r.pop("_lats"))
@@ -348,16 +366,33 @@ def run_pooled(rocksdb: bool) -> dict:
     return out
 
 
+def _tws_available() -> bool:
+    import sys
+
+    from kafka_stream_unify_order_messages_spark.streaming import (
+        proto_shim,
+        unify_tws,  # noqa: F401  (import installs the shim if needed)
+    )
+
+    return proto_shim.protobuf_available() or getattr(
+        sys.modules.get(proto_shim.GENERATED_MODULE), "__shim__", False
+    )
+
+
 def main() -> None:
     hdfs = run_pooled(rocksdb=False)
     rocks = run_pooled(rocksdb=True)
+    tws = run_pooled(rocksdb=True, tws=True) if _tws_available() else None
     floor = floor_probe()
-    out = {"hdfs": hdfs, "rocksdb": rocks, "noop_floor": floor}
+    out = {
+        "hdfs": hdfs, "rocksdb": rocks, "tws": tws, "noop_floor": floor,
+    }
     (_ROOT / "LATENCY.json").write_text(json.dumps(out, indent=1) + "\n")
 
     def row(s: dict) -> str:
         return (
-            f"| {s['state_store']} | {s['emitted']}/{s['n_orders']} "
+            f"| {s['topology']} | {s['state_store']} "
+            f"| {s['emitted']}/{s['n_orders']} "
             f"| {s['p50_sec']} s | {s['p95_sec']} s | {s['p99_sec']} s "
             f"| {s['max_sec']} s | {s['min_sec']} s "
             f"| {s['within_envelope_pct']} % "
@@ -394,10 +429,17 @@ provider ({hdfs['n_orders']} orders each row): single-run p95 swings
 20-order wave into the tail. Per-run p95 spread: hdfs
 {hdfs['per_run_p95']}, rocksdb {rocks['per_run_p95']}.
 
-| state store | emitted | p50 | p95 | p99 | max | min | <=6 s | <=7 s |
-|---|---|---|---|---|---|---|---|---|
+| topology | state store | emitted | p50 | p95 | p99 | max | min | <=6 s | <=7 s |
+|---|---|---|---|---|---|---|---|---|---|
 {row(hdfs)}
 {row(rocks)}
+{row(tws) if tws else ""}
+
+`v1` = `applyInPandasWithState` (`unify_stream`); `tws` = the v2
+`transformWithStateInPandas` topology (`unify_stream_tws` — explicit
+per-key timers, the reference punctuator's exact shape), runtime-
+unblocked in round 10 by the pure-stdlib protobuf wire shim
+(`streaming/proto_shim.py`) and measured on the same harness.
 
 ## Residual accounting: framework floor, not topology cost
 
@@ -432,9 +474,10 @@ python state worker), G1 50 ms pause target (worse — shrinks young
 gen), async progress tracking (unsupported for this sink),
 listener-based stamping (listener-bus queueing delays stamps more
 than the foreachBatch callback costs). The remaining gap is the
-`applyInPandasWithState` per-trigger fixed cost; closing it needs
-either the `transformWithState` runtime (protobuf-gated in this
-sandbox, streaming/unify_tws.py is ready) or a lower-floor machine.
+per-trigger fixed cost of the stateful python exec. The long-gated
+exit — the `transformWithState` runtime — is now MEASURED in the
+`tws` row above (unblocked by the proto shim); see the section below
+for what it buys on this machine.
 
 The floor is the designed 5 s buffer (emission happens AT expiry —
 reference punctuator parity); everything above it is trigger/commit

@@ -268,12 +268,23 @@ def write_batch(src_dir, rows, batch_no):
     pq.write_table(table, f"{src_dir}/batch-{batch_no:04d}.parquet")
 
 
+def _tws_protocol_available() -> bool:
+    # real protobuf runtime, or the repo's pure-stdlib wire shim
+    # (installed at unify_tws import — already imported above)
+    import sys
+
+    from kafka_stream_unify_order_messages_spark.streaming import proto_shim
+
+    return proto_shim.protobuf_available() or getattr(
+        sys.modules.get(proto_shim.GENERATED_MODULE), "__shim__", False
+    )
+
+
 @pytest.mark.skipif(
-    importlib.util.find_spec("google") is None
-    or importlib.util.find_spec("google.protobuf") is None,
-    reason="TWS state-server protocol needs the protobuf runtime "
-    "(pyspark[connect] extra); processor semantics are covered by the "
-    "deterministic layer-1 tests above",
+    not _tws_protocol_available(),
+    reason="TWS state-server protocol needs the protobuf runtime or the "
+    "proto_shim; processor semantics are covered by the deterministic "
+    "layer-1 tests above",
 )
 def test_e2e_tws_complete_emits_incomplete_drops(spark, tmp_path):
     prev = spark.conf.get(
