@@ -837,6 +837,48 @@ def pq_codebook(
     )
 
 
+def _codebook_norm2(codebook: np.ndarray) -> np.ndarray:
+    """(n_sub, n_codes) exact-folded codeword norms for the
+    rank-equivalent ``-2·v·c + |c|²`` assignment distances."""
+    import math
+
+    n_sub, n_codes, _ = codebook.shape
+    return np.asarray(
+        [
+            [math.fsum(x * x for x in codebook[s, c]) for c in range(n_codes)]
+            for s in range(n_sub)
+        ]
+    )
+
+
+def _pq_codes(
+    mat: np.ndarray, codebook: np.ndarray, cb_norm2: np.ndarray
+) -> np.ndarray:
+    """(n, n_sub) per-subspace nearest-codeword ids with the shared
+    argmin-boundary guard: rows whose two nearest codewords sit within
+    1e-9 are recomputed with an exact fold, so code choice is
+    summation-order-independent (a SQL oracle evaluating the same
+    formula picks the same codeword); ties break on the lower codeword
+    id (stable argmin, matching ORDER BY (d, code))."""
+    import math
+
+    n_sub, n_codes, sub_dim = codebook.shape
+    codes = np.empty((len(mat), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
+        d = -2.0 * (sub @ codebook[s].T) + cb_norm2[s][None, :]
+        if n_codes >= 2:
+            near2 = np.partition(d, 1, axis=1)
+            for r in np.flatnonzero(near2[:, 1] - near2[:, 0] < 1e-9):
+                d[r] = [
+                    -2.0 * math.fsum(sub[r] * codebook[s, c])
+                    + cb_norm2[s, c]
+                    for c in range(n_codes)
+                ]
+        codes[:, s] = d.argmin(axis=1)
+    return codes
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: np.ndarray,
@@ -855,17 +897,9 @@ def pq_encode(
     evaluating the same formula picks the same codeword; ties break on
     the lower codeword id (stable argmin, matching ORDER BY (d, code)).
     """
-    import math
-
     from pyspark.sql.types import ArrayType, IntegerType
 
-    n_sub, n_codes, sub_dim = codebook.shape
-    cb_norm2 = np.asarray(
-        [
-            [math.fsum(x * x for x in codebook[s, c]) for c in range(n_codes)]
-            for s in range(n_sub)
-        ]
-    )
+    cb_norm2 = _codebook_norm2(codebook)
     id_field = corpus.schema[id_col]
     schema = StructType(
         [id_field.__class__(id_col, id_field.dataType, True)]
@@ -876,21 +910,7 @@ def pq_encode(
             if pdf.empty:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.empty((len(mat), n_sub), dtype=np.int32)
-            for s in range(n_sub):
-                sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
-                d = -2.0 * (sub @ codebook[s].T) + cb_norm2[s][None, :]
-                if n_codes >= 2:
-                    near2 = np.partition(d, 1, axis=1)
-                    for r in np.flatnonzero(
-                        near2[:, 1] - near2[:, 0] < 1e-9
-                    ):
-                        d[r] = [
-                            -2.0 * math.fsum(sub[r] * codebook[s, c])
-                            + cb_norm2[s, c]
-                            for c in range(n_codes)
-                        ]
-                codes[:, s] = d.argmin(axis=1)
+            codes = _pq_codes(mat, codebook, cb_norm2).astype(np.int32)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "codes": list(codes)}
             )
@@ -1017,6 +1037,77 @@ def pq_topk(
     )
 
 
+def _adc_block_scores(
+    codes: np.ndarray,
+    cells: np.ndarray,
+    n_ids: np.ndarray,
+    lut: np.ndarray,
+    probe_map: dict[int, np.ndarray],
+    q_ids: np.ndarray,
+    k: int,
+) -> pd.DataFrame | None:
+    """ADC scoring of one Arrow batch of PQ codes against the per-query
+    LUTs, restricted to probed (query-group, cell-group) blocks, with
+    the batch-local top-k prune. Shared by ``ivfpq_topk`` (codes built
+    in-batch) and ``search_ivfpq_index`` (codes read from the persisted
+    index). Returns the pruned (query_id, neighbor_id, score) frame, or
+    None when the batch contributes nothing."""
+    n_sub = codes.shape[1]
+    order = np.argsort(cells, kind="stable")
+    sorted_cells = cells[order]
+    uniq, starts = np.unique(sorted_cells, return_index=True)
+    bounds = np.append(starts, len(sorted_cells))
+    q_parts, n_parts, s_parts = [], [], []
+    for gi in range(len(uniq)):
+        q_sel = probe_map.get(int(uniq[gi]))
+        if q_sel is None:
+            continue
+        c_idx = order[starts[gi] : bounds[gi + 1]]
+        g_codes = codes[c_idx]  # (|C_g|, n_sub)
+        lut_g = lut[q_sel]  # (|Q_g|, n_sub, n_codes)
+        sub_scores = np.zeros((len(q_sel), len(c_idx)))
+        for s in range(n_sub):
+            sub_scores += lut_g[:, s, :][:, g_codes[:, s]]
+        ids_g = n_ids[c_idx]
+        sub_scores = np.where(
+            q_ids[q_sel][:, None] == ids_g[None, :],
+            -np.inf,
+            sub_scores,
+        )
+        q_parts.append(np.repeat(q_sel, len(c_idx)))
+        n_parts.append(np.tile(c_idx, len(q_sel)))
+        s_parts.append(sub_scores.ravel())
+    if not q_parts:
+        return None
+    qi_all = np.concatenate(q_parts)
+    ci_all = np.concatenate(n_parts)
+    sc_all = np.concatenate(s_parts)
+    finite = np.isfinite(sc_all)
+    qi_all, ci_all, sc_all = (
+        qi_all[finite],
+        ci_all[finite],
+        sc_all[finite],
+    )
+    if not len(sc_all):
+        return None
+    srt = np.lexsort((-sc_all, qi_all))
+    qs, ss = qi_all[srt], sc_all[srt]
+    grp_starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    grp_ends = np.r_[grp_starts[1:], len(qs)]
+    keep = np.zeros(len(qs), dtype=bool)
+    for s0, s1 in zip(grp_starts, grp_ends):
+        kk = min(k, s1 - s0)
+        keep[s0:s1] = ss[s0:s1] >= ss[s0 + kk - 1] - _ROUND_MARGIN
+    sel = srt[keep]
+    return pd.DataFrame(
+        {
+            "query_id": q_ids[qi_all[sel]],
+            "neighbor_id": n_ids[ci_all[sel]],
+            "score": sc_all[sel],
+        }
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1044,8 +1135,6 @@ def ivfpq_topk(
     Per-batch compute tracks nprobe/n_centroids like ``ivf_topk``; the
     ranking shuffle sees only pruned (query, neighbor, score) longs.
     """
-    import math
-
     from pyspark.sql import Window
 
     if centroids is None:
@@ -1065,28 +1154,9 @@ def ivfpq_topk(
         codebook,
     )
     # probe selection: identical boundary-guarded form as ivf_topk
-    cent_norm2 = np.asarray(
-        [math.fsum(x * x for x in c) for c in centroids]
-    )
-    dq = -2.0 * (q_raw @ centroids.T) + cent_norm2[None, :]
-    if centroids.shape[0] > nprobe:
-        ranked = np.sort(dq, axis=1)
-        for qi in np.flatnonzero(
-            ranked[:, nprobe] - ranked[:, nprobe - 1] < 1e-9
-        ):
-            dq[qi] = [
-                -2.0 * math.fsum(q_raw[qi] * centroids[c]) + cent_norm2[c]
-                for c in range(centroids.shape[0])
-            ]
-    probes = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
+    probes = _query_probes(q_raw, centroids, nprobe)
     probe_map = _probe_map(probes)
-
-    cb_norm2 = np.asarray(
-        [
-            [math.fsum(x * x for x in codebook[s, c]) for c in range(n_codes)]
-            for s in range(n_sub)
-        ]
-    )
+    cb_norm2 = _codebook_norm2(codebook)
 
     id_field = corpus.schema[id_col]
     out_schema = StructType(
@@ -1108,75 +1178,12 @@ def ivfpq_topk(
             cells = pdf["centroid_id"].to_numpy().astype(np.int64)
             n_ids = pdf[id_col].to_numpy()
             # PQ-encode the batch (same guarded argmin as pq_encode)
-            codes = np.empty((len(mat), n_sub), dtype=np.int64)
-            for s in range(n_sub):
-                sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
-                d = -2.0 * (sub @ codebook[s].T) + cb_norm2[s][None, :]
-                if n_codes >= 2:
-                    near2 = np.partition(d, 1, axis=1)
-                    for r in np.flatnonzero(
-                        near2[:, 1] - near2[:, 0] < 1e-9
-                    ):
-                        d[r] = [
-                            -2.0 * math.fsum(sub[r] * codebook[s, c])
-                            + cb_norm2[s, c]
-                            for c in range(n_codes)
-                        ]
-                codes[:, s] = d.argmin(axis=1)
-            # score only probed (query-group, cell-group) blocks
-            order = np.argsort(cells, kind="stable")
-            sorted_cells = cells[order]
-            uniq, starts = np.unique(sorted_cells, return_index=True)
-            bounds = np.append(starts, len(sorted_cells))
-            q_parts, n_parts, s_parts = [], [], []
-            for gi in range(len(uniq)):
-                q_sel = probe_map.get(int(uniq[gi]))
-                if q_sel is None:
-                    continue
-                c_idx = order[starts[gi] : bounds[gi + 1]]
-                g_codes = codes[c_idx]  # (|C_g|, n_sub)
-                lut_g = lut[q_sel]  # (|Q_g|, n_sub, n_codes)
-                sub_scores = np.zeros((len(q_sel), len(c_idx)))
-                for s in range(n_sub):
-                    sub_scores += lut_g[:, s, :][:, g_codes[:, s]]
-                ids_g = n_ids[c_idx]
-                sub_scores = np.where(
-                    q_ids[q_sel][:, None] == ids_g[None, :],
-                    -np.inf,
-                    sub_scores,
-                )
-                q_parts.append(np.repeat(q_sel, len(c_idx)))
-                n_parts.append(np.tile(c_idx, len(q_sel)))
-                s_parts.append(sub_scores.ravel())
-            if not q_parts:
-                continue
-            qi_all = np.concatenate(q_parts)
-            ci_all = np.concatenate(n_parts)
-            sc_all = np.concatenate(s_parts)
-            finite = np.isfinite(sc_all)
-            qi_all, ci_all, sc_all = (
-                qi_all[finite],
-                ci_all[finite],
-                sc_all[finite],
+            codes = _pq_codes(mat, codebook, cb_norm2)
+            out = _adc_block_scores(
+                codes, cells, n_ids, lut, probe_map, q_ids, k
             )
-            if not len(sc_all):
-                continue
-            srt = np.lexsort((-sc_all, qi_all))
-            qs, ss = qi_all[srt], sc_all[srt]
-            grp_starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-            grp_ends = np.r_[grp_starts[1:], len(qs)]
-            keep = np.zeros(len(qs), dtype=bool)
-            for s0, s1 in zip(grp_starts, grp_ends):
-                kk = min(k, s1 - s0)
-                keep[s0:s1] = ss[s0:s1] >= ss[s0 + kk - 1] - _ROUND_MARGIN
-            sel = srt[keep]
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[qi_all[sel]],
-                    "neighbor_id": n_ids[ci_all[sel]],
-                    "score": sc_all[sel],
-                }
-            )
+            if out is not None:
+                yield out
 
     pruned = assigned.mapInPandas(score_partition, out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -1572,6 +1579,189 @@ def search_ivf_index(
         nprobe=nprobe,
         centroids=centroids,
         max_query_batch=None,  # already guarded above — skip the re-probe
+    )
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: np.ndarray | None = None,
+    codebook: np.ndarray | None = None,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build-once half of the compressed-index serving pair (the IVFPQ
+    sibling of ``save_ivf_index``): train (or take) coarse centroids and
+    a PQ codebook, assign + PQ-encode every corpus vector in ONE
+    pipelined scan (two chained mapInPandas stages, no shuffle), and
+    persist three parts: ``<path>/codes`` — (id, codes) inverted lists
+    partitioned by centroid_id, where the ``n_sub`` uint8-sized codes
+    REPLACE the raw vectors (the PQ memory win: the on-disk index is
+    ~64x smaller than the embedding column at the default geometry, the
+    difference between a 100 TB corpus's index fitting a cluster's RAM
+    or not) — plus ``<path>/centroids`` and ``<path>/codebook``.
+    Returns (centroids, codebook)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids
+        )
+    if codebook is None:
+        codebook = pq_codebook(n_sub=n_sub, n_codes=n_codes)
+    n_sub, n_codes, sub_dim = codebook.shape
+    cb_norm2 = _codebook_norm2(codebook)
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    id_field = corpus.schema[id_col]
+    enc_schema = (
+        StructType([id_field.__class__(id_col, id_field.dataType, True)])
+        .add("codes", ArrayType(IntegerType()))
+        .add("centroid_id", IntegerType())
+    )
+
+    def encode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _pq_codes(mat, codebook, cb_norm2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    "centroid_id": pdf["centroid_id"],
+                }
+            )
+
+    (
+        assigned.mapInPandas(encode, enc_schema)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/codes")
+    )
+    cent_rows = [
+        (int(i), [float(v) for v in c]) for i, c in enumerate(centroids)
+    ]
+    (
+        spark.createDataFrame(
+            cent_rows, "centroid_id int, centroid array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/centroids")
+    )
+    cb_rows = [
+        (int(s), int(c), [float(x) for x in codebook[s, c]])
+        for s in range(n_sub)
+        for c in range(n_codes)
+    ]
+    (
+        spark.createDataFrame(cb_rows, "s int, c int, w array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/codebook")
+    )
+    return centroids, codebook
+
+
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """(centroids, codebook, codes): the persisted IVFPQ index parts.
+    The codes frame keeps its centroid_id partition column for pruned
+    probes; raw vectors are not part of the index at all."""
+    cent_rows = (
+        spark.read.parquet(path + "/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    cb_rows = (
+        spark.read.parquet(path + "/codebook").orderBy("s", "c").collect()
+    )
+    n_sub = 1 + max(r.s for r in cb_rows)
+    n_codes = 1 + max(r.c for r in cb_rows)
+    codebook = np.asarray(
+        [r.w for r in cb_rows], dtype=np.float64
+    ).reshape(n_sub, n_codes, -1)
+    codes = spark.read.parquet(path + "/codes")
+    return centroids, codebook, codes
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    max_query_batch: int | None = 10_000,
+) -> DataFrame:
+    """Serve-many half: IVFPQ top-k against the PERSISTED index. The
+    union of the queries' probed cells becomes an ``isin`` filter on the
+    partition column (directory-level pruning — unprobed inverted lists
+    are never opened), and the survivors score as pure ADC LUT gathers
+    on the PRE-COMPUTED codes: serving never re-assigns or re-encodes
+    the corpus, and never reads a raw vector. Identical results to
+    ``ivfpq_topk`` with the same centroids/codebook, because assignment
+    and encoding are deterministic (boundary-guarded argmins) and rows
+    outside probed cells can never score."""
+    from pyspark.sql import Window
+
+    centroids, codebook, codes = load_ivfpq_index(spark, path)
+    n_sub, n_codes, sub_dim = codebook.shape
+    q_rows = _collect_query_batch(
+        queries, [id_col, vec_col], max_query_batch, "search_ivfpq_index"
+    )
+    q_ids = np.asarray([r[0] for r in q_rows])
+    q_raw = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    lut = np.einsum(
+        "qsd,scd->qsc",
+        q_raw.reshape(len(q_raw), n_sub, sub_dim),
+        codebook,
+    )
+    probes = _query_probes(q_raw, centroids, nprobe)
+    probe_map = _probe_map(probes)
+    probed = sorted({int(c) for row in probes for c in row})
+    pruned = codes.filter(F.col("centroid_id").isin(probed))
+
+    id_field = codes.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field.__class__("query_id", id_field.dataType, True),
+            id_field.__class__("neighbor_id", id_field.dataType, True),
+        ]
+    ).add("score", "double")
+
+    def score_partition(
+        pdfs: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            code_mat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cells = pdf["centroid_id"].to_numpy().astype(np.int64)
+            n_ids = pdf[id_col].to_numpy()
+            out = _adc_block_scores(
+                code_mat, cells, n_ids, lut, probe_map, q_ids, k
+            )
+            if out is not None:
+                yield out
+
+    scored = pruned.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("score", F.round("score", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )
 
 

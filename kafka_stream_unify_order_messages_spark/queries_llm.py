@@ -3341,6 +3341,29 @@ def ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.search_ivf_index(spark, path, queries, k=5, nprobe=4)
 
 
+# The compressed-index sibling: same persisted build-once/serve-many
+# contract for IVFPQ (save_ivfpq_index persists codes-only inverted
+# lists — serving partition-prunes to probed cells and scores ADC LUT
+# gathers on PRE-COMPUTED codes, never touching a raw vector). Identical
+# semantics to ann_ivfpq_fixed, hence the shared oracle.
+@query("ann_ivfpq_served", _ivfpq_fixed_sql())
+def ann_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _load(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"sg_ivfpq_index_{tag}")
+    if path not in _IVF_INDEX_MEMO or not os.path.isdir(path + "/codes"):
+        S.save_ivfpq_index(
+            emb, path, n_centroids=16, centroids=_ivf_fixed_centroids()
+        )
+        _IVF_INDEX_MEMO.add(path)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.search_ivfpq_index(spark, path, queries, k=5, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # LSH quality evaluation: recall/precision of the minhash-LSH candidate
 # generator against exact n-gram-Jaccard ground truth — the measurement

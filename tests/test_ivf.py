@@ -132,6 +132,61 @@ def test_persisted_index_search_matches_live_ivf(spark, emb, queries, tmp_path):
     assert "centroid_id" in sec
 
 
+def test_persisted_ivfpq_search_matches_live_ivfpq(
+    spark, emb, queries, tmp_path
+):
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from kafka_stream_unify_order_messages_spark.operators import (
+        similarity as S,
+    )
+
+    path = str(tmp_path / "ivfpq_index")
+    cents = S.train_ivf_centroids(emb, n_centroids=8)
+    saved_cents, codebook = S.save_ivfpq_index(
+        emb, path, n_centroids=8, centroids=cents
+    )
+    assert (saved_cents == cents).all()
+
+    # layout: codes-only inverted lists, directory-partitioned by cell —
+    # no raw vector column is persisted (the compression contract)
+    cell_dirs = sorted(
+        p.name for p in Path(path, "codes").iterdir() if p.is_dir()
+    )
+    assert all(d.startswith("centroid_id=") for d in cell_dirs)
+    loaded_cents, loaded_cb, codes = S.load_ivfpq_index(spark, path)
+    assert (loaded_cents == cents).all()
+    assert (loaded_cb == codebook).all()
+    assert "embedding" not in codes.columns
+    assert set(codes.columns) == {"vec_id", "codes", "centroid_id"}
+
+    # identical results to live ivfpq_topk with the same model
+    live = S.ivfpq_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=3,
+        centroids=cents, codebook=codebook,
+    )
+    persisted = S.search_ivfpq_index(spark, path, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
+
+    # the probe scan partition-prunes to the probed cells only
+    pruned = codes.filter(F.col("centroid_id").isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    sec = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "centroid_id" in sec
+
+    # the serving guard routes oversized batches to knn_join
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="knn_join"):
+        S.search_ivfpq_index(
+            spark, path, emb.limit(30), k=3, nprobe=2, max_query_batch=20
+        )
+
+
 def test_query_collecting_ann_operators_guard_oversized_batches(spark):
     """Every ANN operator that collects its query side like a broadcast
     build side enforces the contract (the pq_topk guard, generalized):
