@@ -380,14 +380,24 @@ def _tws_available() -> bool:
 
 
 def main() -> None:
-    hdfs = run_pooled(rocksdb=False)
-    rocks = run_pooled(rocksdb=True)
-    tws = run_pooled(rocksdb=True, tws=True) if _tws_available() else None
-    floor = floor_probe()
-    out = {
-        "hdfs": hdfs, "rocksdb": rocks, "tws": tws, "noop_floor": floor,
-    }
-    (_ROOT / "LATENCY.json").write_text(json.dumps(out, indent=1) + "\n")
+    if "--report-only" in sys.argv:
+        # regenerate LATENCY.md from the recorded LATENCY.json (report
+        # text changes shouldn't force a 25-minute re-measure)
+        out = json.loads((_ROOT / "LATENCY.json").read_text())
+    else:
+        hdfs = run_pooled(rocksdb=False)
+        rocks = run_pooled(rocksdb=True)
+        tws = (
+            run_pooled(rocksdb=True, tws=True) if _tws_available() else None
+        )
+        floor = floor_probe()
+        out = {
+            "hdfs": hdfs, "rocksdb": rocks, "tws": tws, "noop_floor": floor,
+        }
+        (_ROOT / "LATENCY.json").write_text(json.dumps(out, indent=1) + "\n")
+    hdfs, rocks, tws, floor = (
+        out["hdfs"], out["rocksdb"], out.get("tws"), out["noop_floor"],
+    )
 
     def row(s: dict) -> str:
         return (
@@ -457,13 +467,13 @@ micro-batch fixed cost on this machine, not the port's logic. The
 reference's punctuator pays the same quantization against its 1 s
 tick; its advantage is the absence of a per-batch scheduling floor.
 
-## Why p95 <= 6.5 s is structurally out of reach here (measured)
+## Why p95 <= 6.5 s is structurally out of reach for the v1 topology (measured)
 
-The round-5 target was p95 <= 6.5 s. The floor probe shows it cannot
-be met on this machine in micro-batch mode, independent of the
-topology: at p95 an order pays close to the full quantization on each
-leg — `discovery (~1 batch) + notice (~1 batch) + execution
-(1 batch)` — so even a ZERO-variance pipeline sits at
+The round-5 target was p95 <= 6.5 s. The floor probe shows the V1
+(`applyInPandasWithState`) topology cannot meet it on this machine,
+independent of tuning: at p95 an order pays close to the full
+quantization on each leg — `discovery (~1 batch) + notice (~1 batch) +
+execution (1 batch)` — so even a ZERO-variance pipeline sits at
 `5 s + ~2.9 x trigger floor ~= 6.65 s` with the measured 570 ms no-op
 floor. What the tuning DID buy: the every-10th-batch synchronous
 metadata-log compaction stall is gone (round-5 p95 7.28 s included
@@ -484,7 +494,26 @@ reference punctuator parity); everything above it is trigger/commit
 overhead. A number materially past ~6 s would mean micro-batches are
 backing up at this load; a number under 5 s would mean the buffer
 semantics are broken.
+{f'''
+## transformWithState: the measured exit from the v1 floor (round 10)
 
+The v2 topology (`unify_stream_tws`, runtime-unblocked by the
+pure-stdlib proto shim) measures **p50 {tws['p50_sec']} s / p95
+{tws['p95_sec']} s / p99 {tws['p99_sec']} s** pooled over
+{tws['n_runs']} runs (per-run p95 {tws['per_run_p95']}) — on the SAME
+session where the v1 rows measured p95 {rocks['p95_sec']}-{hdfs['p95_sec']} s.
+That is ~1.3 s off the v1 tail, {tws['within_envelope_plus_tick_pct']} %
+of orders within the envelope-plus-one-tick line, and it lands UNDER
+the round-5 p95 <= 6.5 s target that the v1 floor arithmetic proved
+unreachable. The mechanism matches the design intent: TWS timers fire
+per expired key inside the stateful operator (one leg), where the v1
+path pays separate timeout-notice and execution quantizations; the
+emission path is `5 s buffer + discovery + one timer-fire batch` —
+one fewer trigger floor at p95, exactly the measured gap. The carried
+"emission latency vs the reference envelope" weak item closes from
+structural (no in-sandbox exit) to a deployment choice: run the TWS
+topology where the latency envelope matters.
+''' if tws else ''}
 ## RocksDB changelog checkpointing: measured at this state size (round 7)
 
 Back-to-back idle-box runs measured the rocksdb variant at p95 7.45 s
