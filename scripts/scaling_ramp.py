@@ -571,7 +571,11 @@ def main() -> None:
         "  job scheduling, which a cluster amortizes identically.",
         "- **sublinear-serve** — ramp-local (not registry surface): IVF",
         "  serving at production geometry against the PERSISTED index",
-        "  (`save_ivf_index`/`search_ivf_index`): fixed 20-query batch,",
+        "  (`save_ivf_index`/`search_ivf_index`; the ivfpq_trained_serve",
+        "  row is the compressed sibling — `save_ivfpq_index` persists",
+        "  codes-only inverted lists and serving scores ADC on",
+        "  pre-computed codes, never reading a raw vector): fixed",
+        "  20-query batch,",
         "  n_centroids = sqrt(n), nprobe = 4. The probed-cell union is",
         "  <= 80 directories, so partition pruning reads a SHRINKING",
         "  fraction of the index as n grows; per-query GEMM work is",

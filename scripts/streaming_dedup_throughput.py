@@ -315,6 +315,102 @@ def run_event_tier(
     }
 
 
+def run_event_retention_tier(
+    spark, n_docs: int, src: str, retention_ms: int | None,
+    store: str = "hdfs",
+) -> dict:
+    """The event-time counterpart of ``run_ttl_tier`` (round-10 study):
+    sustained-profile run of the REPLAY-DETERMINISTIC twin over the
+    mixed near+far corpus, with ``retention_ms`` — the watermark-driven
+    EVENT-TIME exemplar horizon — vs the unbounded twin. Event time =
+    seq ms, so the horizon is a window over the event clock, not wall
+    time: an idle box forgets nothing, a replay forgets the same
+    exemplars at the same watermarks.
+
+    State accounting: the far-future watermark kicker that closes the
+    final decision window also pushes every exemplar past its idle
+    horizon, so with retention the FINAL state collapses to the
+    kicker's own pending buckets — the peak (sampled from progress
+    events) is the plateau the window holds during the run; the kicker
+    is appended only after the peak is taken."""
+    name = f"dtp_evret_{n_docs}_{retention_ms or 0}_{store}"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+        if store == "rocksdb"
+        else "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", N_FILES // 10)
+        .parquet(src)
+        .withColumn("seq", F.col("seq") + F.lit(1000))  # ts must be > 0
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        band_decisions_stream_event_time(
+            stream,
+            watermark_delay="2 seconds",
+            retention_ms=retention_ms,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.time()
+    kicker_id = 10 * n_docs + 7
+    target = 4 * n_docs
+    try:
+        q.processAllAvailable()  # drain the real input
+        # peak BEFORE the kicker: the retention plateau (the kicker
+        # would sweep everything and hide it)
+        state_samples = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        spark.createDataFrame(
+            [(kicker_id, n_docs + 10_000_000, "watermark kicker payload")],
+            SCHEMA,
+        ).write.mode("append").parquet(src)
+        deadline = time.time() + max(600, n_docs / 200)
+        while (
+            spark.table(name).filter(F.col("doc_id") != kicker_id).count()
+            < target
+        ):
+            if time.time() > deadline:
+                raise TimeoutError(f"{name}: sink incomplete")
+            q.processAllAvailable()
+            time.sleep(0.5)
+        elapsed = time.time() - t0
+        decisions = spark.table(name).filter(F.col("doc_id") != kicker_id)
+        n_dup = near_dup_verdicts(decisions).filter("is_dup").count()
+        prog = q.lastProgress
+        state_final = (
+            prog["stateOperators"][0]["numRowsTotal"] if prog else None
+        )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return {
+        "docs_in": n_docs,
+        "mode": "event_retention",
+        "store": store,
+        "verified": False,
+        "retention_ms": retention_ms,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed),
+        "dup_rate": round(n_dup / n_docs, 4),
+        "state_rows_peak": max(state_samples, default=None),
+        "state_rows_final": state_final,
+    }
+
+
 def run_tier(
     spark, n_docs: int, src: str, mode: str, store: str,
     verify: bool = False,
@@ -472,13 +568,38 @@ def main() -> None:
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
+    # Event-time retention study (SPARK_DEDUP_EVENT_RETENTION=1): the
+    # event twin's `retention_ms` horizon over the same mixed corpus —
+    # state plateau + the recall trade, mirroring the TTL table. The
+    # event leg needs the range-partitioned mtime-stamped layout (see
+    # the event-mode comment above); each run's kicker dirties the
+    # source, so it is rebuilt per run.
+    if os.environ.get("SPARK_DEDUP_EVENT_RETENTION", "0") == "1":
+        er_tier = int(os.environ.get("SPARK_DEDUP_TTL_TIER", "100000"))
+        er_ms = int(os.environ.get("SPARK_DEDUP_RETENTION_MS", "20000"))
+        for ret in (None, er_ms):
+            for store in ("hdfs", "rocksdb"):
+                src = tempfile.mkdtemp(prefix=f"dtp_evret_src_{er_tier}_")
+                synth_docs_mixed(spark, er_tier).repartitionByRange(
+                    N_FILES, "doc_id"
+                ).write.mode("overwrite").parquet(src)
+                _stamp_mtimes_in_path_order(src)
+                try:
+                    rec = run_event_retention_tier(
+                        spark, er_tier, src, ret, store
+                    )
+                    records.append(rec)
+                    print(json.dumps(rec), flush=True)
+                finally:
+                    shutil.rmtree(src, ignore_errors=True)
+
     # merge with prior records (tier/mode/store/verified keyed), so a
     # partial env-selected run extends rather than replaces the report
     prior_path = _ROOT / "STREAMING_DEDUP.json"
     if prior_path.exists():
         key = lambda r: (  # noqa: E731
             r["docs_in"], r["mode"], r["store"], bool(r.get("verified")),
-            r.get("ttl_ms"),
+            r.get("ttl_ms"), r.get("retention_ms"),
             # event rows are additionally keyed by micro-batch sizing;
             # pre-knob records (no field) were measured at the sustained
             # default
@@ -522,8 +643,8 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for r in records:
-        if r["mode"] == "ttl_study":
-            continue  # separate section below
+        if r["mode"] in ("ttl_study", "event_retention"):
+            continue  # separate sections below
         if (
             r["mode"] == "event"
             and r.get("files_per_trigger", N_FILES // 10) != N_FILES // 10
@@ -658,6 +779,48 @@ def main() -> None:
             )
             lines.append(
                 f"| {r['docs_in']:,} | {ttl_lbl} | {r['store']} "
+                f"| {r['elapsed_sec']} s "
+                f"| {r['docs_per_sec']:,} | {r['dup_rate']:.1%} "
+                f"| {r['state_rows_final']:,} | {r['state_rows_peak']:,} |"
+            )
+    er_recs = sorted(
+        (r for r in records if r["mode"] == "event_retention"),
+        key=lambda r: (r["docs_in"], r.get("retention_ms") or 0, r["store"]),
+    )
+    if er_recs:
+        lines += [
+            "",
+            "## Event-time retention study (event twin, sustained, "
+            "mixed corpus)",
+            "",
+            "The same mixed near+far corpus through the "
+            "REPLAY-DETERMINISTIC event-time twin with `retention_ms` — "
+            "the WATERMARK-driven exemplar horizon (a window over the "
+            "event clock, not wall time: an idle box forgets nothing, a "
+            "replay forgets the same exemplars at the same watermarks). "
+            "Event time = seq ms, so a 20 s horizon spans 20k ids of "
+            "stream progress: near dups (9 ids back) stay inside it, "
+            "far exemplars (>=40k ids back) age out — found-dup rate "
+            "must drop from ~15% to the ~10% near-only rate while peak "
+            "state plateaus below the unbounded twin's. State final is "
+            "measured AFTER the far-future watermark kicker that closes "
+            "the last decision window — the kicker pushes every exemplar "
+            "past its horizon, so a retention run must collapse to the "
+            "kicker's own pending buckets (the horizon provably fires); "
+            "the unbounded run keeps all its exemplars.",
+            "",
+            "| docs | retention | state store | elapsed | docs/s "
+            "| dup rate found | state rows final | state rows peak |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for r in er_recs:
+            ret_lbl = (
+                f"{r['retention_ms'] / 1000:.0f} s (event)"
+                if r.get("retention_ms")
+                else "none"
+            )
+            lines.append(
+                f"| {r['docs_in']:,} | {ret_lbl} | {r['store']} "
                 f"| {r['elapsed_sec']} s "
                 f"| {r['docs_per_sec']:,} | {r['dup_rate']:.1%} "
                 f"| {r['state_rows_final']:,} | {r['state_rows_peak']:,} |"
