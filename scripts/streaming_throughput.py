@@ -115,6 +115,14 @@ def run_tier(
         unified = unify_stream_event_time(
             stream, buffer_ms=1000, watermark_delay="2 seconds"
         )
+    elif semantics == "tws":
+        # v2 topology (requires RocksDB; importing unify_tws installs
+        # the proto shim in protobuf-less sandboxes)
+        from kafka_stream_unify_order_messages_spark.streaming.unify_tws import (
+            unify_stream_tws,
+        )
+
+        unified = unify_stream_tws(stream, buffer_ms=1000)
     else:
         unified = unify_stream(stream, buffer_ms=1000)
     q = (
@@ -194,6 +202,10 @@ def main() -> None:
         master="local[32]",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # SPARK_TP_TWS=1: measure ONLY the v2 transformWithState rows
+    # (bulk + sustained, RocksDB — TWS's required provider) and merge
+    # with the existing STREAMING.json grid instead of re-measuring it
+    tws_only = os.environ.get("SPARK_TP_TWS", "0") == "1"
     records = []
     for n in TIERS:
         src = tempfile.mkdtemp(prefix=f"tp_src_{n}_")
@@ -217,7 +229,26 @@ def main() -> None:
         # warm the streaming machinery once per tier shape so the first
         # measured run doesn't pay one-off python-worker/codegen startup
         if n == TIERS[0]:
-            run_tier(spark, n, src, "bulk")
+            run_tier(
+                spark, n, src, "bulk",
+                semantics="tws" if tws_only else "processing",
+                store="rocksdb" if tws_only else "hdfs",
+            )
+        if tws_only:
+            for mode in ("bulk", "sustained"):
+                rec = run_tier(
+                    spark, n, src, mode, store="rocksdb", semantics="tws"
+                )
+                records.append(rec)
+                print(
+                    f"{n:>8} lifecycles {mode:9s} rocksdb  tws "
+                    f"{rec['elapsed_sec']:7.2f}s "
+                    f"{rec['events_per_sec']:>7} ev/s in "
+                    f"{rec['projections_per_sec']:>7} proj/s out",
+                    file=sys.stderr,
+                )
+            shutil.rmtree(src, ignore_errors=True)
+            continue
         # full (mode x store) grid per tier — RocksDB is the reference's
         # store (OrderProjectionTopology.java:48-52) and the 100 TB
         # configuration, so it gets the same scaling evidence as the
@@ -251,6 +282,23 @@ def main() -> None:
         shutil.rmtree(src, ignore_errors=True)
     spark.stop()
 
+    # merge with prior records so an env-selected partial run (tws_only)
+    # extends the grid instead of replacing it
+    prior_path = _ROOT / "STREAMING.json"
+    if prior_path.exists():
+        key = lambda r: (  # noqa: E731
+            r["lifecycles"], r["mode"], r["store"], r["semantics"]
+        )
+        fresh = {key(r) for r in records}
+        records = [
+            r
+            for r in json.loads(prior_path.read_text()).get("records", [])
+            if key(r) not in fresh
+        ] + records
+        records.sort(
+            key=lambda r: (r["lifecycles"], r["semantics"], r["mode"],
+                           r["store"])
+        )
     (_ROOT / "STREAMING.json").write_text(
         json.dumps({"records": records}, indent=1) + "\n"
     )
@@ -278,7 +326,11 @@ def main() -> None:
         "off-heap). The **event-time variant** (`unify_stream_event_time`,",
         "watermark-closed buffers, replay-deterministic) measures per tier",
         "in bulk mode; its drain is driven by a far-future watermark-kicker",
-        "event appended after all real input is ingested.",
+        "event appended after all real input is ingested. The **tws**",
+        "semantics rows are the v2 `transformWithStateInPandas` topology",
+        "(`unify_stream_tws`, explicit per-key timers; RocksDB required;",
+        "runtime-unblocked in round 10 by the pure-stdlib proto shim) —",
+        "same lifecycle-aligned input, measured bulk + sustained.",
         "",
         "| lifecycles | events in | mode | state store | semantics | elapsed | events/s in | projections/s out |",
         "|---|---|---|---|---|---|---|---|",
