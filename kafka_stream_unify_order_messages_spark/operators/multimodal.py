@@ -15,7 +15,10 @@ Pillow — as in this container — a STDLIB codec (``decode_image_bytes``:
 real PNG via zlib inflate + per-scanline filter reversal, plus binary
 PPM/PGM) decodes recognized payloads, so the decode and resize contracts
 are runtime-proven on real image bytes even here; ``resize_media``'s
-stdlib path resizes nearest-neighbor (LANCZOS stays Pillow-gated).
+stdlib path resizes with a vectorized numpy LANCZOS-3 resampler
+(``resample_image``) and ``decoded_phash`` falls back to the stdlib
+decode + BILINEAR tile, so no contract is Pillow-gated anymore — Pillow
+only widens the set of decodable formats.
 Payloads NO codec path recognizes keep the honest stub behavior:
 ``NotImplementedError`` at execution unless given the deterministic fake
 decoder (``fake_decode=True``), which derives pixel-like properties from
@@ -304,6 +307,105 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stdlib resampler (vectorized numpy, no Pillow): the separable
+# support-scaled convolution every raster library uses — for each output
+# pixel, taps cover `support * max(in/out, 1)` input pixels around the
+# projected center and the kernel is stretched by the same factor when
+# downscaling (plain kernel-at-integer-offsets aliases badly below 1:1).
+# LANCZOS-3 is the quality kernel (windowed sinc, a=3); BILINEAR (triangle,
+# a=1) matches the cheap kernel `decoded_phash` uses under Pillow. Border
+# taps are clipped and the remaining window renormalized to sum 1, so a
+# constant image is a fixed point of any resize.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_SUPPORT = {"lanczos": 3.0, "bilinear": 1.0}
+
+
+def _kernel_values(kernel: str, x: np.ndarray) -> np.ndarray:
+    if kernel == "bilinear":
+        return np.maximum(0.0, 1.0 - np.abs(x))
+    a = _RESAMPLE_SUPPORT["lanczos"]
+    ax = np.abs(x)
+    # sinc(x) * sinc(x/a) on |x| < a; the x=0 singularity is 1 by limit
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = (
+            a
+            * np.sin(np.pi * x)
+            * np.sin(np.pi * x / a)
+            / (np.pi * np.pi * x * x)
+        )
+    return np.where(ax < 1e-12, 1.0, np.where(ax < a, v, 0.0))
+
+
+def _resample_weights(
+    in_size: int, out_size: int, kernel: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(taps, weights), each (out_size, n_taps): output pixel i is the dot
+    product of weights[i] with input pixels taps[i]. Tap windows at the
+    image border are clipped and renormalized (weights always sum to 1);
+    out-of-window taps carry weight 0 with an in-range index."""
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    support = _RESAMPLE_SUPPORT[kernel] * fscale
+    centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale
+    lo = np.clip(np.floor(centers - support + 0.5), 0, None).astype(np.int64)
+    hi = np.minimum(np.floor(centers + support + 0.5), in_size).astype(
+        np.int64
+    )
+    taps = lo[:, None] + np.arange(int((hi - lo).max()))[None, :]
+    w = _kernel_values(kernel, (taps + 0.5 - centers[:, None]) / fscale)
+    w[taps >= hi[:, None]] = 0.0
+    w /= w.sum(axis=1, keepdims=True)
+    return np.minimum(taps, in_size - 1), w
+
+
+def _resample_rows(arr: np.ndarray, out_size: int, kernel: str) -> np.ndarray:
+    """Resample axis 0 of a float (H, W, C) array to out_size rows."""
+    taps, w = _resample_weights(arr.shape[0], out_size, kernel)
+    # gather (out, taps, W, C) then contract the tap axis — one einsum,
+    # no Python loop over pixels
+    return np.einsum("ok,okwc->owc", w, arr[taps])
+
+
+def resample_image(
+    px: np.ndarray, width: int, height: int, kernel: str = "lanczos"
+) -> np.ndarray:
+    """Resize an HxW[xC] uint8 raster to (height, width) with a real
+    filter kernel — the stdlib half of ``resize_media``'s LANCZOS
+    contract (Pillow's resize does the same separable support-scaled
+    convolution; parity is pinned by a Pillow-gated test). Accumulates in
+    float64 through both passes, then rounds half-up and clips to uint8
+    (LANCZOS lobes go negative, so ringing past 0/255 must clip)."""
+    if kernel not in _RESAMPLE_SUPPORT:
+        raise ValueError(f"unknown resample kernel {kernel!r}")
+    arr = np.asarray(px)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    out = arr.astype(np.float64)
+    if out.shape[0] != height:
+        out = _resample_rows(out, height, kernel)
+    if out.shape[1] != width:
+        out = _resample_rows(out.transpose(1, 0, 2), width, kernel)
+        out = out.transpose(1, 0, 2)
+    out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def to_grayscale(px: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma (the same integer formula Pillow's ``convert("L")``
+    uses: L = (R*299 + G*587 + B*114) // 1000); alpha is ignored,
+    single-channel input passes through."""
+    arr = np.asarray(px)
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] == 1:
+        return arr[:, :, 0]
+    r, g, b = (arr[:, :, i].astype(np.int64) for i in range(3))
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -414,9 +516,10 @@ def resize_media(
     ``decode_media``: Pillow on the executors does a real LANCZOS resize
     + PNG re-encode (undecodable payloads quarantine as null thumbs);
     without Pillow, payloads the stdlib codec recognizes (PNG / binary
-    PPM/PGM) get a real decode + NEAREST-NEIGHBOR resize + stdlib PNG
-    re-encode (LANCZOS needs Pillow's filter kernels — the quality knob
-    stays Pillow-gated, the contract does not); ``fake_decode`` derives
+    PPM/PGM) get a real decode + the numpy LANCZOS-3 resampler
+    (``resample_image`` — same support-scaled separable convolution
+    Pillow runs, parity pinned by a Pillow-gated test) + stdlib PNG
+    re-encode; ``fake_decode`` derives
     a deterministic pseudo-thumbnail from the payload bytes so the
     Spark-side plumbing (schema, batching, null quarantine) is testable
     regardless of payload format; no codec path at all raises an honest
@@ -477,11 +580,9 @@ def resize_media(
                         )
                     try:
                         _w, _h, _mode, px = decode_image_bytes(bb)
-                        # nearest-neighbor index map: pixel (y, x) of
-                        # the thumb reads source (y*H//height, x*W//width)
-                        ys = (np.arange(height) * _h) // height
-                        xs = (np.arange(width) * _w) // width
-                        thumbs.append(encode_png(px[ys][:, xs]))
+                        thumbs.append(
+                            encode_png(resample_image(px, width, height))
+                        )
                     except ValueError:  # corrupt -> quarantine
                         thumbs.append(None)
                     continue
@@ -516,15 +617,20 @@ def resize_media(
 def decoded_phash(
     df: DataFrame, id_col: str = "doc_id", hash_size: int = 8
 ) -> DataFrame:
-    """Perceptual average-hash over REAL decoded pixels (requires the
-    optional Pillow dependency; raises ``NotImplementedError`` at
-    execution without it): grayscale -> ``hash_size``²-pixel resize ->
-    bit j set when pixel j exceeds the tile mean. The classic aHash —
-    re-encodings of the same image (format/quality changes) produce
-    hashes within a small Hamming distance. Same (id, phash long)
-    contract as the byte-level ``media_phash``, so ``hamming_pairs`` /
-    ``media_dedup`` consume either interchangeably; undecodable payloads
-    yield null.
+    """Perceptual average-hash over REAL decoded pixels: grayscale ->
+    ``hash_size``²-pixel BILINEAR resize -> bit j set when pixel j
+    exceeds the tile mean. The classic aHash — re-encodings of the same
+    image (format/quality changes) produce hashes within a small Hamming
+    distance. Same (id, phash long) contract as the byte-level
+    ``media_phash``, so ``hamming_pairs`` / ``media_dedup`` consume
+    either interchangeably; undecodable payloads yield null.
+
+    Decoder resolution mirrors ``decode_media``: Pillow when importable
+    on the executors (any PIL-readable format; unparseable rows
+    quarantine as null); otherwise the stdlib codec + the numpy BILINEAR
+    resampler for recognized payloads (PNG / binary PPM/PGM — corrupt
+    bytes quarantine, unrecognized magic raises the honest
+    ``NotImplementedError`` gate).
 
     Comparisons are integer cross-multiplied (``pixel * n > total``) —
     no float division, bit-identical across batch shapes.
@@ -534,37 +640,56 @@ def decoded_phash(
     if n_bits > 64:
         raise ValueError("hash_size^2 must fit in 64 bits")
 
+    def ahash(px: np.ndarray) -> int:
+        flat = px.astype(np.int64).ravel()
+        total = int(flat.sum())
+        h = 0
+        for j in range(n_bits):
+            if int(flat[j]) * n_bits > total:
+                h |= 1 << j
+        # wrap to signed 64-bit so bit 63 survives the long column
+        return h - (1 << 64) if h >= 1 << 63 else h
+
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = _try_import_pil()
-        if image_mod is None:
-            raise NotImplementedError(
-                "decoded_phash requires Pillow; use media_phash for the "
-                "codec-free byte-level fingerprint"
-            )
         import io
 
-        resample = getattr(image_mod, "Resampling", image_mod).BILINEAR
         for pdf in pdfs:
             out: list = []
             for b in pdf["payload"]:
+                bb = bytes(b)
+                if image_mod is None:
+                    if sniff_image_format(bb) is None:
+                        raise NotImplementedError(
+                            "payload format not decodable without an "
+                            "image codec library (Pillow); the stdlib "
+                            "fallback handles PNG and binary PPM/PGM — "
+                            "use media_phash for the codec-free "
+                            "byte-level fingerprint"
+                        )
+                    try:
+                        _w, _h, _mode, px = decode_image_bytes(bb)
+                        tile = resample_image(
+                            to_grayscale(px),
+                            hash_size,
+                            hash_size,
+                            kernel="bilinear",
+                        )
+                        out.append(ahash(tile))
+                    except ValueError:  # corrupt -> quarantine
+                        out.append(None)
+                    continue
+                resample = getattr(
+                    image_mod, "Resampling", image_mod
+                ).BILINEAR
                 try:
-                    with image_mod.open(io.BytesIO(bytes(b))) as im:
+                    with image_mod.open(io.BytesIO(bb)) as im:
                         tile = im.convert("L").resize(
                             (hash_size, hash_size), resample
                         )
-                        px = np.asarray(tile, dtype=np.int64).ravel()
+                        out.append(ahash(np.asarray(tile)))
                 except Exception:  # noqa: BLE001
                     out.append(None)
-                    continue
-                total = int(px.sum())
-                h = 0
-                for j in range(n_bits):
-                    if int(px[j]) * n_bits > total:
-                        h |= 1 << j
-                # wrap to signed 64-bit so bit 63 survives the long column
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                out.append(h)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "phash": pd.array(out, dtype="Int64")}
             )

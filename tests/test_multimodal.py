@@ -263,18 +263,22 @@ def test_decode_media_stdlib_real_bytes(spark):
     _PIL_IMAGE is not None,
     reason="Pillow installed: resize_media prefers the PIL codec",
 )
-def test_resize_media_stdlib_nearest_roundtrip(spark):
-    """No-Pillow resize: nearest-neighbor over stdlib-decoded pixels,
-    re-encoded as a real PNG the stdlib decoder can read back; a solid
-    color survives resizing exactly; corrupt payloads quarantine."""
+def test_resize_media_stdlib_lanczos_roundtrip(spark):
+    """No-Pillow resize: the numpy LANCZOS-3 resampler over
+    stdlib-decoded pixels, re-encoded as a real PNG the stdlib decoder
+    can read back; a solid color survives resizing exactly (border
+    renormalization makes constants a fixed point), a non-trivial image
+    matches a direct ``resample_image`` call bit-for-bit through the
+    full mapInPandas path; corrupt payloads quarantine."""
     import numpy as np
 
     solid = np.full((48, 64, 3), (200, 10, 10), dtype="uint8")
+    grad = _checker(64, 48, 3)
     png = M.encode_png(solid)
     corrupt = bytearray(png)
     corrupt[-20] ^= 0xFF
     df = spark.createDataFrame(
-        [(1, bytearray(png)), (2, corrupt)],
+        [(1, bytearray(png)), (2, corrupt), (3, bytearray(M.encode_png(grad)))],
         "doc_id long, payload binary",
     )
     out = {r["doc_id"]: r for r in M.resize_media(df, 224, 224).collect()}
@@ -283,6 +287,195 @@ def test_resize_media_stdlib_nearest_roundtrip(spark):
     assert (px == np.array([200, 10, 10], dtype="uint8")).all()
     assert (out[1]["thumb_width"], out[1]["thumb_height"]) == (224, 224)
     assert out[2]["thumb"] is None  # corrupt -> quarantined
+    _, _, _, got = M.decode_image_bytes(bytes(out[3]["thumb"]))
+    assert np.array_equal(got, M.resample_image(grad, 224, 224))
+
+
+# --- numpy resampler: pure-function tests (run in EVERY environment) -----
+
+
+def _ref_resample(arr, width, height, kernel):
+    """Scalar-loop re-derivation of the separable support-scaled
+    convolution (independent of the vectorized einsum path): for each
+    output pixel, taps within `support * max(scale, 1)` of the projected
+    center, kernel stretched by the same factor, clipped window
+    renormalized to sum 1. Rows first, then columns — same pass order as
+    ``resample_image`` so float64 intermediates agree bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    a = 3.0 if kernel == "lanczos" else 1.0
+
+    def kval(x):
+        if kernel == "bilinear":
+            return max(0.0, 1.0 - abs(x))
+        if abs(x) < 1e-12:
+            return 1.0
+        if abs(x) >= a:
+            return 0.0
+        return (
+            a
+            * math.sin(math.pi * x)
+            * math.sin(math.pi * x / a)
+            / (math.pi * math.pi * x * x)
+        )
+
+    def axis0(src, out_size):
+        in_size = src.shape[0]
+        scale = in_size / out_size
+        fscale = max(scale, 1.0)
+        support = a * fscale
+        out = np.zeros((out_size,) + src.shape[1:], dtype=np.float64)
+        for i in range(out_size):
+            center = (i + 0.5) * scale
+            lo = max(int(math.floor(center - support + 0.5)), 0)
+            hi = min(int(math.floor(center + support + 0.5)), in_size)
+            ws = [kval((t + 0.5 - center) / fscale) for t in range(lo, hi)]
+            tot = sum(ws)
+            for t, w in zip(range(lo, hi), ws):
+                out[i] += src[t] * (w / tot)
+        return out
+
+    x = np.asarray(arr).astype(np.float64)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[:, :, None]
+    if x.shape[0] != height:
+        x = axis0(x, height)
+    if x.shape[1] != width:
+        x = axis0(x.transpose(1, 0, 2), width).transpose(1, 0, 2)
+    out = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def test_resample_identity_is_exact():
+    # at 1:1 scale both kernels put weight 1 on the center tap and 0 on
+    # the rest (lanczos is 0 at nonzero integers), so output == input
+    import numpy as np
+
+    px = _checker(23, 17, 3)
+    for kernel in ("lanczos", "bilinear"):
+        assert np.array_equal(
+            M.resample_image(px, 23, 17, kernel=kernel), px
+        )
+
+
+def test_resample_constant_fixed_point():
+    # clipped-window renormalization -> a solid color survives ANY
+    # resize exactly, up or down, gray or RGB
+    import numpy as np
+
+    for shape in ((9, 5), (9, 5, 3)):
+        px = np.full(shape, 137, dtype="uint8")
+        for w, h in ((1, 1), (3, 20), (50, 2), (224, 224)):
+            for kernel in ("lanczos", "bilinear"):
+                out = M.resample_image(px, w, h, kernel=kernel)
+                assert out.shape[:2] == (h, w)
+                assert (out == 137).all()
+
+
+def test_resample_matches_scalar_reference():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (19, 31, 3)).astype("uint8")
+    gray = px[:, :, 0]
+    for kernel in ("lanczos", "bilinear"):
+        for w, h in ((8, 5), (64, 40), (31, 5), (8, 19)):
+            assert np.array_equal(
+                M.resample_image(px, w, h, kernel=kernel),
+                _ref_resample(px, w, h, kernel),
+            ), (kernel, w, h)
+            assert np.array_equal(
+                M.resample_image(gray, w, h, kernel=kernel),
+                _ref_resample(gray, w, h, kernel),
+            ), (kernel, w, h, "gray")
+
+
+def test_resample_rejects_unknown_kernel():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="kernel"):
+        M.resample_image(np.zeros((4, 4), dtype="uint8"), 2, 2, kernel="box")
+
+
+def test_to_grayscale_itu601():
+    import numpy as np
+
+    px = _checker(12, 7, 3)
+    r, g, b = (px[:, :, i].astype("int64") for i in range(3))
+    expect = ((r * 299 + g * 587 + b * 114) // 1000).astype("uint8")
+    assert np.array_equal(M.to_grayscale(px), expect)
+    gray = px[:, :, 0]
+    assert np.array_equal(M.to_grayscale(gray), gray)  # passthrough
+    assert np.array_equal(M.to_grayscale(gray[:, :, None]), gray)
+
+
+@pytest.mark.skipif(_PIL_IMAGE is None, reason="Pillow not installed")
+def test_resample_parity_with_pillow():
+    """The stdlib resampler implements the same support-scaled separable
+    convolution Pillow's LANCZOS/BILINEAR resize runs; Pillow accumulates
+    in fixed-point (8bpc precision bits) vs our float64, so allow ±2."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (37, 53, 3)).astype("uint8")
+    resampling = getattr(_PIL_IMAGE, "Resampling", _PIL_IMAGE)
+    for kernel, pil_kernel in (
+        ("lanczos", resampling.LANCZOS),
+        ("bilinear", resampling.BILINEAR),
+    ):
+        for w, h in ((16, 16), (96, 80)):
+            theirs = np.asarray(
+                _PIL_IMAGE.fromarray(px).resize((w, h), pil_kernel)
+            )
+            ours = M.resample_image(px, w, h, kernel=kernel)
+            diff = np.abs(
+                ours.astype("int64") - theirs.astype("int64")
+            ).max()
+            assert diff <= 2, (kernel, w, h, diff)
+
+
+@pytest.mark.skipif(
+    _PIL_IMAGE is not None,
+    reason="Pillow installed: decoded_phash prefers the PIL codec",
+)
+def test_decoded_phash_stdlib_path(spark):
+    """No-Pillow decoded_phash: stdlib decode + numpy BILINEAR tile.
+    Lossless re-encodes of the same pixels hash identically, a different
+    image differs, corrupt recognized bytes quarantine as null, and a
+    payload NO codec recognizes still hits the honest gate."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (32, 48, 3)).astype("uint8")
+    png = M.encode_png(px)
+    # a second, byte-different PNG of the SAME pixels: as PPM
+    ppm = b"P6\n48 32\n255\n" + px.tobytes()
+    neg = M.encode_png(255 - px)
+    corrupt = bytearray(png)
+    corrupt[-20] ^= 0xFF
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(ppm)),
+            (3, bytearray(neg)),
+            (4, corrupt),
+        ],
+        "doc_id long, payload binary",
+    )
+    ph = {r.doc_id: r.phash for r in M.decoded_phash(df).collect()}
+    assert ph[1] == ph[2]      # same decoded pixels, different container
+    assert ph[1] != ph[3]
+    assert ph[4] is None       # corrupt recognized bytes -> quarantine
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"definitely not an image"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception) as exc_info:
+        M.decoded_phash(bad).collect()
+    assert "NotImplementedError" in str(exc_info.value)
 
 
 @pytest.mark.skipif(_PIL_IMAGE is None, reason="Pillow not installed")
