@@ -357,6 +357,117 @@ def test_e2e_tws_complete_emits_incomplete_drops(spark, tmp_path):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+@pytest.mark.skipif(
+    not _tws_protocol_available(),
+    reason="TWS state-server protocol needs the protobuf runtime or the "
+    "proto_shim; processor semantics are covered by the deterministic "
+    "layer-1 tests above",
+)
+def test_e2e_tws_recovers_state_and_timer_across_restart(spark, tmp_path):
+    """Kill-and-restart durability, the reference's crash-recovery
+    contract (persistent KV state store, SURVEY §2 S5) on the TWS
+    runtime: a buffered-but-unexpired order written before the stop must
+    emit AFTER the restart — proving both the ValueState row and the
+    registered timer live in the checkpointed store, not in the python
+    worker. The incomplete sibling order must stay silently dropped
+    through the same restart. Sink is a parquet FileStreamSink (the
+    memory sink refuses checkpoint recovery); polling reads go through
+    its _spark_metadata log, so only committed files are visible."""
+    buffer_ms = 30_000  # wide enough that batch 0 commits before expiry
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        out = tmp_path / "out"
+        out.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out_schema = "order_id string, n_events int, payload string"
+
+        def sink_df():
+            return spark.read.schema(out_schema).parquet(str(out))
+
+        events = spark.readStream.schema(SCHEMA).parquet(str(src))
+        write_batch(
+            src,
+            [
+                # r1: complete before the stop; must emit after restart
+                ev("r1", "created", 0),
+                ev("r1", "placed", 1),
+                ev("r1", "cancelled", 2),
+                # r2: incomplete; must never emit, restart or not
+                ev("r2", "created", 0),
+            ],
+            0,
+        )
+
+        def start():
+            return (
+                unify_stream_tws(events, buffer_ms=buffer_ms)
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        query = start()
+        try:
+            # wait for batch 0 (all 4 rows) to COMMIT, then stop while the
+            # 30 s timers are still pending
+            deadline = time.time() + 90
+            seen = 0
+            while time.time() < deadline:
+                if query.exception():
+                    raise query.exception()
+                seen = sum(
+                    p["numInputRows"] for p in query.recentProgress
+                )
+                if seen >= 4:
+                    break
+                time.sleep(0.3)
+            assert seen >= 4, "batch 0 never committed"
+            assert sink_df().count() == 0  # nothing expired yet
+        finally:
+            query.stop()
+
+        query = start()
+        try:
+            # no new input: only recovered state + recovered timer can
+            # produce this emission (processing-time mode keeps running
+            # micro-batches, so the expired timer fires without new data)
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                if query.exception():
+                    raise query.exception()
+                if sink_df().count() >= 1:
+                    break
+                time.sleep(0.5)
+            got = {
+                r.order_id: json.loads(r.payload)
+                for r in sink_df().collect()
+            }
+            assert "r1" in got, "buffered order lost across restart"
+            assert [e["type"] for e in got["r1"]["events"]] == [
+                "created",
+                "placed",
+                "cancelled",
+            ]
+            assert "r2" not in got  # incomplete: dropped at expiry
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_topology_builds_with_tws_mode(spark):
     # plan construction (analysis) only — starting the query needs the
     # protobuf runtime; schema and streaming-ness must match the v1 mode
