@@ -76,6 +76,44 @@ def synthetic_media(
     )
 
 
+def synthetic_png_media(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-PNG media corpus: (id, payload binary) where
+    every payload is a valid PNG built with ``encode_png`` from geometry
+    and content derived from the id alone —
+
+    - width  = id % 31 + 2, height = id % 17 + 2
+    - RGB when id is even, grayscale (L) when odd
+    - pixel(y, x, c) = (id + x + 5*y + 40*c) % 256
+
+    Closed-form content makes the real encode -> decode loop
+    value-checkable by an oracle that never touches a codec (it computes
+    the same dimensions and pixel sum analytically), turning the stdlib
+    PNG codec from a pytest-proven into an oracle-proven component. The
+    generation runs executor-side via mapInPandas — no driver fan-out,
+    embarrassingly parallel, geometry bounded so payloads stay small.
+    """
+    schema = f"{_id_field_ddl(df, id_col)}, payload binary"
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 31 + 2, i % 17 + 2
+                nch = 3 if i % 2 == 0 else 1
+                y, x = np.mgrid[0:h, 0:w]
+                px = (
+                    i + x[:, :, None] + 5 * y[:, :, None]
+                    + 40 * np.arange(nch)
+                ) % 256
+                payloads.append(encode_png(px.astype(np.uint8)))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
 def media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Metadata projection WITHOUT the payload — the shape any wide
     operation (join/groupBy/dedup) should run on. Pure Column exprs.
@@ -410,8 +448,15 @@ def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
     fake_decode: bool = False,
+    pixel_sum: bool = False,
 ) -> DataFrame:
     """Decode payloads to (id, width, height, mode) via mapInPandas.
+
+    ``pixel_sum=True`` appends a ``px_sum bigint`` column — the sum of
+    every decoded channel byte — a cheap content checksum for corruption
+    auditing, and the hook that lets an oracle value-check REAL decodes
+    of closed-form content (``synthetic_png_media``). Incompatible with
+    ``fake_decode`` (the stub has no pixels to sum).
 
     Decoder resolution, one schema throughout:
     - Pillow importable on executors (optional dependency): REAL decode —
@@ -432,7 +477,11 @@ def decode_media(
       returned DataFrame raises ``NotImplementedError`` on execution —
       an honest gate, not silent garbage.
     """
+    if pixel_sum and fake_decode:
+        raise ValueError("pixel_sum requires a real decode path")
     schema = f"{_id_field_ddl(df, id_col)}, width int, height int, mode string"
+    if pixel_sum:
+        schema += ", px_sum bigint"
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = None if fake_decode else _try_import_pil()
@@ -457,6 +506,7 @@ def decode_media(
             widths: list = []
             heights: list = []
             modes: list = []
+            sums: list = []
             for b in pdf["payload"]:
                 bb = bytes(b)
                 if image_mod is None:
@@ -475,29 +525,42 @@ def decode_media(
                         widths.append(w)
                         heights.append(h)
                         modes.append(mode)
+                        sums.append(
+                            int(np.asarray(_px, dtype=np.int64).sum())
+                            if pixel_sum
+                            else None
+                        )
                     except ValueError:  # corrupt bytes -> quarantine
                         widths.append(None)
                         heights.append(None)
                         modes.append(None)
+                        sums.append(None)
                     continue
                 try:
                     with image_mod.open(io.BytesIO(bb)) as im:
                         widths.append(im.width)
                         heights.append(im.height)
                         modes.append(im.mode)
+                        sums.append(
+                            int(np.asarray(im, dtype=np.int64).sum())
+                            if pixel_sum
+                            else None
+                        )
                 except Exception:  # noqa: BLE001 — any undecodable
                     # payload becomes a quarantine row
                     widths.append(None)
                     heights.append(None)
                     modes.append(None)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "width": pd.array(widths, dtype="Int32"),
-                    "height": pd.array(heights, dtype="Int32"),
-                    "mode": modes,
-                }
-            )
+                    sums.append(None)
+            cols = {
+                id_col: pdf[id_col],
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "mode": modes,
+            }
+            if pixel_sum:
+                cols["px_sum"] = pd.array(sums, dtype="Int64")
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, "payload").mapInPandas(run, schema)
 

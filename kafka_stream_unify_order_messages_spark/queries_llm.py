@@ -1324,6 +1324,46 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_real_decode",
+    """
+WITH geom AS (
+    SELECT doc_id,
+           CAST(doc_id % 31 + 2 AS INTEGER) AS width,
+           CAST(doc_id % 17 + 2 AS INTEGER) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS nch
+    FROM documents
+), px AS (
+    SELECT g.doc_id,
+           CAST(sum((g.doc_id + x.i + 5 * y.j + 40 * c.k) % 256)
+                AS BIGINT) AS px_sum
+    FROM geom g,
+         unnest(generate_series(0, g.width - 1)) AS x(i),
+         unnest(generate_series(0, g.height - 1)) AS y(j),
+         unnest(generate_series(0, g.nch - 1)) AS c(k)
+    GROUP BY g.doc_id
+)
+SELECT g.doc_id, g.width, g.height,
+       CASE WHEN g.nch = 3 THEN 'RGB' ELSE 'L' END AS mode,
+       px.px_sum
+FROM geom g JOIN px ON px.doc_id = g.doc_id
+""",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec through the engine, oracle-proven: build a valid PNG
+    per document executor-side (closed-form geometry + content,
+    ``synthetic_png_media``), decode it back with the tiered real
+    decoder (Pillow if importable, else the stdlib zlib/filter codec —
+    NEVER the fake stub), and emit dimensions, mode and the decoded
+    pixel-byte sum. The oracle computes all five columns analytically
+    from doc_id without touching a codec, so any bit the encoder or
+    decoder drops anywhere in the loop shows up as a value mismatch."""
+    docs = _load(spark, sf_dir, "documents")
+    return M.decode_media(
+        M.synthetic_png_media(docs), pixel_sum=True
+    )
+
+
+@query(
     "multimodal_byte_histogram",
     """
 WITH bytes AS (

@@ -515,6 +515,46 @@ def test_real_decode_and_phash_over_decoded_pixels(spark):
     assert ph[4] is None
 
 
+def test_synthetic_png_media_real_decode_with_pixel_sum(spark):
+    """The oracle-proven loop (multimodal_real_decode): closed-form
+    geometry/content -> encode_png -> real decode -> px_sum matches the
+    analytic formula; corrupt payloads quarantine px_sum as null; the
+    fake stub refuses pixel_sum."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 7, 62)], "doc_id long"
+    )
+    media = M.synthetic_png_media(docs)
+    got = {
+        r.doc_id: r
+        for r in M.decode_media(media, pixel_sum=True).collect()
+    }
+    for i in (0, 1, 7, 62):
+        w, h = i % 31 + 2, i % 17 + 2
+        nch = 3 if i % 2 == 0 else 1
+        expect = sum(
+            (i + x + 5 * y + 40 * c) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(nch)
+        )
+        r = got[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.mode == ("RGB" if nch == 3 else "L")
+        assert r.px_sum == expect
+    # corrupt recognized bytes -> all-null quarantine incl. px_sum
+    png = bytearray(M.encode_png(np.zeros((4, 4), dtype="uint8")))
+    png[-20] ^= 0xFF
+    bad = spark.createDataFrame(
+        [(9, png)], "doc_id long, payload binary"
+    )
+    row = M.decode_media(bad, pixel_sum=True).collect()[0]
+    assert (row.width, row.px_sum) == (None, None)
+    with pytest.raises(ValueError, match="pixel_sum"):
+        M.decode_media(bad, fake_decode=True, pixel_sum=True)
+
+
 def test_fake_decode_deterministic(media):
     a = {r.doc_id: (r.width, r.height, r.mode) for r in
          M.decode_media(media, fake_decode=True).collect()}
