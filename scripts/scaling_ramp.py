@@ -142,6 +142,11 @@ RAMP_QUERIES = [
     ("graph_bfs_hops", "iterative", "x100"),
     ("ann_cosine_topk", "quadratic-by-design", "x10"),
     ("semdedup_agreement_eval", "quadratic-by-design", "x10"),
+    # real-codec loop (round-10): per-doc PNG encode + tiered real decode
+    # + checksum via two chained mapInPandas — constant per-row work,
+    # no shuffle beyond the small-table repartition, so the codec
+    # family's scale claim is plain row-linearity
+    ("multimodal_real_decode", "linear", "x100"),
     # not registry surface — see _ivf_trained_serve below.
     ("ivf_trained_serve", "sublinear-serve", "x100"),
     # the compressed-index sibling (round-10): serve-only IVFPQ against
