@@ -393,6 +393,41 @@ def test_resample_matches_scalar_reference():
             ), (kernel, w, h, "gray")
 
 
+def test_resample_property_random_geometry():
+    """Property sweep: for ANY input/output geometry (1-pixel axes,
+    extreme aspect ratios, up/down per-axis mixes) and either kernel,
+    the vectorized resampler equals the scalar reference and preserves
+    constants exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        in_w=st.integers(1, 40),
+        in_h=st.integers(1, 40),
+        out_w=st.integers(1, 48),
+        out_h=st.integers(1, 48),
+        nch=st.sampled_from([0, 1, 3]),  # 0 = 2-D grayscale
+        kernel=st.sampled_from(["lanczos", "bilinear"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(in_w, in_h, out_w, out_h, nch, kernel, seed):
+        rng = np.random.default_rng(seed)
+        shape = (in_h, in_w) if nch == 0 else (in_h, in_w, nch)
+        px = rng.integers(0, 256, shape).astype("uint8")
+        got = M.resample_image(px, out_w, out_h, kernel=kernel)
+        assert got.shape[:2] == (out_h, out_w)
+        assert got.dtype == np.uint8
+        assert np.array_equal(got, _ref_resample(px, out_w, out_h, kernel))
+        const = np.full(shape, 201, dtype="uint8")
+        assert (
+            M.resample_image(const, out_w, out_h, kernel=kernel) == 201
+        ).all()
+
+    check()
+
+
 def test_resample_rejects_unknown_kernel():
     import numpy as np
 
