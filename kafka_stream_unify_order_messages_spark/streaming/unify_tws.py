@@ -29,6 +29,18 @@ state store provider (``spark.sql.streaming.stateStore.providerClass =
 ...RocksDBStateStoreProvider``) — the at-scale choice anyway, and the
 same engine the reference's store runs on.
 
+Restart caveat (measured, pinned by the recovery test): while a query
+RUNS, processing-time mode schedules continuous no-data micro-batches,
+so timers fire on schedule with or without input. But a query RESTARTED
+from a fully-committed checkpoint with no new input runs no batch at
+all — MicroBatchExecution decides no-data batches from an in-memory
+``lastExecution`` that a fresh restart lacks — so buffered state and
+pending timers (both fully recovered) wait for the FIRST post-restart
+data batch before firing. On a production Kafka topology input is
+continuous and the gap is unobservable; a replay/backfill restart of a
+drained topic should append one sentinel record (any key) to drain
+pending buffers.
+
 Runtime dependency note: Spark's TWS Python runner speaks a
 protobuf-based state-server protocol. With the ``protobuf`` package
 installed (``pip install pyspark[connect]``) the generated module is
@@ -169,6 +181,102 @@ class OrderUnifyProcessor(StatefulProcessor):
             yield pd.DataFrame(
                 emissions, columns=["order_id", "n_events", "payload"]
             )
+
+
+class OrderUnifyEventProcessor(OrderUnifyProcessor):
+    """Event-time twin of ``OrderUnifyProcessor``: the buffer deadline is
+    ``first event's event-time + buffer_ms`` and the per-key timer fires
+    when the WATERMARK passes it (``timeMode="eventTime"``) — replaying
+    the same input yields the same projections, the deterministic-
+    reprocessing mode the reference's wall-clock punctuator
+    (OrderProjectionTransformer.java:35,43) cannot offer. Mirrors the v1
+    ``make_unify_fn_event_time`` semantics on the v2 API, with the
+    TWS-native improvement that the stale-flush path CANCELS the
+    superseded timer instead of guarding at expiry."""
+
+    def handleInputRows(
+        self,
+        key: tuple,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        order_id = key[0]
+        wm = timerValues.getCurrentWatermarkInMs()
+        emissions: list[tuple[str, int, str]] = []
+
+        if self.state.exists():
+            deadline, events = _decode_state(self.state.get())
+            # watermark passed the deadline before this event arrived:
+            # the old buffer is stale — flush it (emit-if-complete),
+            # cancel its timer, seed fresh
+            if not events or deadline <= 0 or wm >= deadline:
+                emissions.extend(self._emit_if_complete(order_id, events))
+                if deadline > 0:
+                    self.handle.deleteTimer(deadline)
+                deadline, events = 0, {}
+        else:
+            deadline, events = 0, {}
+
+        for pdf in rows:
+            for row in pdf.itertuples(index=False):
+                ev = row._asdict()
+                ev_ms = ev.pop("event_ms", None)
+                ev.pop("_event_time", None)
+                if ev.get("type") not in REQUIRED:
+                    continue  # unknown type: ignored (addEvent parity)
+                if not events:
+                    # new buffer: deadline = first event's EVENT time +
+                    # window; a timer at a past event-time (late first
+                    # event) fires on the next micro-batch
+                    deadline = int(ev_ms) + self.buffer_ms
+                    self.handle.registerTimer(deadline)
+                if ev["type"] in events:
+                    continue  # first-wins duplicate suppression
+                events[ev["type"]] = ev
+
+        if events:
+            self.state.update(_state_tuple(deadline, events))
+        elif self.state.exists():
+            self.state.clear()
+
+        if emissions:
+            yield pd.DataFrame(
+                emissions, columns=["order_id", "n_events", "payload"]
+            )
+
+
+def unify_stream_tws_event_time(
+    events: DataFrame,
+    buffer_ms: int = 5000,
+    ts_col: str = "timestamp",
+    watermark_delay: str = "2 seconds",
+) -> DataFrame:
+    """Event-time unification on the v2 API: same output contract as
+    ``unify_stream_tws`` but windows are measured in EVENT time and
+    closed by the watermark — deterministic under replay. ``ts_col``
+    must be an ISO-8601 string or timestamp column. Requires the RocksDB
+    state store provider, like every TWS query.
+
+    The watermark column and ``event_ms`` ride through the grouping into
+    the processor (dropping ``_event_time`` would detach the watermark
+    that event-time timers require); the processor pops both before
+    buffering, so state rows stay on the shared v1 schema.
+    """
+    import pyspark.sql.functions as F
+
+    with_ts = events.withColumn(
+        "_event_time", F.to_timestamp(ts_col)
+    ).withColumn("event_ms", F.unix_millis(F.col("_event_time")))
+    return (
+        with_ts.withWatermark("_event_time", watermark_delay)
+        .groupBy("order_id")
+        .transformWithStateInPandas(
+            statefulProcessor=OrderUnifyEventProcessor(buffer_ms),
+            outputStructType=UNIFY_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
 
 
 def unify_stream_tws(

@@ -22,8 +22,10 @@ import pyarrow.parquet as pq
 import pytest
 
 from kafka_stream_unify_order_messages_spark.streaming.unify_tws import (
+    OrderUnifyEventProcessor,
     OrderUnifyProcessor,
     unify_stream_tws,
+    unify_stream_tws_event_time,
 )
 
 COLS = ["order_id", "type", "timestamp", "order_details"]
@@ -259,6 +261,122 @@ def test_proc_unknown_types_ignored():
 
 
 # ---------------------------------------------------------------------------
+# Layer 1b: event-time processor (watermark-driven deadlines)
+# ---------------------------------------------------------------------------
+
+ECOLS = COLS + ["event_ms", "_event_time"]
+
+
+class FakeWatermarkTimerValues:
+    def __init__(self, wm_ms):
+        self.wm_ms = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self.wm_ms
+
+    def getCurrentProcessingTimeInMs(self):  # event mode never reads it
+        return -1
+
+
+def ev_et(order_id, etype, sec, details=None):
+    ms = sec * 1000
+    return ev(order_id, etype, sec, details) + (ms, ms)
+
+
+def make_event_proc(buffer_ms=5000):
+    proc = OrderUnifyEventProcessor(buffer_ms=buffer_ms)
+    handle = FakeHandle()
+    proc.init(handle)
+    return proc, handle
+
+
+def feed_et(proc, order_id, rows, wm_ms):
+    pdfs = iter([pd.DataFrame(rows, columns=ECOLS)]) if rows else iter([])
+    out = list(
+        proc.handleInputRows(
+            (order_id,), pdfs, FakeWatermarkTimerValues(wm_ms)
+        )
+    )
+    return (
+        pd.concat(out)
+        if out
+        else pd.DataFrame(columns=["order_id", "n_events", "payload"])
+    )
+
+
+def test_event_proc_deadline_is_event_time_not_watermark():
+    proc, handle = make_event_proc(buffer_ms=5000)
+    feed_et(proc, "e1", [ev_et("e1", "created", 10)], wm_ms=3_000)
+    # deadline = first event's EVENT time + window, regardless of wm
+    assert handle.timers == [15_000]
+    # later events never extend the deadline or add timers
+    feed_et(proc, "e1", [ev_et("e1", "placed", 14)], wm_ms=9_000)
+    assert handle.timers == [15_000]
+
+
+def test_event_proc_stale_flush_on_watermark_cancels_timer():
+    proc, handle = make_event_proc(buffer_ms=5000)
+    feed_et(
+        proc,
+        "e2",
+        [
+            ev_et("e2", "created", 0),
+            ev_et("e2", "placed", 1),
+            ev_et("e2", "cancelled", 2),
+        ],
+        wm_ms=0,
+    )
+    assert handle.timers == [5_000]
+    # watermark has passed the 5 s deadline when a NEW lifecycle event
+    # arrives: old complete buffer emits on arrival, its timer is
+    # cancelled, fresh buffer seeded at the new event's deadline
+    out = feed_et(proc, "e2", [ev_et("e2", "created", 9)], wm_ms=8_000)
+    got = payloads(out)
+    assert [e["type"] for e in got["e2"]["events"]] == [
+        "created",
+        "placed",
+        "cancelled",
+    ]
+    assert handle.deleted == [5_000]
+    assert handle.timers == [14_000]
+
+
+def test_event_proc_expiry_and_incomplete_drop_inherited():
+    proc, handle = make_event_proc(buffer_ms=5000)
+    feed_et(
+        proc,
+        "e3",
+        [ev_et("e3", "cancelled", 1), ev_et("e3", "created", 0),
+         ev_et("e3", "placed", 2)],
+        wm_ms=0,
+    )
+    # deadline = FIRST-ARRIVED event's time + window = 1s + 5s
+    out = expire(proc, "e3", 6_000)
+    got = payloads(out)
+    assert [e["type"] for e in got["e3"]["events"]] == [
+        "created",
+        "placed",
+        "cancelled",
+    ]
+    assert not handle.state.exists()
+    # incomplete buffer: dropped silently at watermark expiry
+    feed_et(proc, "e4", [ev_et("e4", "created", 0)], wm_ms=0)
+    assert expire(proc, "e4", 5_000).empty
+    assert not handle.state.exists()
+
+
+def test_event_proc_late_first_event_seeds_past_deadline():
+    # a late first event (wm already beyond its deadline) still seeds a
+    # buffer; the past-time timer fires on the next batch — arrival
+    # itself never emits a FRESH buffer
+    proc, handle = make_event_proc(buffer_ms=5000)
+    out = feed_et(proc, "e5", [ev_et("e5", "created", 1)], wm_ms=60_000)
+    assert out.empty
+    assert handle.timers == [6_000]
+    assert handle.state.exists()
+
+
+# ---------------------------------------------------------------------------
 # Layer 2: end-to-end under the RocksDB provider TWS requires
 # ---------------------------------------------------------------------------
 
@@ -363,6 +481,86 @@ def test_e2e_tws_complete_emits_incomplete_drops(spark, tmp_path):
     "proto_shim; processor semantics are covered by the deterministic "
     "layer-1 tests above",
 )
+def test_e2e_tws_event_time_emits_on_watermark(spark, tmp_path):
+    """Event-time TWS twin end-to-end: windows close when the WATERMARK
+    passes deadline (a far-future heartbeat advances it), complete
+    orders emit in priority order, incomplete ones drop — replay-
+    deterministic by construction (no wall clock anywhere)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        name = f"twset_{uuid.uuid4().hex[:8]}"
+        events = spark.readStream.schema(SCHEMA).parquet(str(src))
+        query = (
+            unify_stream_tws_event_time(events, buffer_ms=5000)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            # w1 completes within its 5 s event-time window (duplicate
+            # created is first-wins-suppressed); w2 stays incomplete
+            write_batch(
+                src,
+                [
+                    ev("w1", "cancelled", 4),
+                    ev("w1", "created", 0, json.dumps({"which": "first"})),
+                    ev("w1", "created", 2, json.dumps({"which": "late"})),
+                    ev("w1", "placed", 2),
+                    ev("w2", "created", 1),
+                ],
+                0,
+            )
+            # heartbeat at event-time 59 s pushes the watermark past both
+            # deadlines (delay 2 s -> wm 57 s)
+            write_batch(src, [ev("hb", "created", 59)], 1)
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if query.exception():
+                    raise query.exception()
+                if any(
+                    r.order_id == "w1" for r in spark.table(name).collect()
+                ):
+                    break
+                time.sleep(0.3)
+            out = {
+                r.order_id: json.loads(r.payload)
+                for r in spark.table(name).collect()
+            }
+            assert "w1" in out
+            assert [e["type"] for e in out["w1"]["events"]] == [
+                "created",
+                "placed",
+                "cancelled",
+            ]
+            assert out["w1"]["events"][0]["order_details"] == {
+                "which": "first"
+            }
+            assert "w2" not in out  # incomplete: dropped at expiry
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@pytest.mark.skipif(
+    not _tws_protocol_available(),
+    reason="TWS state-server protocol needs the protobuf runtime or the "
+    "proto_shim; processor semantics are covered by the deterministic "
+    "layer-1 tests above",
+)
 def test_e2e_tws_recovers_state_and_timer_across_restart(spark, tmp_path):
     """Kill-and-restart durability, the reference's crash-recovery
     contract (persistent KV state store, SURVEY §2 S5) on the TWS
@@ -372,7 +570,16 @@ def test_e2e_tws_recovers_state_and_timer_across_restart(spark, tmp_path):
     worker. The incomplete sibling order must stay silently dropped
     through the same restart. Sink is a parquet FileStreamSink (the
     memory sink refuses checkpoint recovery); polling reads go through
-    its _spark_metadata log, so only committed files are visible."""
+    its _spark_metadata log, so only committed files are visible.
+
+    A DIFFERENT-key nudge event is written after the restart because a
+    query restarted from a fully-committed checkpoint with no new input
+    runs no micro-batch at all (MicroBatchExecution only consults
+    shouldRunAnotherBatch on an in-memory lastExecution, which a fresh
+    restart lacks) — so pending timers wait for the first post-restart
+    data batch; see the unify_tws module docstring. The nudge is a
+    foreign key, so r1's emission can still only come from recovered
+    state + a recovered timer."""
     buffer_ms = 30_000  # wide enough that batch 0 commits before expiry
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass",
@@ -441,9 +648,10 @@ def test_e2e_tws_recovers_state_and_timer_across_restart(spark, tmp_path):
 
         query = start()
         try:
-            # no new input: only recovered state + recovered timer can
-            # produce this emission (processing-time mode keeps running
-            # micro-batches, so the expired timer fires without new data)
+            # one foreign-key event seeds the restarted engine's first
+            # batch (see docstring); r1's own emission can only come
+            # from the recovered ValueState + recovered timer
+            write_batch(src, [ev("nudge", "created", 0)], 1)
             deadline = time.time() + 240
             while time.time() < deadline:
                 if query.exception():
