@@ -92,7 +92,8 @@ def run_tier(
     final windows (the kicker's own incomplete order is dropped by the
     completeness gate and excluded from the projection count).
     """
-    name = f"tp_{mode}_{store}_{semantics}_{n_lifecycles}"
+    # view names reject '-' (tws-event)
+    name = f"tp_{mode}_{store}_{semantics.replace('-', '_')}_{n_lifecycles}"
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming."
@@ -123,6 +124,16 @@ def run_tier(
         )
 
         unified = unify_stream_tws(stream, buffer_ms=1000)
+    elif semantics == "tws-event":
+        # v2 event-time twin: watermark-closed buffers, needs the same
+        # kicker drain as the v1 event variant
+        from kafka_stream_unify_order_messages_spark.streaming.unify_tws import (
+            unify_stream_tws_event_time,
+        )
+
+        unified = unify_stream_tws_event_time(
+            stream, buffer_ms=1000, watermark_delay="2 seconds"
+        )
     else:
         unified = unify_stream(stream, buffer_ms=1000)
     q = (
@@ -159,7 +170,7 @@ def run_tier(
     try:
         deadline = time.time() + 900
         done = 0
-        kicked = semantics != "event"
+        kicked = semantics not in ("event", "tws-event")
         while time.time() < deadline:
             if q.exception():
                 raise q.exception()
@@ -235,13 +246,22 @@ def main() -> None:
                 store="rocksdb" if tws_only else "hdfs",
             )
         if tws_only:
-            for mode in ("bulk", "sustained"):
+            # bulk + sustained for processing-time; the event-time twin
+            # measures bulk only, like the v1 event rows (its watermark-
+            # kicker drain dominates sustained timing), and runs LAST
+            # per tier because its kicker file stays behind in src
+            for mode, semantics in (
+                ("bulk", "tws"),
+                ("sustained", "tws"),
+                ("bulk", "tws-event"),
+            ):
                 rec = run_tier(
-                    spark, n, src, mode, store="rocksdb", semantics="tws"
+                    spark, n, src, mode,
+                    store="rocksdb", semantics=semantics,
                 )
                 records.append(rec)
                 print(
-                    f"{n:>8} lifecycles {mode:9s} rocksdb  tws "
+                    f"{n:>8} lifecycles {mode:9s} rocksdb  {semantics} "
                     f"{rec['elapsed_sec']:7.2f}s "
                     f"{rec['events_per_sec']:>7} ev/s in "
                     f"{rec['projections_per_sec']:>7} proj/s out",
