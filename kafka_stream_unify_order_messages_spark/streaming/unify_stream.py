@@ -21,6 +21,13 @@ punctuator (its known scale flaw, SURVEY.md §4.2). State per key is O(1)
 (three nullable event structs + a deadline). Run with
 ``trigger(processingTime='1 second')`` to match the reference's punctuation
 cadence; at-least-once sink semantics match the reference default.
+
+Restart caveat (shared by every micro-batch stateful operator here; found
+and pinned on the TWS twin — see unify_tws.py's module docstring): a query
+restarted from a fully-committed checkpoint with no new input runs no
+micro-batch, so recovered timeouts/timers wait for the first post-restart
+data batch. Continuous sources never notice; a drained-topic replay should
+append one sentinel record to flush pending buffers.
 """
 
 from __future__ import annotations
