@@ -561,6 +561,100 @@ def test_e2e_tws_event_time_emits_on_watermark(spark, tmp_path):
     "proto_shim; processor semantics are covered by the deterministic "
     "layer-1 tests above",
 )
+def test_e2e_tws_event_time_recovers_open_buffer_across_restart(
+    spark, tmp_path
+):
+    """Event-time TWS recovery, mirroring the v1 twin's test: an OPEN
+    buffer (2 of 3 events, watermark still low) survives a checkpoint
+    restart; the completing event plus a watermark kicker arrive only
+    AFTER the restart, so the emission requires the recovered ValueState
+    row and the recovered event-time timer."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        out = tmp_path / "out"
+        out.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out_schema = "order_id string, n_events int, payload string"
+
+        def sink_df():
+            return spark.read.schema(out_schema).parquet(str(out))
+
+        def start():
+            events = spark.readStream.schema(SCHEMA).parquet(str(src))
+            return (
+                unify_stream_tws_event_time(events, buffer_ms=5000)
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        write_batch(
+            src, [ev("o9", "created", 0), ev("o9", "placed", 1)], 0
+        )
+        query = start()
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if query.exception():
+                    raise query.exception()
+                if sum(
+                    p["numInputRows"] for p in query.recentProgress
+                ) >= 2:
+                    break
+                time.sleep(0.3)
+            else:
+                raise AssertionError("first query never ingested batch 0")
+            assert sink_df().count() == 0  # buffer open, watermark low
+        finally:
+            query.stop()
+
+        query = start()
+        try:
+            write_batch(src, [ev("o9", "cancelled", 2)], 1)
+            write_batch(src, [ev("hb", "created", 59)], 2)  # wm kicker
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if query.exception():
+                    raise query.exception()
+                if any(r.order_id == "o9" for r in sink_df().collect()):
+                    break
+                time.sleep(0.3)
+            got = {
+                r.order_id: json.loads(r.payload)
+                for r in sink_df().collect()
+            }
+            assert "o9" in got, "open event-time buffer lost across restart"
+            assert [e["type"] for e in got["o9"]["events"]] == [
+                "created",
+                "placed",
+                "cancelled",
+            ]
+            assert "hb" not in got  # kicker's own order: incomplete, drops
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@pytest.mark.skipif(
+    not _tws_protocol_available(),
+    reason="TWS state-server protocol needs the protobuf runtime or the "
+    "proto_shim; processor semantics are covered by the deterministic "
+    "layer-1 tests above",
+)
 def test_e2e_tws_recovers_state_and_timer_across_restart(spark, tmp_path):
     """Kill-and-restart durability, the reference's crash-recovery
     contract (persistent KV state store, SURVEY §2 S5) on the TWS
