@@ -98,6 +98,32 @@ def test_stdlib_png_roundtrip_all_color_types():
         assert np.array_equal(got, px)
 
 
+def test_stdlib_png_roundtrip_property_random_geometry():
+    """Hypothesis sweep of the codec pair: ANY HxW[xC] uint8 raster
+    (1-pixel axes included) survives encode_png -> decode_image_bytes
+    bit-exactly with the right mode label."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        nch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, nch, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, nch)).astype("uint8")
+        got_w, got_h, mode, got = M.decode_image_bytes(M.encode_png(px))
+        assert (got_w, got_h) == (w, h)
+        assert mode == {1: "L", 3: "RGB", 4: "RGBA"}[nch]
+        assert np.array_equal(got, px)
+
+    check()
+
+
 def test_stdlib_png_filter_reversal_all_filters():
     """Hand-filter scanlines with each PNG filter type (Sub/Up/Average/
     Paeth per RFC 2083 §6) and check the decoder reconstructs the exact
