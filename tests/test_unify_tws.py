@@ -485,7 +485,10 @@ def test_e2e_tws_event_time_emits_on_watermark(spark, tmp_path):
     """Event-time TWS twin end-to-end: windows close when the WATERMARK
     passes deadline (a far-future heartbeat advances it), complete
     orders emit in priority order, incomplete ones drop — replay-
-    deterministic by construction (no wall clock anywhere)."""
+    deterministic by construction (no wall clock anywhere). Rows older
+    than the watermark are dropped by the ENGINE before the processor
+    (numRowsDroppedByWatermark) — measured identical in the v1 twin, so
+    the two event-time implementations agree on late data end-to-end."""
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming."
@@ -549,6 +552,37 @@ def test_e2e_tws_event_time_emits_on_watermark(spark, tmp_path):
                 "which": "first"
             }
             assert "w2" not in out  # incomplete: dropped at expiry
+
+            # sub-watermark lifecycle (complete, but far behind the 57 s
+            # watermark): engine-dropped before the processor, exactly
+            # like the v1 twin — never emits
+            write_batch(
+                src,
+                [
+                    ev("late1", "created", 0),
+                    ev("late1", "placed", 2),
+                    ev("late1", "cancelled", 4),
+                ],
+                2,
+            )
+            deadline = time.time() + 30
+            dropped = 0
+            while time.time() < deadline:
+                if query.exception():
+                    raise query.exception()
+                dropped = sum(
+                    (p.get("stateOperators") or [{}])[0].get(
+                        "numRowsDroppedByWatermark", 0
+                    )
+                    for p in query.recentProgress
+                )
+                if dropped >= 3:
+                    break
+                time.sleep(0.3)
+            assert dropped >= 3
+            assert "late1" not in {
+                r.order_id for r in spark.table(name).collect()
+            }
         finally:
             query.stop()
     finally:
