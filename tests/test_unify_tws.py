@@ -368,7 +368,11 @@ def test_event_proc_expiry_and_incomplete_drop_inherited():
 def test_event_proc_late_first_event_seeds_past_deadline():
     # a late first event (wm already beyond its deadline) still seeds a
     # buffer; the past-time timer fires on the next batch — arrival
-    # itself never emits a FRESH buffer
+    # itself never emits a FRESH buffer. DEFENSIVE coverage: end-to-end
+    # the engine drops sub-watermark rows before the processor (pinned
+    # in the e2e test below), so this path is only reachable for rows
+    # inside the watermark delay allowance whose buffer deadline is
+    # nonetheless already behind the watermark (delay > buffer_ms)
     proc, handle = make_event_proc(buffer_ms=5000)
     out = feed_et(proc, "e5", [ev_et("e5", "created", 1)], wm_ms=60_000)
     assert out.empty
