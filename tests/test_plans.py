@@ -91,6 +91,21 @@ def test_metadata_ops_prune_payload_column(spark):
     assert "text" in read_cols and "lang" not in read_cols
 
 
+def test_real_decode_loop_scan_local(spark):
+    # the real codec loop (synthetic_png_media -> decode_media) is two
+    # chained MapInPandas over a ONE-column scan: no join, no aggregate,
+    # no data-dependent shuffle — the only tolerated exchange is the
+    # small-table scan-splitting repartition (see minhash note above)
+    plan = plan_of(spark, "multimodal_real_decode")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"doc_id"}
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     # the benchmark gram set is the small side — it must broadcast so the
     # corpus side never shuffles before the per-doc count
