@@ -432,8 +432,12 @@ def resample_image(
 
 
 def to_grayscale(px: np.ndarray) -> np.ndarray:
-    """ITU-R 601 luma (the same integer formula Pillow's ``convert("L")``
-    uses: L = (R*299 + G*587 + B*114) // 1000); alpha is ignored,
+    """ITU-R 601 luma, L = (R*299 + G*587 + B*114) // 1000. Matches
+    Pillow's ``convert("L")`` to within 1 LSB — Pillow uses rounded
+    fixed-point (L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16), which
+    can differ by 1 on near-boundary pixels, so hash-style consumers
+    (``decoded_phash``) agree across the Pillow/stdlib tiers only within
+    a small Hamming distance, not bit-exactly. Alpha is ignored,
     single-channel input passes through."""
     arr = np.asarray(px)
     if arr.ndim == 2:
@@ -537,15 +541,22 @@ def decode_media(
                         sums.append(None)
                     continue
                 try:
+                    # Decode to locals FIRST, append once after: Pillow's
+                    # open() parses only headers, so width/height/mode are
+                    # available before np.asarray forces the pixel decode —
+                    # a valid-header/corrupt-body payload must not leave
+                    # the lists misaligned when the full decode raises.
                     with image_mod.open(io.BytesIO(bb)) as im:
-                        widths.append(im.width)
-                        heights.append(im.height)
-                        modes.append(im.mode)
-                        sums.append(
+                        w, h, mode = im.width, im.height, im.mode
+                        s = (
                             int(np.asarray(im, dtype=np.int64).sum())
                             if pixel_sum
                             else None
                         )
+                    widths.append(w)
+                    heights.append(h)
+                    modes.append(mode)
+                    sums.append(s)
                 except Exception:  # noqa: BLE001 — any undecodable
                     # payload becomes a quarantine row
                     widths.append(None)
@@ -693,7 +704,12 @@ def decoded_phash(
     quarantine as null); otherwise the stdlib codec + the numpy BILINEAR
     resampler for recognized payloads (PNG / binary PPM/PGM — corrupt
     bytes quarantine, unrecognized magic raises the honest
-    ``NotImplementedError`` gate).
+    ``NotImplementedError`` gate). The two tiers use slightly different
+    integer luma roundings (see ``to_grayscale``), so the SAME image
+    hashed on a Pillow executor vs a stdlib executor agrees within a
+    small Hamming distance, not bit-exactly — fine for the
+    ``hamming_pairs`` consumers, but don't join raw hash values across
+    tiers as equality keys.
 
     Comparisons are integer cross-multiplied (``pixel * n > total``) —
     no float division, bit-identical across batch shapes.

@@ -525,22 +525,28 @@ import kafka_stream_unify_order_messages_spark.queries_analytics  # noqa: E402,F
 #
 # 1. The SURVEY.md §2 reference pipeline (14 queries) is PINNED first —
 #    the reference's own semantics get a driver-checked row every round.
-# 2. Every other ORACLED query follows COVERAGE-FIRST: queries that have
-#    never appeared in any driver CORRECTNESS_r{N}.json fill the window
-#    before already-confirmed ones (self-advancing — each round's
-#    artifact moves its window into the checked set), and the confirmed
-#    remainder keeps the round-keyed rotation so repeat visits spread
-#    out. The builder's strict sweep stays the per-round safety net, but
-#    each query also earns an independent driver-green row in
-#    ceil(n_unchecked / 36) rounds instead of drifting behind growth.
+# 2. Every other ORACLED query follows STALEST-DRIVER-CHECK-FIRST: sort
+#    by the round of the query's most recent driver-GREEN row in a
+#    CORRECTNESS_r{N}.json, ascending (never-checked counts as round 0,
+#    so new queries still enter the window before everything else; ties
+#    break on stable registration order). Since round 10 every query has
+#    at least one green row, so the job of the window is no longer
+#    coverage but FRESHNESS: rows checked in r01-r03 were verified
+#    against code that has since changed many times — rolling the window
+#    through the stalest rows keeps "driver-green" a live property (each
+#    round re-verifies the ~36 least recently confirmed queries, full
+#    re-verification cycle ≈ ceil(n/36) rounds). Self-advancing like the
+#    old coverage-first policy: this round's artifact bumps its window's
+#    last-green rounds, so next round's window starts where freshness
+#    actually stops. The builder's strict sweep stays the per-round
+#    safety net for everything outside the window.
 # 3. Rows-only queries (no oracle) sort last: a driver window slot spent
 #    on a rows-only check verifies strictly less than one spent on a
 #    value-hash check.
 #
-# The round number comes from SPARK_GRAFT_ROUND if set, else from the
-# highest CORRECTNESS_r{N}.json the driver has already written into the
-# repo root (+1) — deterministic for the whole round, since the driver
-# records round N's artifact only after running round N's gate.
+# The order is deterministic for the whole round: it depends only on the
+# committed CORRECTNESS_r{N}.json artifacts (the driver writes round N's
+# artifact only after running round N's gate).
 # ---------------------------------------------------------------------------
 
 _PINNED = [
@@ -586,28 +592,30 @@ def _current_round() -> int:
     return max(rounds) + 1 if rounds else 1
 
 
-def _driver_checked_names() -> set[str]:
-    """Union of every query name with a PASSING row in some driver
-    CORRECTNESS_r{N}.json — i.e. has an independent driver-GREEN row
-    (hash_match true and no recorded error; a failed driver row keeps
-    its query in the coverage-first tier so the next round re-checks it
-    instead of demoting it to the confirmed rotation).
+def _driver_green_rounds() -> dict[str, int]:
+    """Map each query name to the HIGHEST round N whose driver
+    CORRECTNESS_r{N}.json holds a PASSING row for it (hash_match true and
+    no recorded error — a failed driver row does not refresh the query's
+    last-green round, so the next round re-checks it).
 
-    The registry grew faster than the 36 rotating window slots per round
-    (210 queries vs 36), so a plain round-keyed rotation leaves a long
-    never-driver-checked tail. Ordering that tail FIRST is self-advancing:
-    each round's artifact moves its window into the checked set, so the
-    next round's window starts where coverage actually stops — no offset
-    bookkeeping, and the order is deterministic for the whole round
-    (the driver writes round N's artifact only after running the gate).
+    This is the freshness index behind the stalest-first window ordering
+    above: names absent from the map have never been driver-green and
+    sort first (round 0); the rest sort by how long ago their green row
+    was earned, so re-verification rolls through the whole registry
+    instead of letting r01-era rows go stale forever.
     """
     import json
+    import re
     from pathlib import Path
 
-    checked: set[str] = set()
+    green: dict[str, int] = {}
     for root in (Path(__file__).resolve().parent.parent, Path.cwd()):
         files = sorted(root.glob("CORRECTNESS_r*.json"))
         for p in files:
+            m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
             try:
                 data = json.loads(p.read_text())
             except (OSError, ValueError):
@@ -616,16 +624,16 @@ def _driver_checked_names() -> set[str]:
                 # malformed artifact (e.g. a list-format file): skip it
                 # like a parse failure instead of crashing query ordering
                 continue
-            checked.update(
-                k
-                for k, v in data.items()
-                if isinstance(v, dict)
-                and v.get("hash_match")
-                and not v.get("err")
-            )
+            for k, v in data.items():
+                if (
+                    isinstance(v, dict)
+                    and v.get("hash_match")
+                    and not v.get("err")
+                ):
+                    green[k] = max(green.get(k, 0), rnd)
         if files:
             break
-    return checked
+    return green
 
 
 # Canonical base order, captured once at import: rotation must slice a
@@ -635,12 +643,13 @@ _BASE_ORDER: list[str] = []
 
 
 def _apply_registration_order(
-    round_no: int | None = None, checked: set[str] | None = None
+    round_no: int | None = None,
+    green_rounds: dict[str, int] | None = None,
 ) -> None:
     if round_no is None:
         round_no = _current_round()
-    if checked is None:
-        checked = _driver_checked_names()
+    if green_rounds is None:
+        green_rounds = _driver_green_rounds()
     if not _BASE_ORDER:
         _BASE_ORDER.extend(_PINNED)
         _BASE_ORDER.extend(n for n in QUERIES if n not in _PINNED)
@@ -663,18 +672,14 @@ def _apply_registration_order(
     rows_only = [
         n for n in _BASE_ORDER if n not in ordered and n not in ORACLES
     ]
-    # coverage-first: queries WITHOUT a driver-green row fill the window
-    # before already-confirmed ones (see _driver_checked_names); within
-    # each tier the round-keyed rotation still advances so repeat visits
-    # spread across the confirmed set instead of re-checking a fixed head
-    unchecked = [n for n in oracled if n not in checked]
-    confirmed = [n for n in oracled if n in checked]
-    off = (
-        ((round_no - 1) * _ROTATING_SLOTS) % len(confirmed)
-        if confirmed
-        else 0
-    )
-    for name in unchecked + confirmed[off:] + confirmed[:off] + rows_only:
+    # stalest-driver-check-first: sort oracled queries by the round of
+    # their most recent driver-green row, ascending (never-checked = 0,
+    # so new queries still lead; ties keep stable base order — Python's
+    # sort is stable). See _driver_green_rounds and the policy block
+    # above. round_no is no longer an ordering input but stays a
+    # parameter so callers/tests can assert determinism per round.
+    oracled.sort(key=lambda n: green_rounds.get(n, 0))
+    for name in oracled + rows_only:
         ordered[name] = QUERIES[name]
     QUERIES.clear()
     QUERIES.update(ordered)

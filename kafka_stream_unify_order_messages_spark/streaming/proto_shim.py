@@ -64,6 +64,7 @@ GENERATED_MODULE = "pyspark.sql.streaming.proto.StateMessage_pb2"
 
 # FieldDescriptorProto.type values (descriptor.proto, public + frozen)
 _T_INT64 = 3
+_T_UINT64 = 4
 _T_INT32 = 5
 _T_BOOL = 8
 _T_STRING = 9
@@ -71,12 +72,25 @@ _T_MESSAGE = 11
 _T_BYTES = 12
 _T_UINT32 = 13
 _T_ENUM = 14
-_T_SINT32 = 17
-_T_SINT64 = 18
-_VARINT_TYPES = {_T_INT64, _T_INT32, _T_BOOL, _T_ENUM, _T_UINT32,
-                 _T_SINT32, _T_SINT64}
+_VARINT_TYPES = {_T_INT64, _T_UINT64, _T_INT32, _T_BOOL, _T_ENUM,
+                 _T_UINT32}
 _LEN_TYPES = {_T_STRING, _T_MESSAGE, _T_BYTES}
 _LABEL_REPEATED = 3
+
+# The full feature set this shim's codec implements. Everything outside
+# it is refused at INSTALL time by _check_supported (not at first use
+# inside a running stream): plain-varint scalars, length-delimited
+# scalars, and sub-messages. Deliberately absent: sint32/sint64 (zigzag
+# coding not implemented), double/float/fixed*/sfixed* (the encoder
+# never emits wire types 1/5), and groups (proto2-only). A pyspark
+# upgrade whose StateMessage.proto starts using one of these must fail
+# loudly HERE, naming the gap, rather than corrupt state-server traffic.
+_SUPPORTED_FIELD_TYPES = _VARINT_TYPES | _LEN_TYPES
+_TYPE_NAMES = {
+    1: "double", 2: "float", 4: "uint64", 6: "fixed64", 7: "fixed32",
+    10: "group", 15: "sfixed32", 16: "sfixed64", 17: "sint32",
+    18: "sint64",
+}
 
 
 # ---------------------------------------------------------------------------
@@ -205,17 +219,27 @@ def _parse_oneof(blob: bytes) -> dict:
     return _parse_fields(blob, {1: ("name", "str")})
 
 
+def _parse_message_options(blob: bytes) -> dict:
+    # MessageOptions.map_entry = field 7 (bool): set on the synthetic
+    # XxxEntry nested type protoc generates for every map<...> field
+    return _parse_fields(blob, {7: ("map_entry", None)})
+
+
 def _parse_message_desc(blob: bytes) -> dict:
-    return _parse_fields(
+    out = _parse_fields(
         blob,
         {
             1: ("name", "str"),
             2: ("field", _parse_field_desc),
             3: ("nested_type", _parse_message_desc),
             4: ("enum_type", _parse_enum),
+            7: ("options", _parse_message_options),
             8: ("oneof_decl", _parse_oneof),
         },
     )
+    if "options" in out:  # _parse_fields collects sub-parses into lists
+        out["options"] = out["options"][-1]
+    return out
 
 
 def _parse_file_descriptor(blob: bytes) -> dict:
@@ -226,8 +250,61 @@ def _parse_file_descriptor(blob: bytes) -> dict:
             2: ("package", "str"),
             4: ("message_type", _parse_message_desc),
             5: ("enum_type", _parse_enum),
+            12: ("syntax", "str"),
         },
     )
+
+
+class UnsupportedProtoFeature(ImportError):
+    """The parsed descriptor needs a wire feature outside the shim's
+    implemented subset. Raised at install/build time so an incompatible
+    pyspark upgrade fails with a named gap instead of corrupting
+    state-server traffic mid-stream."""
+
+
+def _check_supported(fdp: dict) -> None:
+    """Install-time assertion that the descriptor stays inside the
+    feature set the codec above actually implements (see
+    _SUPPORTED_FIELD_TYPES). Walks every message recursively."""
+    problems: list[str] = []
+    syntax = fdp.get("syntax", "proto3")
+    if syntax not in ("proto2", "proto3"):
+        problems.append(
+            f"file syntax {syntax!r} (the shim implements the proto3 "
+            "wire format; editions may enable features it lacks)"
+        )
+
+    def walk(m: dict, prefix: str) -> None:
+        qual = prefix + m.get("name", "?")
+        if m.get("options", {}).get("map_entry"):
+            problems.append(
+                f"{qual} is a map<> entry type (the generated API "
+                "exposes maps as dict-like containers; the shim only "
+                "models plain repeated messages)"
+            )
+        for f in m.get("field", []):
+            ftype = f.get("type")
+            if ftype not in _SUPPORTED_FIELD_TYPES:
+                tname = _TYPE_NAMES.get(ftype, f"type {ftype}")
+                problems.append(
+                    f"{qual}.{f.get('name', '?')} uses {tname} "
+                    "(wire coding not implemented: sint* needs zigzag, "
+                    "double/float/fixed* need wire types 1/5, group is "
+                    "proto2-only)"
+                )
+        for nested in m.get("nested_type", []):
+            walk(nested, qual + ".")
+
+    for m in fdp.get("message_type", []):
+        walk(m, "")
+    if problems:
+        raise UnsupportedProtoFeature(
+            "proto_shim cannot stand in for this StateMessage_pb2: the "
+            "descriptor uses features outside the implemented subset — "
+            + "; ".join(problems)
+            + ". Install the real google.protobuf runtime (the shim "
+            "then steps aside automatically)."
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +312,7 @@ def _parse_file_descriptor(blob: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 _SCALAR_DEFAULTS = {
-    _T_INT64: 0, _T_INT32: 0, _T_UINT32: 0, _T_SINT32: 0, _T_SINT64: 0,
+    _T_INT64: 0, _T_INT32: 0, _T_UINT32: 0, _T_UINT64: 0,
     _T_BOOL: False, _T_ENUM: 0, _T_STRING: "", _T_BYTES: b"",
 }
 
@@ -412,8 +489,10 @@ def _make_message_class(desc: dict, registry: dict[str, type]) -> type:
 
 def build_module(blob: bytes, module_name: str = GENERATED_MODULE):
     """Build a StateMessage_pb2-equivalent module from a serialized
-    FileDescriptorProto blob."""
+    FileDescriptorProto blob. Raises UnsupportedProtoFeature when the
+    descriptor needs wire features outside the implemented subset."""
     fdp = _parse_file_descriptor(blob)
+    _check_supported(fdp)
     mod = types.ModuleType(module_name)
     mod.__doc__ = (
         "Pure-Python shim for the generated protobuf module (see "

@@ -224,6 +224,13 @@ class OrderUnifyEventProcessor(OrderUnifyProcessor):
                 ev.pop("_event_time", None)
                 if ev.get("type") not in REQUIRED:
                     continue  # unknown type: ignored (addEvent parity)
+                if ev_ms is None:
+                    # ts_col failed to_timestamp parsing upstream: whether
+                    # a null-event-time row reaches the processor at all is
+                    # engine-version-dependent (the watermark filter
+                    # normally drops it) — skip rather than crash on
+                    # int(None) if one ever does
+                    continue
                 if not events:
                     # new buffer: deadline = first event's EVENT time +
                     # window; a timer at a past event-time (late first

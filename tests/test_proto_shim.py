@@ -166,6 +166,98 @@ def test_unknown_attribute_raises(mod):
         mod.StateRequest().typo = 1
 
 
+# --- install-time feature guard ---------------------------------------
+# A pyspark upgrade whose StateMessage.proto uses wire features outside
+# the shim's subset must fail at build/install time with a named gap,
+# never mid-stream. Blobs below are hand-rolled FileDescriptorProto
+# bytes per the public descriptor.proto field numbers.
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _vint_field(num: int, v: int) -> bytes:
+    return _varint(num << 3) + _varint(v)
+
+
+def _field_desc(name: str, number: int, ftype: int) -> bytes:
+    return (
+        _len_field(1, name.encode())
+        + _vint_field(3, number)
+        + _vint_field(4, 1)  # LABEL_OPTIONAL
+        + _vint_field(5, ftype)
+    )
+
+
+def _message_desc(name: str, *parts: bytes) -> bytes:
+    return _len_field(1, name.encode()) + b"".join(parts)
+
+
+def _file_desc(*messages: bytes, syntax: str = "proto3") -> bytes:
+    return (
+        _len_field(1, b"synthetic.proto")
+        + b"".join(_len_field(4, m) for m in messages)
+        + _len_field(12, syntax.encode())
+    )
+
+
+def test_guard_rejects_unsupported_field_type():
+    blob = _file_desc(
+        _message_desc("Bad", _len_field(2, _field_desc("score", 1, 1)))
+    )  # type 1 = double: needs wire type 1, which the encoder never emits
+    with pytest.raises(PS.UnsupportedProtoFeature, match=r"Bad\.score.*double"):
+        PS.build_module(blob, "guard_under_test")
+
+
+def test_guard_rejects_sint_zigzag():
+    blob = _file_desc(
+        _message_desc("Bad", _len_field(2, _field_desc("delta", 1, 18)))
+    )  # sint64: shim has no zigzag coding
+    with pytest.raises(PS.UnsupportedProtoFeature, match="sint64"):
+        PS.build_module(blob, "guard_under_test")
+
+
+def test_guard_rejects_map_entry_type():
+    entry = _message_desc(
+        "AttrsEntry",
+        _len_field(2, _field_desc("key", 1, 9)),
+        _len_field(2, _field_desc("value", 2, 9)),
+        _len_field(7, _vint_field(7, 1)),  # options.map_entry = true
+    )
+    blob = _file_desc(_message_desc("Outer", _len_field(3, entry)))
+    with pytest.raises(PS.UnsupportedProtoFeature, match="map<> entry"):
+        PS.build_module(blob, "guard_under_test")
+
+
+def test_guard_rejects_editions_syntax():
+    blob = _file_desc(_message_desc("Ok"), syntax="editions")
+    with pytest.raises(PS.UnsupportedProtoFeature, match="editions"):
+        PS.build_module(blob, "guard_under_test")
+
+
+def test_guard_passes_supported_subset():
+    blob = _file_desc(
+        _message_desc(
+            "Ok",
+            _len_field(2, _field_desc("n", 1, 3)),      # int64
+            _len_field(2, _field_desc("s", 2, 9)),      # string
+            _len_field(2, _field_desc("b", 3, 12)),     # bytes
+        )
+    )
+    mod = PS.build_module(blob, "guard_under_test")
+    rt = mod.Ok(n=-7, s="x", b=b"\x00\x01")
+    out = mod.Ok()
+    out.ParseFromString(rt.SerializeToString())
+    assert (out.n, out.s, out.b) == (-7, "x", b"\x00\x01")
+
+
+def test_guard_accepts_installed_pyspark_descriptor():
+    # the real descriptor must stay inside the subset (this is the
+    # install-time assertion the stream relies on)
+    PS._check_supported(PS._parse_file_descriptor(PS._extract_blob()))
+
+
 def test_install_respects_real_protobuf_and_is_idempotent():
     import sys
 

@@ -15,14 +15,14 @@ def test_oracles_subset_of_queries():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
-def test_driver_window_rotation_covers_all_oracled():
+def test_driver_window_rotation_stalest_first():
     # ordering policy (registry.py / PARITY.md): 14 pinned §2 queries
-    # first every round; the next 36 slots fill COVERAGE-FIRST (queries
-    # without a driver CORRECTNESS row precede confirmed ones, so the
-    # policy is self-advancing as each round's artifact lands), with the
-    # confirmed remainder on the round-keyed rotation; rows-only queries
-    # always sort last. Simulated here by feeding each round's window
-    # back as the next round's checked set.
+    # first every round; the remaining oracled queries sort by the round
+    # of their most recent driver-green row ASCENDING (never-checked = 0
+    # leads), so the ~36-slot window rolls re-verification through the
+    # stalest rows; rows-only queries always sort last. Simulated here by
+    # bumping each round's window to that round's green set and checking
+    # the window cycles the whole registry.
     pinned = registry._PINNED
     slots = registry._ROTATING_SLOTS
     rotatable = [
@@ -30,21 +30,33 @@ def test_driver_window_rotation_covers_all_oracled():
         if n in registry.ORACLES and n not in pinned
     ]
     try:
-        seen: set[str] = set()
+        green: dict[str, int] = {}
+        last_seen: dict[str, int] = {}
         rounds_needed = -(-len(rotatable) // slots)
-        for rnd in range(1, rounds_needed + 1):
-            registry._apply_registration_order(rnd, checked=set(seen))
+        for rnd in range(1, 2 * rounds_needed + 1):
+            registry._apply_registration_order(rnd, green_rounds=dict(green))
             window = list(registry.QUERIES)[: len(pinned) + slots]
             assert window[: len(pinned)] == pinned
             tail = window[len(pinned):]
             assert all(n in registry.ORACLES for n in tail)
-            # every slot is spent on a never-checked query until none
-            # remain — the coverage-first invariant
-            remaining = len(set(rotatable) - seen)
-            n_new = sum(1 for n in tail if n not in seen)
-            assert n_new == min(slots, remaining)
-            seen.update(tail)
-        assert seen >= set(rotatable)
+            # stalest-first invariant: every window entry is at least as
+            # stale as every non-window oracled query
+            outside = [
+                n for n in rotatable if n not in tail
+            ]
+            if tail and outside:
+                assert max(green.get(n, 0) for n in tail) <= min(
+                    green.get(n, 0) for n in outside
+                )
+            for n in tail:
+                green[n] = rnd
+                last_seen[n] = rnd
+            for n in pinned:
+                green[n] = rnd
+        # after 2 full cycles every rotatable query was re-verified, and
+        # no query waited more than one full cycle between visits
+        assert set(last_seen) >= set(rotatable)
+        assert min(last_seen[n] for n in rotatable) > rounds_needed
         # rows-only queries after every oracled one
         names = list(registry.QUERIES)
         idx_rows_only = [
@@ -71,10 +83,11 @@ def test_driver_window_rotation_covers_all_oracled():
 ROWS_ONLY_ALLOWED: set[str] = set()
 
 
-def test_driver_checked_names_skips_malformed_artifacts(tmp_path, monkeypatch):
+def test_driver_green_rounds_skips_malformed_artifacts(tmp_path, monkeypatch):
     """A CORRECTNESS_r*.json whose top level is a LIST (or junk) is
     skipped like a parse failure — query ordering must never crash on a
-    malformed driver artifact."""
+    malformed driver artifact — and a query green in several rounds maps
+    to its HIGHEST round (the freshness index)."""
     import json
 
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(["not", "a", "dict"]))
@@ -84,12 +97,16 @@ def test_driver_checked_names_skips_malformed_artifacts(tmp_path, monkeypatch):
          "bad_q": {"hash_match": True, "err": "boom"},
          "weird": "not-a-dict-value"}
     ))
-    # _driver_checked_names globs Path(__file__).parent.parent first
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(
+        {"good_q": {"hash_match": True},
+         "other_q": {"hash_match": True}}
+    ))
+    # _driver_green_rounds globs Path(__file__).parent.parent first
     monkeypatch.setattr(
         registry, "__file__", str(tmp_path / "pkg" / "registry.py")
     )
-    checked = registry._driver_checked_names()
-    assert checked == {"good_q"}
+    green = registry._driver_green_rounds()
+    assert green == {"good_q": 5, "other_q": 5}
 
 
 def test_every_query_is_oracle_checked_or_documented():
