@@ -65,7 +65,13 @@ def main() -> None:
     failed: list[str] = []
     from kafka_stream_unify_order_messages_spark import drop_cached_blocks
 
-    for name, fn in registry.QUERIES.items():
+    # Measure in the STABLE registration order, not the driver-window
+    # rotation: execution order is part of the measurement on a shared
+    # JVM (family-adjacent queries share warm codegen paths), and the
+    # cross-round bench trend line is only meaningful if the order never
+    # changes round-to-round. See registry.benchmark_order().
+    for name in registry.benchmark_order():
+        fn = registry.QUERIES[name]
         best = float("inf")
         try:
             n = runs

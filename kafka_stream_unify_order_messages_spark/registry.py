@@ -685,4 +685,19 @@ def _apply_registration_order(
     QUERIES.update(ordered)
 
 
+def benchmark_order() -> list[str]:
+    """Registry names in the STABLE registration (source-file) order —
+    the order bench.py measures in, independent of the driver-window
+    rotation above. Measurement order is part of the measurement on a
+    shared-JVM benchmark: related queries registered adjacently share
+    codegen/JIT-warm paths, so a per-round rotation of execution order
+    would move individual timings ±2-3x (observed in round 11: the
+    stalest-first window rotation scrambled family adjacency and
+    inflated the bench total ~15% on identical plans) and make the
+    cross-round trend line — the driver's 2x-gate evidence — compare
+    ordering noise instead of code. The driver window keeps rotating;
+    the bench order never does."""
+    return list(_BASE_ORDER)
+
+
 _apply_registration_order()

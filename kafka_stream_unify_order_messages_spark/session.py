@@ -60,6 +60,23 @@ def get_spark(
         # grows) and required for reduce-side parallelism headroom past
         # the x100 ramp tier.
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+        # REQUIRED companion to initialPartitionNum (round-11 workup of
+        # the graph_bfs_hops 4.3s -> 10.9s bench drift): by default AQE
+        # may NOT change the output partitioning of cached plans, so
+        # every persist()/localCheckpoint() of a shuffled frame
+        # materializes at the un-coalesced 512 — iterative operators
+        # (BFS, pagerank, minhash signatures) then pay hundreds of
+        # near-empty tasks per hop on every cache read. Measured at
+        # sf0.1, quiet box: graph_bfs_hops 184.8 -> 35.2 CPU-s,
+        # minhash_jaccard_estimate 140.2 -> 22.4, pagerank_dup_graph
+        # 94.9 -> 7.9; steady-state bfs wall 12.1s -> 4.8s, back at the
+        # pre-512 r8 level. The trade (Spark's reason for the
+        # conservative default) is that a cached frame's partitioning
+        # may no longer line up with a downstream join's expectation —
+        # none of our persists are co-partitioning contracts, they are
+        # reuse caches.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning":
+            "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",

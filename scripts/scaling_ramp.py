@@ -146,7 +146,7 @@ RAMP_QUERIES = [
     # + checksum via two chained mapInPandas — constant per-row work,
     # no shuffle beyond the small-table repartition, so the codec
     # family's scale claim is plain row-linearity
-    ("multimodal_real_decode", "linear", "x100"),
+    ("multimodal_real_decode", "linear", "x300"),
     # not registry surface — see _ivf_trained_serve below.
     ("ivf_trained_serve", "sublinear-serve", "x100"),
     # the compressed-index sibling (round-10): serve-only IVFPQ against

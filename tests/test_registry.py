@@ -109,6 +109,22 @@ def test_driver_green_rounds_skips_malformed_artifacts(tmp_path, monkeypatch):
     assert green == {"good_q": 5, "other_q": 5}
 
 
+def test_benchmark_order_is_rotation_invariant():
+    """bench.py measures in registry.benchmark_order(): it must cover
+    every registered query exactly once and must NOT move when the
+    driver-window rotation reorders QUERIES (execution order is part of
+    the measurement on a shared JVM — see benchmark_order docstring)."""
+    try:
+        base = registry.benchmark_order()
+        assert sorted(base) == sorted(registry.QUERIES)
+        assert base[: len(registry._PINNED)] == registry._PINNED
+        registry._apply_registration_order(7, green_rounds={n: i % 5 for i, n in enumerate(base)})
+        assert registry.benchmark_order() == base
+        assert list(registry.QUERIES) != base  # rotation really reordered
+    finally:
+        registry._apply_registration_order()
+
+
 def test_every_query_is_oracle_checked_or_documented():
     missing = set(registry.QUERIES) - set(registry.ORACLES)
     assert missing <= ROWS_ONLY_ALLOWED, (
