@@ -237,6 +237,24 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(src)
         )
+        # Enforce in-order ARRIVAL (the contract the doc's
+        # "lifecycle-aligned time-sliced input files" line claims): the
+        # file source admits files by MODIFICATION time, and a bulk
+        # parquet write leaves every part with the same mtime, so
+        # sustained batches arrive in arbitrary listing order. For the
+        # processing-time topologies that only adds jitter; for the
+        # event-time ones it is fatal — one early batch containing a
+        # late-timeline file jacks the watermark past everything still
+        # unread, the engine drops the rest as late, and the measured
+        # run stalls at a fraction of the projections (round-11 finding:
+        # tws-event sustained froze at 467/2000). Part-file names follow
+        # the range partitioning (= event-time order), so strictly
+        # increasing mtimes in name order pin the arrival order.
+        base = time.time() - 7200
+        for i, f in enumerate(
+            sorted(Path(src).glob("part-*"))
+        ):
+            os.utime(f, (base + i, base + i))
         # warm the streaming machinery once per tier shape so the first
         # measured run doesn't pay one-off python-worker/codegen startup
         if n == TIERS[0]:
