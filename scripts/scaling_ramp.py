@@ -646,6 +646,22 @@ def main() -> None:
         "same-step cpu pair — measured under a co-loaded window (load1",
         "14-26), so the CPU exponent is the load-bearing number.",
         "",
+        "**graph-family workup (round 11):** the r10 watch item —",
+        "graph_bfs_hops bench wall climbing 4.3 -> 7.7 -> 10.9 s across",
+        "rounds on byte-identical code — was a real config interaction,",
+        "not noise: the r9 initialPartitionNum=512 setting made every",
+        "persist()/localCheckpoint() of a shuffled frame materialize at",
+        "512 un-coalesced partitions (AQE may not change cached-plan",
+        "output partitioning by default), so iterative operators paid",
+        "hundreds of near-empty tasks per hop on every cache read. Fixed",
+        "in session.py (canChangeCachedPlanOutputPartitioning=true): bfs",
+        "184.8 -> 35.2 CPU-s at sf0.1, minhash 140 -> 22, pagerank 95 ->",
+        "8; full workup in BASELINE.md. The graph rows above were then",
+        "re-measured under the fixed config, adding their same-step CPU",
+        "columns (bfs e_cpu 0.69, pagerank 0.74 at x10->x100 — the",
+        "iterative family is sublinear on the robust clock too; the",
+        "wall cells carry their own noise evidence in SCALING.json).",
+        "",
     ]
     confirmed = []
     cleared = []
