@@ -29,6 +29,16 @@ class ProgressRecord:
     input_rows_per_second: float
     process_rows_per_second: float
     state_rows: int | None
+    # Sum of numRowsDroppedByWatermark across the batch's stateful
+    # operators. THE alarm metric for event-time pipelines: a sustained
+    # non-zero rate means the source's arrival order violates the
+    # watermark delay and the engine is silently discarding data —
+    # e.g. an out-of-order backfill dribbled through a rate limit
+    # (measured failure mode: docs/DEPLOYMENT.md §5 and the round-11
+    # STREAMING.md narrative, where exactly this froze a sustained
+    # event-time run at 467/2000 projections). Page on it; don't graph
+    # it quietly.
+    rows_dropped_by_watermark: int = 0
     observed: dict[str, Any] = field(default_factory=dict)
 
 
@@ -61,6 +71,10 @@ class ProgressMonitor(StreamingQueryListener):
             state_rows=(
                 int(state[0]["numRowsTotal"]) if state else None
             ),
+            rows_dropped_by_watermark=sum(
+                int(op.get("numRowsDroppedByWatermark", 0) or 0)
+                for op in state
+            ),
             observed=p.get("observedMetrics", {}) or {},
         )
         with self._lock:
@@ -92,6 +106,9 @@ class ProgressMonitor(StreamingQueryListener):
             "max_state_rows": max(
                 (r.state_rows for r in recs if r.state_rows is not None),
                 default=None,
+            ),
+            "rows_dropped_by_watermark": sum(
+                r.rows_dropped_by_watermark for r in recs
             ),
             "observed": observed_sums,
         }

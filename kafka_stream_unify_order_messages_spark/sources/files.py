@@ -52,6 +52,42 @@ def _first_parquet_file(path: str) -> str:
     return path
 
 
+def pin_file_arrival_order(
+    path: str,
+    pattern: str = "part-*",
+    spacing_s: float = 1.0,
+) -> list[str]:
+    """Make a directory of files arrive IN NAME ORDER when read as a
+    rate-limited file stream (``maxFilesPerTrigger``), by stamping
+    strictly increasing modification times in sorted-name order (ending
+    in the past, so files written later still sort after).
+
+    Why this exists: Spark's file streaming source admits files by
+    modification time, and a bulk DataFrame write gives every part file
+    the SAME mtime — so a rate-limited replay arrives in arbitrary
+    listing order. Processing-time pipelines only see jitter; for
+    event-time pipelines it is data loss: one early batch containing a
+    late-timeline file advances the watermark past everything still
+    unread and the engine silently drops the rest as late (round-11
+    measured failure: a sustained event-time run froze at 467/2000
+    projections — STREAMING.md narrative, docs/DEPLOYMENT.md §5).
+    Range-partitioned writes name part files in key order, so name
+    order IS event-time order for a ``repartitionByRange(ts)`` layout.
+
+    Returns the ordered file list. ``spacing_s`` must exceed the file
+    source's mtime granularity (1 s is safe everywhere).
+    """
+    import glob as _glob
+    import time as _time
+
+    files = sorted(_glob.glob(os.path.join(path, pattern)))
+    base = _time.time() - spacing_s * (len(files) + 3600)
+    for i, f in enumerate(files):
+        ts = base + i * spacing_s
+        os.utime(f, (ts, ts))
+    return files
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,

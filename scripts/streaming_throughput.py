@@ -58,6 +58,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from kafka_stream_unify_order_messages_spark import get_spark
+from kafka_stream_unify_order_messages_spark.sources.files import (
+    pin_file_arrival_order,
+)
 from kafka_stream_unify_order_messages_spark.sources.generator import (
     generate_order_events_distributed,
 )
@@ -238,23 +241,13 @@ def main() -> None:
             .parquet(src)
         )
         # Enforce in-order ARRIVAL (the contract the doc's
-        # "lifecycle-aligned time-sliced input files" line claims): the
-        # file source admits files by MODIFICATION time, and a bulk
-        # parquet write leaves every part with the same mtime, so
-        # sustained batches arrive in arbitrary listing order. For the
-        # processing-time topologies that only adds jitter; for the
-        # event-time ones it is fatal — one early batch containing a
-        # late-timeline file jacks the watermark past everything still
-        # unread, the engine drops the rest as late, and the measured
-        # run stalls at a fraction of the projections (round-11 finding:
-        # tws-event sustained froze at 467/2000). Part-file names follow
-        # the range partitioning (= event-time order), so strictly
-        # increasing mtimes in name order pin the arrival order.
-        base = time.time() - 7200
-        for i, f in enumerate(
-            sorted(Path(src).glob("part-*"))
-        ):
-            os.utime(f, (base + i, base + i))
+        # "lifecycle-aligned time-sliced input files" line claims): a
+        # bulk parquet write leaves every part with the same mtime, so
+        # sustained batches would arrive in arbitrary listing order —
+        # fatal for the event-time topologies (round-11 finding:
+        # tws-event sustained froze at 467/2000 until pinned). See
+        # sources/files.py:pin_file_arrival_order.
+        pin_file_arrival_order(src)
         # warm the streaming machinery once per tier shape so the first
         # measured run doesn't pay one-off python-worker/codegen startup
         if n == TIERS[0]:

@@ -117,6 +117,67 @@ def test_progress_monitor_collects_batches_and_state(spark, tmp_path):
         assert t["input_rows"] >= 4
         # dedup state holds the 3 distinct keys
         assert t["max_state_rows"] == 3
+        assert t["rows_dropped_by_watermark"] == 0
+        # now a LATE batch: first jack the watermark far ahead, then
+        # feed rows behind it — the engine drops them and the monitor
+        # must surface the count (the deployment alarm for out-of-order
+        # arrival vs the watermark delay; DEPLOYMENT.md §5)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": ["z"],
+                    "timestamp": ["2026-01-01T03:00:00.000Z"],
+                }
+            ),
+            f"{src}/batch-0001.parquet",
+        )
+        q.processAllAvailable()
+        pq.write_table(
+            pa.table(
+                {
+                    "k": ["old1", "old2"],
+                    "timestamp": ["2026-01-01T00:01:00.000Z"] * 2,
+                }
+            ),
+            f"{src}/batch-0002.parquet",
+        )
+        q.processAllAvailable()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            t = monitor.totals()
+            if t["rows_dropped_by_watermark"] >= 2:
+                break
+            time.sleep(0.3)
+        assert monitor.totals()["rows_dropped_by_watermark"] >= 2
     finally:
         q.stop()
         spark.streams.removeListener(monitor)
+
+
+def test_pin_file_arrival_order(tmp_path):
+    """Strictly increasing mtimes in sorted-name order, all in the past
+    (a file written afterwards still sorts last) — the property the
+    file source needs for in-order rate-limited replay."""
+    import os
+    import time as _time
+
+    from kafka_stream_unify_order_messages_spark.sources.files import (
+        pin_file_arrival_order,
+    )
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    # create in scrambled order so ctime/mtime disagree with name order
+    for name in ["part-00002", "part-00000", "part-00001"]:
+        (d / name).write_bytes(b"x")
+    (d / "unrelated.txt").write_bytes(b"y")
+    ordered = pin_file_arrival_order(str(d))
+    assert [os.path.basename(f) for f in ordered] == [
+        "part-00000", "part-00001", "part-00002",
+    ]
+    mtimes = [os.stat(f).st_mtime for f in ordered]
+    assert mtimes == sorted(mtimes)
+    assert len(set(mtimes)) == len(mtimes)  # strictly increasing
+    assert mtimes[-1] < _time.time()  # later writes still sort after
+    # non-matching files untouched
+    assert os.stat(d / "unrelated.txt").st_mtime > mtimes[-1]
