@@ -139,6 +139,33 @@ def _try_import_pil():
         return None
 
 
+def _resolve_decoder_tier(tier: str):
+    """Map a codec-tier pin to the Pillow module to use (or None for the
+    stdlib codec). Runs on the EXECUTOR inside the mapInPandas closure.
+
+    - ``"auto"``: Pillow when importable, else the stdlib codec — the
+      historical behavior. On a MIXED fleet (some executors have Pillow)
+      hash-style consumers get tier-dependent output (the 1-LSB luma
+      divergence, see ``to_grayscale``), so auto is only safe when the
+      whole fleet is one tier or the consumer is Hamming-tolerant.
+    - ``"stdlib"``: NEVER consults Pillow — bit-identical output on
+      every executor regardless of what is installed. The pin for
+      equality-join consumers on heterogeneous clusters.
+    - ``"pillow"``: require Pillow; an executor without it fails loudly
+      here instead of silently hashing on the divergent stdlib tier.
+    """
+    if tier == "stdlib":
+        return None
+    mod = _try_import_pil()
+    if tier == "pillow" and mod is None:
+        raise ImportError(
+            "decoder tier pinned to 'pillow' but Pillow is not "
+            "importable on this executor — install it fleet-wide, or "
+            "pin tier='stdlib' for a Pillow-independent hash"
+        )
+    return mod
+
+
 # ---------------------------------------------------------------------------
 # Stdlib-only image codec (PNG + PPM/PGM): runtime-proves the decode
 # contract in codec-less environments. PNG here is the real format —
@@ -689,7 +716,10 @@ def resize_media(
 
 
 def decoded_phash(
-    df: DataFrame, id_col: str = "doc_id", hash_size: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_size: int = 8,
+    tier: str = "auto",
 ) -> DataFrame:
     """Perceptual average-hash over REAL decoded pixels: grayscale ->
     ``hash_size``²-pixel BILINEAR resize -> bit j set when pixel j
@@ -699,17 +729,22 @@ def decoded_phash(
     ``media_phash``, so ``hamming_pairs`` / ``media_dedup`` consume
     either interchangeably; undecodable payloads yield null.
 
-    Decoder resolution mirrors ``decode_media``: Pillow when importable
-    on the executors (any PIL-readable format; unparseable rows
-    quarantine as null); otherwise the stdlib codec + the numpy BILINEAR
-    resampler for recognized payloads (PNG / binary PPM/PGM — corrupt
-    bytes quarantine, unrecognized magic raises the honest
-    ``NotImplementedError`` gate). The two tiers use slightly different
-    integer luma roundings (see ``to_grayscale``), so the SAME image
-    hashed on a Pillow executor vs a stdlib executor agrees within a
-    small Hamming distance, not bit-exactly — fine for the
+    Decoder resolution (``tier="auto"``) mirrors ``decode_media``:
+    Pillow when importable on the executors (any PIL-readable format;
+    unparseable rows quarantine as null); otherwise the stdlib codec +
+    the numpy BILINEAR resampler for recognized payloads (PNG / binary
+    PPM/PGM — corrupt bytes quarantine, unrecognized magic raises the
+    honest ``NotImplementedError`` gate). The two tiers use slightly
+    different integer luma roundings (see ``to_grayscale``), so the SAME
+    image hashed on a Pillow executor vs a stdlib executor agrees within
+    a small Hamming distance, not bit-exactly — fine for the
     ``hamming_pairs`` consumers, but don't join raw hash values across
-    tiers as equality keys.
+    tiers as equality keys. To make equality joins safe on a MIXED or
+    heterogeneous fleet, pin the codec: ``tier="stdlib"`` forces the
+    Pillow-independent path on every executor (bit-identical output
+    whether or not Pillow is installed); ``tier="pillow"`` requires
+    Pillow and fails loudly on executors lacking it (see
+    ``_resolve_decoder_tier``).
 
     Comparisons are integer cross-multiplied (``pixel * n > total``) —
     no float division, bit-identical across batch shapes.
@@ -718,6 +753,10 @@ def decoded_phash(
     n_bits = hash_size * hash_size
     if n_bits > 64:
         raise ValueError("hash_size^2 must fit in 64 bits")
+    if tier not in ("auto", "stdlib", "pillow"):
+        raise ValueError(
+            f"tier must be 'auto', 'stdlib' or 'pillow', got {tier!r}"
+        )
 
     def ahash(px: np.ndarray) -> int:
         flat = px.astype(np.int64).ravel()
@@ -730,7 +769,7 @@ def decoded_phash(
         return h - (1 << 64) if h >= 1 << 63 else h
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = _try_import_pil()
+        image_mod = _resolve_decoder_tier(tier)
         import io
 
         for pdf in pdfs:

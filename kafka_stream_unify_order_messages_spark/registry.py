@@ -570,28 +570,6 @@ _PINNED = [
 _ROTATING_SLOTS = 36  # driver window (~50) minus the pinned block
 
 
-def _current_round() -> int:
-    import os
-    import re
-    from pathlib import Path
-
-    env = os.environ.get("SPARK_GRAFT_ROUND", "")
-    if env.isdigit():
-        return int(env)
-    # source checkout: package parent IS the repo root; installed
-    # package: it's site-packages, so also probe the working directory
-    # instead of silently pinning round 1
-    rounds = []
-    for root in (Path(__file__).resolve().parent.parent, Path.cwd()):
-        for p in root.glob("CORRECTNESS_r*.json"):
-            m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
-            if m:
-                rounds.append(int(m.group(1)))
-        if rounds:
-            break
-    return max(rounds) + 1 if rounds else 1
-
-
 def _driver_green_rounds() -> dict[str, int]:
     """Map each query name to the HIGHEST round N whose driver
     CORRECTNESS_r{N}.json holds a PASSING row for it (hash_match true and
@@ -646,8 +624,11 @@ def _apply_registration_order(
     round_no: int | None = None,
     green_rounds: dict[str, int] | None = None,
 ) -> None:
-    if round_no is None:
-        round_no = _current_round()
+    # round_no is an ignored legacy/test parameter: ordering stopped
+    # being round-indexed when the stalest-green-first policy landed
+    # (r11); it stays so callers/tests can assert determinism per round
+    # without churning signatures.
+    del round_no
     if green_rounds is None:
         green_rounds = _driver_green_rounds()
     if not _BASE_ORDER:
@@ -676,8 +657,7 @@ def _apply_registration_order(
     # their most recent driver-green row, ascending (never-checked = 0,
     # so new queries still lead; ties keep stable base order — Python's
     # sort is stable). See _driver_green_rounds and the policy block
-    # above. round_no is no longer an ordering input but stays a
-    # parameter so callers/tests can assert determinism per round.
+    # above.
     oracled.sort(key=lambda n: green_rounds.get(n, 0))
     for name in oracled + rows_only:
         ordered[name] = QUERIES[name]

@@ -365,10 +365,16 @@ def make_bucket_first_wins_event_fn(retention_ms: int | None = None):
             if len(st) == 5:
                 # pre-retention checkpoint layout (no last_ts column):
                 # tolerate it as last_ts=None — retention re-arms on the
-                # bucket's next touch. NOTE: whether a 5-field checkpoint
-                # even reaches Python depends on Spark's state-row
-                # deserializer accepting the widened schema; if the JVM
-                # rejects it, restart the stream on a fresh checkpoint.
+                # bucket's next touch. Upgrade path (verified by
+                # test_pre_retention_5field_checkpoint_compat): under the
+                # default stateStore.stateSchemaCheck=true a restart on a
+                # 5-field checkpoint fails fast with the named
+                # STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE error; with the
+                # check disabled for ONE upgrade run, the old row
+                # deserializes correctly under the widened schema (a
+                # trailing nullable long is positionally safe), this
+                # branch reads it, and re-writes store 6 fields —
+                # re-enable the check afterwards.
                 first_seq, first_id, p_seqs, p_ids, p_ts = st
                 last_ts = None
             else:

@@ -284,7 +284,16 @@ def _check_supported(fdp: dict) -> None:
             )
         for f in m.get("field", []):
             ftype = f.get("type")
-            if ftype not in _SUPPORTED_FIELD_TYPES:
+            if ftype is None:
+                # a missing type field means the descriptor itself is
+                # malformed / only partially parsed — name THAT, not a
+                # phantom unsupported wire type
+                problems.append(
+                    f"{qual}.{f.get('name', '?')} field descriptor is "
+                    "missing its type field (malformed or incompletely "
+                    "parsed descriptor)"
+                )
+            elif ftype not in _SUPPORTED_FIELD_TYPES:
                 tname = _TYPE_NAMES.get(ftype, f"type {ftype}")
                 problems.append(
                     f"{qual}.{f.get('name', '?')} uses {tname} "

@@ -418,8 +418,15 @@ def main() -> None:
     md_path = _ROOT / "STREAMING.md"
     if md_path.exists():
         old = md_path.read_text().splitlines()
-        if "## Narrative" in old:
-            kept = old[old.index("## Narrative"):]
+        # match by prefix: the carried-over heading gains a staleness
+        # stamp below, so exact-equality matching would find it once and
+        # then never again
+        idx = next(
+            (i for i, ln in enumerate(old) if ln.startswith("## Narrative")),
+            None,
+        )
+        if idx is not None:
+            kept = old[idx:]
             # stop before the generated sibling-measurements footer so it
             # isn't duplicated on the next regeneration
             for i, ln in enumerate(kept):
@@ -428,6 +435,14 @@ def main() -> None:
                     break
             while kept and kept[-1] == "":
                 kept.pop()
+            # stamp the carried-over analysis so a regeneration with new
+            # numbers can't silently ship last round's prose as if it
+            # were written against the fresh table; the builder removes
+            # the stamp (restores the bare heading) after re-verifying
+            kept[0] = (
+                "## Narrative (carried over from a previous generation"
+                " — re-verify against the regenerated table above)"
+            )
             narrative = [""] + kept
     lines += narrative
     lines += [

@@ -684,3 +684,142 @@ def test_verified_event_time_stream_under_scrambled_arrival(
     assert got == want
     # the exact copy arrived first but loses to its lower-seq original
     assert got[9000] == (True, base[0][0], 1.0)
+
+
+def test_pre_retention_5field_checkpoint_compat(spark, tmp_path, monkeypatch):
+    """Upgrade path for checkpoints written BEFORE the retention work
+    widened the event-time bucket state with a trailing `last_ts` column
+    (see the compat branch in make_bucket_first_wins_event_fn).
+
+    Empirically verified, both halves:
+
+    1. Under the DEFAULT `spark.sql.streaming.stateStore.stateSchemaCheck
+       = true`, restarting the widened topology on a 5-field checkpoint
+       fails fast at the first batch with the named
+       STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE error — never silent
+       corruption.
+    2. With the check explicitly disabled for one upgrade run, the old
+       5-field state row DOES deserialize under the widened schema (a
+       trailing nullable long widening is positionally safe), the
+       kernel's len(st)==5 branch tolerates it as last_ts=None, and
+       decisions against legacy-buffered exemplars come out correct;
+       state re-writes store the 6-field layout thereafter.
+    """
+    import pytest
+
+    import kafka_stream_unify_order_messages_spark.streaming.dedup_stream as DS
+
+    OLD_SCHEMA = (
+        "first_seq long, first_id long,"
+        " pend_seqs array<long>, pend_ids array<long>, pend_ts array<long>"
+    )
+
+    def legacy_factory(retention_ms=None):
+        # minimal pre-retention writer: buffer arrivals in 5-field state,
+        # decide nothing (decisions happen post-upgrade, exercising the
+        # compat read), arm a far timeout so state persists
+        def fn(key, pdfs, state):
+            if state.exists:
+                _fs, _fi, p_seqs, p_ids, p_ts = state.get
+                p_seqs, p_ids, p_ts = list(p_seqs), list(p_ids), list(p_ts)
+            else:
+                p_seqs, p_ids, p_ts = [], [], []
+            if not state.hasTimedOut:
+                for pdf in pdfs:
+                    for doc_id, seq, ts in pdf[
+                        ["doc_id", "seq", "_ts_ms"]
+                    ].itertuples(index=False):
+                        p_seqs.append(int(seq))
+                        p_ids.append(int(doc_id))
+                        p_ts.append(int(ts))
+            state.update((None, None, p_seqs, p_ids, p_ts))
+            state.setTimeoutTimestamp(max(p_ts) + 60_000)
+            return iter(())
+
+        return fn
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    # memory sink refuses checkpoint recovery -> parquet FileStreamSink
+
+    def start_query():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        return (
+            DS.band_decisions_stream_event_time(
+                stream, watermark_delay="5 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .start()
+        )
+
+    # --- run 1: the legacy 5-field topology commits buffered state ---
+    monkeypatch.setattr(DS, "BUCKET_STATE_EVENT_SCHEMA", OLD_SCHEMA)
+    monkeypatch.setattr(
+        DS, "make_bucket_first_wins_event_fn", legacy_factory
+    )
+    q1 = start_query()
+    try:
+        _write_chunk(
+            src,
+            [
+                (1, 1000, "hello world text one two three"),
+                (2, 2000, "another document text four five six"),
+            ],
+            0,
+        )
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    monkeypatch.undo()
+
+    # --- restart A: default schema check names the incompatibility ---
+    _write_chunk(
+        src,
+        [
+            (3, 70_000, "kicker doc text to nudge and close horizon"),
+            (4, 2100, "hello world text one two three"),  # dup of 1
+        ],
+        1,
+    )
+    q2 = start_query()
+    try:
+        with pytest.raises(Exception) as exc_info:
+            q2.processAllAvailable()
+        assert "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE" in str(
+            exc_info.value
+        )
+    finally:
+        q2.stop()
+
+    # --- restart B: one-run escape hatch completes the upgrade ---
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.stateSchemaCheck", "false"
+    )
+    try:
+        q3 = start_query()
+        try:
+            q3.processAllAvailable()
+            q3.processAllAvailable()  # let armed timeouts fire
+        finally:
+            q3.stop()
+    finally:
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.stateSchemaCheck"
+        )
+    got = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in near_dup_verdicts(
+            spark.read.parquet(str(out)).filter(F.col("doc_id") < 99999)
+        ).collect()
+    }
+    # doc 1's exemplar claim was sitting in LEGACY 5-field state; the
+    # widened kernel read it back and doc 4 (same text, higher seq)
+    # correctly resolves as its duplicate
+    assert got[1] == (False, None)
+    assert got[2] == (False, None)
+    assert got[4] == (True, 1)

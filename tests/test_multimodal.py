@@ -539,6 +539,75 @@ def test_decoded_phash_stdlib_path(spark):
     assert "NotImplementedError" in str(exc_info.value)
 
 
+def test_decoder_tier_resolution(monkeypatch):
+    """tier='stdlib' must NEVER consult Pillow — that is what makes the
+    pinned hash bit-identical with and without Pillow installed. The
+    fake module stands in for 'Pillow is installed'; the None patch for
+    'it is not'. (The e2e value identity is pinned by the test below.)"""
+    sentinel = object()
+    monkeypatch.setattr(M, "_try_import_pil", lambda: sentinel)
+    assert M._resolve_decoder_tier("stdlib") is None  # ignores Pillow
+    assert M._resolve_decoder_tier("auto") is sentinel
+    assert M._resolve_decoder_tier("pillow") is sentinel
+    monkeypatch.setattr(M, "_try_import_pil", lambda: None)
+    assert M._resolve_decoder_tier("stdlib") is None
+    assert M._resolve_decoder_tier("auto") is None
+    with pytest.raises(ImportError, match="pinned to 'pillow'"):
+        M._resolve_decoder_tier("pillow")
+
+
+def test_decoded_phash_tier_stdlib_is_pillow_independent(spark):
+    """tier='stdlib' output equals the pure-stdlib computation (the same
+    decode -> ITU-601 luma -> BILINEAR tile -> aHash integer math, run
+    locally). Because the expectation never touches Pillow, this test
+    asserts the SAME hash values in a Pillow-less env and in a
+    Pillow-installed env — the fleet-uniformity contract of the pin."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 40, 3)).astype("uint8")
+    png = M.encode_png(px)
+
+    tile = M.resample_image(
+        M.to_grayscale(px), 8, 8, kernel="bilinear"
+    ).astype("int64").ravel()
+    total = int(tile.sum())
+    expected = 0
+    for j in range(64):
+        if int(tile[j]) * 64 > total:
+            expected |= 1 << j
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in M.decoded_phash(df, tier="stdlib").collect()
+    }
+    assert got[1] == expected
+    if _PIL_IMAGE is None:
+        # without Pillow, auto falls back to the same stdlib path
+        auto = {
+            r.doc_id: r.phash for r in M.decoded_phash(df).collect()
+        }
+        assert auto[1] == expected
+
+
+def test_decoded_phash_tier_validation(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P5\n2 2\n255\n\x00\x40\x80\xc0"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(ValueError, match="tier must be"):
+        M.decoded_phash(df, tier="fast")
+    if _PIL_IMAGE is None:
+        with pytest.raises(Exception) as exc_info:
+            M.decoded_phash(df, tier="pillow").collect()
+        assert "pinned to 'pillow'" in str(exc_info.value)
+
+
 @pytest.mark.skipif(_PIL_IMAGE is None, reason="Pillow not installed")
 def test_real_decode_and_phash_over_decoded_pixels(spark):
     # the optional-dependency path: true dims from PIL, identical pixels

@@ -230,6 +230,23 @@ def test_guard_rejects_map_entry_type():
         PS.build_module(blob, "guard_under_test")
 
 
+def test_guard_names_missing_type_as_malformed_descriptor():
+    # a field descriptor with NO type field at all is a malformed /
+    # partially-parsed descriptor — the guard must say so instead of
+    # misdiagnosing it as an unsupported wire "type None"
+    typeless = (
+        _len_field(1, b"mystery")
+        + _vint_field(3, 1)
+        + _vint_field(4, 1)  # LABEL_OPTIONAL, but no type (tag 5)
+    )
+    blob = _file_desc(_message_desc("Bad", _len_field(2, typeless)))
+    with pytest.raises(
+        PS.UnsupportedProtoFeature,
+        match=r"Bad\.mystery.*missing its type field",
+    ):
+        PS.build_module(blob, "guard_under_test")
+
+
 def test_guard_rejects_editions_syntax():
     blob = _file_desc(_message_desc("Ok"), syntax="editions")
     with pytest.raises(PS.UnsupportedProtoFeature, match="editions"):
