@@ -4,7 +4,7 @@ Runs every registry query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "cpu_value": <total JVM-CPU sec>,
+     "queries": {"q": sec, ...}, "cpu_value": <total engine-CPU sec>,
      "queries_cpu": {"q": sec, ...}, "sf": <sf>}
 
 Each query executes fully via the noop sink (JVM-side, no driver collect) so
@@ -17,15 +17,15 @@ Two clocks per query:
   load (round-11 finding: four full sweeps on near-identical code
   spanned 201-247 s with disjoint random spikes while the 53-query
   common set was flat at 1.003x).
-- JVM-CPU (`cpu_value` / `queries_cpu`): user+system CPU seconds the
-  one local-mode JVM burned executing the query — robust to losing
-  cores to co-tenants (inflated only by memory-stall cycles). This is
-  the CROSS-ROUND TREND ANCHOR (BASELINE.md): compare rounds on
-  cpu_value; treat wall deltas without a CPU delta as load noise.
-  Valid precisely because the harness is local-mode — driver + every
-  executor thread live in the single gateway JVM, so /proc accounting
-  captures all query work (Python-worker CPU for MapInPandas stages is
-  outside it, but those stages' JVM-side Arrow pump still registers).
+- engine-CPU (`cpu_value` / `queries_cpu`): user+system CPU seconds the
+  engine process tree (the one local-mode JVM — driver + all executor
+  threads — plus its pyspark.daemon / Arrow python-worker descendants)
+  burned executing the query — robust to losing cores to co-tenants
+  (inflated only by memory-stall cycles). This is the CROSS-ROUND TREND
+  ANCHOR (BASELINE.md): compare rounds on cpu_value; treat wall deltas
+  without a CPU delta as load noise. Valid precisely because the
+  harness is local-mode: the whole "cluster" is that one process tree,
+  so /proc accounting captures all query work, JVM- and Python-side.
 """
 
 from __future__ import annotations
@@ -42,19 +42,49 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_stream_unify_order_messages_spark import get_spark, registry
 
 
-def _jvm_cpu_seconds(spark) -> float | None:
-    """Cumulative user+system CPU seconds of the Spark JVM process (same
-    instrument as scripts/scaling_ramp.py — see that helper's docstring
-    for why this is the load-robust clock in local mode). Returns None
-    when the JVM pid is not discoverable (connect/cluster session) and
-    the bench degrades to wall-only."""
+def _engine_cpu_seconds(spark) -> float | None:
+    """Cumulative user+system CPU seconds of the WHOLE engine process
+    tree: the gateway JVM (driver + every executor thread in local mode)
+    plus every live descendant — pyspark.daemon and the Arrow python
+    workers that execute MapInPandas/Pandas-UDF stages. Same /proc
+    instrument as scripts/scaling_ramp.py:_jvm_cpu_seconds (see there
+    for why CPU is the load-robust clock on a co-tenant host), widened
+    so Python-heavy queries are not under-counted. Each stat row also
+    adds cutime/cstime (CPU of already-reaped children), which keeps the
+    series continuous when a worker exits between two samples: while
+    alive its CPU is counted from its own row, after reaping from the
+    parent's cutime — never both, never neither. Returns None when the
+    JVM pid is not discoverable (connect/cluster session); the bench
+    then degrades to wall-only."""
     try:
-        pid = spark.sparkContext._gateway.proc.pid
-        with open(f"/proc/{pid}/stat") as f:
-            after_comm = f.read().rsplit(")", 1)[1].split()
-        utime, stime = int(after_comm[11]), int(after_comm[12])
-        return (utime + stime) / os.sysconf("SC_CLK_TCK")
-    except (AttributeError, OSError, IndexError, ValueError):
+        root = spark.sparkContext._gateway.proc.pid
+    except AttributeError:
+        return None
+    ticks: dict[int, int] = {}
+    children: dict[int, list[int]] = {}
+    try:
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue  # process exited mid-scan
+            ppid = int(parts[1])
+            pid = int(entry)
+            ticks[pid] = sum(int(parts[i]) for i in (11, 12, 13, 14))
+            children.setdefault(ppid, []).append(pid)
+        if root not in ticks:
+            return None
+        total = 0
+        stack = [root]
+        while stack:
+            p = stack.pop()
+            total += ticks[p]
+            stack.extend(children.get(p, []))
+        return total / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
         return None
 
 
@@ -113,11 +143,11 @@ def main() -> None:
             n = runs
             done = 0
             while done < n:
-                c0 = _jvm_cpu_seconds(spark)
+                c0 = _engine_cpu_seconds(spark)
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
-                c1 = _jvm_cpu_seconds(spark)
+                c1 = _engine_cpu_seconds(spark)
                 if c0 is not None and c1 is not None:
                     best_cpu = min(best_cpu, c1 - c0)
                 done += 1
