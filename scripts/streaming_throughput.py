@@ -173,17 +173,25 @@ def run_tier(
     try:
         deadline = time.time() + 900
         done = 0
+        t_ingested = None  # end of the last real-input micro-batch
         kicked = semantics not in ("event", "tws-event")
         while time.time() < deadline:
             if q.exception():
                 raise q.exception()
-            if not kicked:
+            if t_ingested is None:
                 ingested = sum(
                     p.numInputRows for p in q.recentProgress
                 )
                 if ingested >= n_events:
-                    write_kicker()
-                    kicked = True
+                    # all real input admitted AND processed (progress is
+                    # reported at batch completion): steady-state ends
+                    # here; what remains is the drain — the buffer/
+                    # watermark-driven flush of the final windows (plus
+                    # the kicker batch for event-time semantics)
+                    t_ingested = time.time()
+                    if not kicked:
+                        write_kicker()
+                        kicked = True
             done = spark.table(name).count()
             if done >= n_lifecycles:
                 break
@@ -198,7 +206,7 @@ def run_tier(
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         spark.catalog.dropTempView(name)
-    return {
+    rec = {
         "lifecycles": n_lifecycles,
         "events_in": n_events,
         "mode": mode,
@@ -208,6 +216,18 @@ def run_tier(
         "events_per_sec": round(n_events / elapsed),
         "projections_per_sec": round(n_lifecycles / elapsed),
     }
+    if t_ingested is not None:
+        # split the fixed drain tail out of the rate: at small tiers the
+        # tail (a buffer/kicker flush, independent of N) dominates the
+        # whole-elapsed rate and distorts tier-to-tier comparisons —
+        # steady_events_per_sec is the per-event cost the tail-free
+        # steady state actually pays (it still includes one-off stream
+        # startup, so the smallest tier remains conservative)
+        ingest = max(t_ingested - t0, 1e-9)
+        rec["ingest_sec"] = round(ingest, 2)
+        rec["drain_sec"] = round(elapsed - ingest, 2)
+        rec["steady_events_per_sec"] = round(n_events / ingest)
+    return rec
 
 
 def main() -> None:
@@ -218,10 +238,34 @@ def main() -> None:
     )
     # SPARK_TP_TWS=1: measure ONLY the v2 transformWithState rows
     # (bulk + sustained, RocksDB — TWS's required provider) and merge
-    # with the existing STREAMING.json grid instead of re-measuring it
+    # with the existing STREAMING.json grid instead of re-measuring it.
+    # SPARK_TP_EVENT=1: same, for ONLY the v1 event-time rows (bulk +
+    # sustained, HDFS store like the other v1 rows).
     tws_only = os.environ.get("SPARK_TP_TWS", "0") == "1"
+    event_only = os.environ.get("SPARK_TP_EVENT", "0") == "1"
+    # SPARK_TP_CELL=lifecycles:mode:semantics[:store] — re-measure ONE
+    # grid cell and merge it (the confirm-or-clear protocol for a cell
+    # that spiked: re-measure on a quiet window; the merged value is the
+    # fresh measurement either way)
+    cell = os.environ.get("SPARK_TP_CELL", "")
+    if sum((tws_only, event_only, bool(cell))) > 1:
+        raise SystemExit(
+            "set at most one of SPARK_TP_TWS / SPARK_TP_EVENT / "
+            "SPARK_TP_CELL"
+        )
+    cell_n = cell_mode = cell_sem = cell_store = None
+    if cell:
+        parts = cell.split(":")
+        cell_n, cell_mode, cell_sem = int(parts[0]), parts[1], parts[2]
+        cell_store = parts[3] if len(parts) > 3 else (
+            "rocksdb" if cell_sem.startswith("tws") else "hdfs"
+        )
+        if cell_n not in TIERS:
+            raise SystemExit(f"SPARK_TP_CELL tier must be one of {TIERS}")
     records = []
     for n in TIERS:
+        if cell and n != cell_n:
+            continue
         src = tempfile.mkdtemp(prefix=f"tp_src_{n}_")
         (
             # slice = lifecycle index (the generator spaces lifecycles
@@ -251,11 +295,70 @@ def main() -> None:
         # warm the streaming machinery once per tier shape so the first
         # measured run doesn't pay one-off python-worker/codegen startup
         if n == TIERS[0]:
+            warm_sem = (
+                "tws" if tws_only
+                else ("event" if event_only else "processing")
+            )
             run_tier(
                 spark, n, src, "bulk",
-                semantics="tws" if tws_only else "processing",
+                semantics=warm_sem,
                 store="rocksdb" if tws_only else "hdfs",
             )
+            # an event-semantics warm run leaves its kicker behind
+            kick = Path(src) / "zz_kicker.parquet"
+            if kick.exists():
+                kick.unlink()
+        if cell:
+            # warm the measured family's machinery (processing-time twin:
+            # no kicker residue), then the one selected cell
+            run_tier(
+                spark, n, src, "bulk",
+                semantics="tws" if cell_sem.startswith("tws")
+                else "processing",
+                store=cell_store,
+            )
+            rec = run_tier(
+                spark, n, src, cell_mode, store=cell_store,
+                semantics=cell_sem,
+            )
+            kick = Path(src) / "zz_kicker.parquet"
+            if kick.exists():
+                kick.unlink()
+            records.append(rec)
+            print(
+                f"{n:>8} lifecycles {cell_mode:9s} {cell_store:8s} "
+                f"{cell_sem} {rec['elapsed_sec']:7.2f}s "
+                f"{rec['events_per_sec']:>7} ev/s in "
+                f"{rec['projections_per_sec']:>7} proj/s out "
+                f"(drain {rec.get('drain_sec', float('nan')):.2f}s)",
+                file=sys.stderr,
+            )
+            shutil.rmtree(src, ignore_errors=True)
+            continue
+        if event_only:
+            # v1 event-time rows: bulk re-measured same-session for
+            # comparability, sustained filling the last grid blank
+            # (measurable since pin_file_arrival_order — an event-time
+            # topology fed same-mtime files in arbitrary order drops
+            # batches as late and under-emits, the round-11 finding)
+            for mode in ("bulk", "sustained"):
+                rec = run_tier(
+                    spark, n, src, mode, store="hdfs", semantics="event"
+                )
+                kick = Path(src) / "zz_kicker.parquet"
+                if kick.exists():
+                    kick.unlink()
+                records.append(rec)
+                print(
+                    f"{n:>8} lifecycles {mode:9s} hdfs     event "
+                    f"{rec['elapsed_sec']:7.2f}s "
+                    f"{rec['events_per_sec']:>7} ev/s in "
+                    f"{rec['projections_per_sec']:>7} proj/s out "
+                    f"(drain {rec.get('drain_sec', float('nan')):.2f}s)",
+                    file=sys.stderr,
+                )
+            shutil.rmtree(src, ignore_errors=True)
+            continue
         if tws_only:
             # bulk + sustained for BOTH tws semantics. The event-time
             # sustained cell includes the watermark-kicker drain in its
@@ -363,25 +466,42 @@ def main() -> None:
         "survives 100 TB state (incremental changelog checkpointing, state",
         "off-heap). The **event-time variant** (`unify_stream_event_time`,",
         "watermark-closed buffers, replay-deterministic) measures per tier",
-        "in bulk mode; its drain is driven by a far-future watermark-kicker",
-        "event appended after all real input is ingested. The **tws**",
+        "in bulk AND sustained modes (sustained requires in-order file",
+        "arrival — see pin_file_arrival_order); its drain is driven by a",
+        "far-future watermark-kicker event appended after all real input",
+        "is ingested. The **tws**",
         "semantics rows are the v2 `transformWithStateInPandas` topology",
         "(`unify_stream_tws`, explicit per-key timers; RocksDB required;",
         "runtime-unblocked in round 10 by the pure-stdlib proto shim) —",
-        "same lifecycle-aligned input, measured bulk + sustained; the",
-        "**tws-event** sustained cell's elapsed includes the kicker-",
-        "driven drain of the final window (a fixed tail, not a per-event",
-        "cost).",
+        "same lifecycle-aligned input, measured bulk + sustained.",
         "",
-        "| lifecycles | events in | mode | state store | semantics | elapsed | events/s in | projections/s out |",
-        "|---|---|---|---|---|---|---|---|",
+        "The last two columns split the FIXED final-window drain out of",
+        "the rate: **steady ev/s in** = events / time-to-ingest-all-input",
+        "(per-batch state commits included, drain excluded); **drain",
+        "tail** = the remainder of elapsed — the buffer/watermark flush of",
+        "the final windows (plus the kicker batch for event-time",
+        "semantics), independent of N. At small tiers the tail dominates",
+        "whole-elapsed rates (a ~10 s tail IS the 6k-event row), so",
+        "tier-to-tier scaling reads off the steady column. '—' = row",
+        "measured before the split existed.",
+        "",
+        "| lifecycles | events in | mode | state store | semantics | elapsed | events/s in | projections/s out | steady ev/s in | drain tail |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in records:
+        steady = (
+            f"{r['steady_events_per_sec']:,}"
+            if "steady_events_per_sec" in r
+            else "—"
+        )
+        drain = (
+            f"{r['drain_sec']:.2f} s" if "drain_sec" in r else "—"
+        )
         lines.append(
             f"| {r['lifecycles']:,} | {r['events_in']:,} | {r['mode']} "
             f"| {r['store']} | {r['semantics']} "
             f"| {r['elapsed_sec']:.2f} s | {r['events_per_sec']:,} "
-            f"| {r['projections_per_sec']:,} |"
+            f"| {r['projections_per_sec']:,} | {steady} | {drain} |"
         )
     bulk = [
         r
