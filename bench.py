@@ -88,6 +88,37 @@ def _engine_cpu_seconds(spark) -> float | None:
         return None
 
 
+def fit_blob(
+    result: dict, timings: dict[str, float], budget: int = 1900
+) -> str:
+    """Shrink `result` in place until its compact-JSON line fits the
+    driver's stdout-tail budget, and return the line.
+
+    The driver keeps only the last 2000 chars of stdout and parses the
+    JSON line out of that tail (round 1's full per-query line exceeded
+    it -> "parsed": null), so emit the most detail that provably fits:
+    first round per-query values to 2dp, then drop the fastest queries
+    one at a time — the slow ones are the story. When a `queries_cpu`
+    twin is present it drops the SAME name each step, so the two maps
+    always hold the same key set (full per-query pairs live untruncated
+    in BENCH_DETAIL.json). Totals (`value`, `cpu_value`), counts, and
+    the detail-file hash are never touched.
+    """
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        result["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    while len(line) > budget and result["queries"]:
+        fastest = min(result["queries"], key=result["queries"].get)
+        del result["queries"][fastest]
+        if "queries_cpu" in result:
+            result["queries_cpu"].pop(fastest, None)
+        result["queries_omitted"] = len(timings) - len(result["queries"])
+        result["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(result, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -222,25 +253,7 @@ def main() -> None:
         len(timings),
     )
 
-    # The driver keeps only the last 2000 chars of stdout and parses the
-    # JSON line out of that tail (round 1's full per-query line exceeded it
-    # -> "parsed": null). Emit the most detail that provably fits.
-    budget = 1900
-    line = json.dumps(result, separators=(",", ":"))
-    if len(line) > budget:
-        result["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(result, separators=(",", ":"))
-    while len(line) > budget and result["queries"]:
-        # drop the fastest queries first; the slow ones are the story.
-        # The cpu twin drops the SAME name so the two maps stay aligned
-        # (full per-query pairs always live in BENCH_DETAIL.json).
-        fastest = min(result["queries"], key=result["queries"].get)
-        del result["queries"][fastest]
-        if "queries_cpu" in result:
-            result["queries_cpu"].pop(fastest, None)
-        result["queries_omitted"] = len(timings) - len(result["queries"])
-        result["detail"] = "BENCH_DETAIL.json"
-        line = json.dumps(result, separators=(",", ":"))
+    line = fit_blob(result, timings)
     # truncation must drop only `queries` entries — total/count/hash stay
     assert result["value"] == detail_parsed["value"]
     assert result["detail_n_queries"] == len(detail_parsed["queries"])

@@ -1,0 +1,69 @@
+"""bench.py's stdout-blob contract: the driver parses one JSON line out
+of a 2000-char stdout tail, so the blob must always fit the budget,
+keep its totals un-truncated, and keep the wall/cpu per-query maps
+key-aligned while truncating."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import fit_blob
+
+
+def _mk(n: int, cpu: bool = True):
+    timings = {f"q{i:03d}": round(0.1 + i * 0.013, 3) for i in range(n)}
+    result = {
+        "metric": "registry_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": 0.1,
+    }
+    if cpu:
+        cpu_map = {k: round(v * 2, 2) for k, v in timings.items()}
+        result["cpu_value"] = round(sum(cpu_map.values()), 1)
+        result["queries_cpu"] = cpu_map
+    return result, timings
+
+
+def test_small_blob_passes_through_untouched():
+    result, timings = _mk(5)
+    before = json.dumps(result, separators=(",", ":"))
+    line = fit_blob(result, timings)
+    assert line == before
+    assert "queries_omitted" not in json.loads(line)
+
+
+def test_large_blob_fits_budget_and_maps_stay_aligned():
+    result, timings = _mk(300)
+    line = fit_blob(result, timings)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    # totals and the cpu anchor survive truncation bit-for-bit
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    assert parsed["cpu_value"] == result["cpu_value"]
+    # the wall and cpu maps hold the SAME key set (the driver-side
+    # reader must never see a cpu entry whose wall twin was dropped)
+    assert set(parsed["queries_cpu"]) == set(parsed["queries"])
+    # fastest dropped first: every dropped query is <= every kept one
+    kept = set(parsed["queries"])
+    dropped = set(timings) - kept
+    assert dropped, "300 queries must not fit untruncated"
+    slowest_dropped = max(timings[d] for d in dropped)
+    fastest_kept = min(timings[k] for k in kept)
+    assert slowest_dropped <= fastest_kept + 1e-9
+    assert parsed["queries_omitted"] == len(dropped)
+    assert parsed["detail"] == "BENCH_DETAIL.json"
+
+
+def test_blob_without_cpu_twin_still_truncates():
+    # a connect/cluster session has no /proc pid: cpu fields absent
+    result, timings = _mk(300, cpu=False)
+    parsed = json.loads(fit_blob(result, timings))
+    assert "queries_cpu" not in parsed and "cpu_value" not in parsed
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    assert parsed["queries_omitted"] == len(timings) - len(parsed["queries"])
