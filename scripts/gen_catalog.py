@@ -26,7 +26,11 @@ def main() -> None:
     print()
     print("| # | Query | Check | Defined in |")
     print("|---|-------|-------|------------|")
-    for i, (name, fn) in enumerate(registry.QUERIES.items(), 1):
+    # stable registration order, NOT the rotated driver-window order:
+    # the catalog's row numbers should mean the same thing every round
+    # (the rotation reshuffles QUERIES each round; see benchmark_order)
+    for i, name in enumerate(registry.benchmark_order(), 1):
+        fn = registry.QUERIES[name]
         oracle = (
             "value-hash vs DuckDB"
             if name in registry.ORACLES
