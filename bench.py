@@ -147,6 +147,23 @@ def main() -> None:
         .withColumn("r", _F.row_number().over(_W.orderBy("n")))
     )
     warm.write.format("noop").mode("overwrite").save()
+    # The JVM-side warm above does not cover everything the FIRST real
+    # query pays: measured (round 12), the first registry execution
+    # burns ~4 s wall / ~14 CPU-s at sf0.001 against a ~0.8 s / 2 CPU-s
+    # steady state — whole-stage-codegen JIT of the query-shaped
+    # pipeline, first exchange machinery, session-tail settling — and
+    # best-of-2 does NOT absorb it (the tail spans the head family's
+    # runs: the first five queries measured 4-6x high in the first
+    # round-12 sweep). One sacrificial unmeasured run of the first
+    # benchmark-order query warms that path; its family-mates then
+    # measure at steady state from run 1.
+    first = registry.benchmark_order()[0]
+    registry.QUERIES[first](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from kafka_stream_unify_order_messages_spark import drop_cached_blocks
+
+    drop_cached_blocks(spark)
 
     # best-of-N (default 2): a single-shot timing is hostage to transient
     # machine load / GC pauses; the minimum is the reproducible cost of
@@ -159,7 +176,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     cpu_timings: dict[str, float] = {}
     failed: list[str] = []
-    from kafka_stream_unify_order_messages_spark import drop_cached_blocks
 
     # Measure in the STABLE registration order, not the driver-window
     # rotation: execution order is part of the measurement on a shared
