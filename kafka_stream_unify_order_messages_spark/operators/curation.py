@@ -179,7 +179,12 @@ def weighted_sample(
     since ln(u) <= 0), rounded to 9 decimals with the id as tie-break so
     the ordering is reproducible bit-for-bit across engines — the raw
     libm ``ln`` may differ in the last ulp between runtimes, and a
-    sampling frontier must not depend on that.
+    sampling frontier must not depend on that. (Sibling:
+    ``operators/pipeline.py:priority_sample`` implements the
+    Duffield-Lund-Thorup u/w scheme, whose priorities are exact IEEE
+    divisions of integers — no transcendental, no rounding guard —
+    and resolves a GLOBAL top-k via TakeOrderedAndProject; prefer it
+    when stratification isn't required.)
 
     Scale shape: the key is scan-local; per-stratum top-k is one
     shuffle + row_number window. For an unstratified global top-k over

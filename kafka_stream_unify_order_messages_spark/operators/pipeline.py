@@ -812,3 +812,56 @@ def source_token_divergence(
             F.col("vocab_g").cast("long").alias("vocab_size"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "psample:",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — priority sampling
+    (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    arbitrary subset sums", JACM 2007): row i draws priority u_i / w_i
+    with u_i uniform and w_i = ``weight_col``; the k SMALLEST
+    priorities are the sample. With weight = token count this is the
+    "sample tokens, not documents" corpus subsample.
+
+    Sibling of ``operators/curation.py:weighted_sample`` (A-ES
+    exponential keys, per-stratum exactly-k) — same job, different
+    published scheme and different guarantees: A-ES keys need ``ln``,
+    whose last-ulp behavior is libm-specific, so that operator rounds
+    keys to 9 decimals to pin a cross-engine frontier; DLT priorities
+    are bit-exact BY CONSTRUCTION with NO rounding — the draw is an
+    exact integer (first 7 md5 hex digits of ``seed || id`` plus 1,
+    <= 2^28) and the weight an exact integer, so the priority is ONE
+    IEEE division of two exactly-representable integers, correctly
+    rounded and identical on every engine. DLT also carries the
+    unbiased subset-sum estimator the paper is about (weight estimate
+    w_i-hat = max(w_i, threshold)), which A-ES lacks. Use this one for
+    a global weighted top-k; use ``weighted_sample`` when per-stratum
+    exactly-k is the contract. Zero/negative weights are ineligible
+    (u/0 would select unconditionally).
+
+    Scale shape: the draw is computed scan-side (no shuffle of the
+    weight source) and the k smallest resolve via orderBy().limit(k) ->
+    TakeOrderedAndProject — per-partition size-k heaps and a k-row
+    driver merge, never a global sort. One scan at any corpus size.
+    """
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "_pri", draw.cast("double") / F.col(weight_col)
+    )
+    return keyed.orderBy("_pri", id_col).limit(k).drop("_pri")

@@ -1698,6 +1698,60 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement — priority sampling (Duffield,
+# Lund & Thorup, "Priority sampling for estimation of arbitrary subset
+# sums", JACM 2007): each document draws priority u_i / w_i with u_i
+# uniform and w_i its weight, and the k SMALLEST priorities win — a
+# length-proportional corpus subsample ("sample tokens, not documents"),
+# the training-data counterpart of stratified_sample's per-source rates.
+#
+# Bit-exactness design (why u/w and not the classic A-ES u^(1/w)): the
+# draw u is an exact integer (first 7 md5 hex digits + 1, <= 2^28) and
+# the weight an exact integer token count, so the priority is ONE IEEE
+# division of two exactly-representable integers — correctly rounded and
+# therefore bit-identical on every engine. The A-ES exponential-keys
+# form needs pow/ln, whose last-ulp behavior differs across libm
+# implementations (the F.round gotcha, see check_oracle notes). Ordering
+# ties are impossible (distinct doc_ids give distinct md5 draws at these
+# widths), and doc_id breaks them deterministically anyway.
+#
+# Scale shape: weights are computed scan-side (no shuffle), and the k
+# smallest priorities resolve via orderBy().limit(k) ->
+# TakeOrderedAndProject — per-partition heaps of size k and a k-row
+# driver merge, never a global sort. At 100 TB this is one scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_sample",
+    f"""
+WITH sized AS (
+    SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+), keyed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(CAST('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 7)
+                     AS BIGINT) + 1 AS DOUBLE) / n_tokens AS pri
+    FROM sized WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens
+FROM keyed ORDER BY pri, doc_id LIMIT 500
+""",
+)
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        priority_sample as ps,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    return ps(sized, k=500, weight_col="n_tokens").select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing: assign documents to fixed-token training
 # shards via a running token-count cumsum (deterministic id order).
 # ---------------------------------------------------------------------------

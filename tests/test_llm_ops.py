@@ -965,3 +965,47 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     assert auto == fixed and len(auto) > 0
     # more cells than the default 16 once n > 256 (sf0.001 has 500)
     assert k_auto > 16
+
+
+def test_priority_sample_is_deterministic_and_length_biased(spark):
+    """Priority sampling (u_i/w_i, k smallest win): repeat runs select the
+    SAME set (the draw is hash-derived, no rand()), zero-token docs are
+    ineligible, and selection is length-biased — with weight = token
+    count, the expected token mass of the sample exceeds a uniform draw's
+    by construction, so the selected docs' mean length must beat the
+    corpus mean by a wide margin on any non-degenerate corpus."""
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        priority_sample,
+    )
+    from kafka_stream_unify_order_messages_spark.sources.files import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sized = load_table(spark, sf, "documents").select(
+        "doc_id", T.token_count("text").alias("n")
+    )
+    a = {r.doc_id for r in priority_sample(sized, 50, "n").collect()}
+    b = {r.doc_id for r in priority_sample(sized, 50, "n").collect()}
+    assert a == b and len(a) == 50
+
+    stats = sized.agg(
+        F.avg("n").alias("corpus_mean"),
+        F.avg(F.when(F.col("doc_id").isin(list(a)), F.col("n"))).alias(
+            "sample_mean"
+        ),
+        F.min(F.when(F.col("doc_id").isin(list(a)), F.col("n"))).alias(
+            "sample_min"
+        ),
+    ).first()
+    assert stats.sample_min >= 1  # zero-weight rows ineligible
+    assert stats.sample_mean > stats.corpus_mean * 1.1
+
+    # weight monotonicity on a controlled fixture: doubling one row's
+    # weight halves its priority, so among two rows with the same draw
+    # geometry the heavier one enters the sample first
+    rows = spark.createDataFrame(
+        [(i, 1 if i != 7 else 1000) for i in range(100)], ["doc_id", "w"]
+    )
+    top = {r.doc_id for r in priority_sample(rows, 5, "w").collect()}
+    assert 7 in top  # the 1000x-weight row is effectively certain

@@ -488,3 +488,14 @@ def test_quantile_sketch_no_data_sized_shuffle_after_sketch(spark):
     # merged sketch persisted: quantile + bound legs read the cache, so
     # the only parquet pipelines are sketch(bounds+binning) and exact
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_priority_sample_take_ordered_no_global_sort(spark):
+    # DLT priority sampling: the priority is scan-local (md5 + one IEEE
+    # division) and the k smallest resolve via TakeOrderedAndProject —
+    # per-partition size-k heaps and a k-row driver merge; a global Sort
+    # would single-partition the corpus
+    plan = plan_of(spark, "priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan and "rangepartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan
