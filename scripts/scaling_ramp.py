@@ -69,6 +69,10 @@ RAMP_QUERIES = [
     ("unify_projection", "linear", "x100"),
     ("first_wins_dedup", "linear", "x100"),
     ("dedup_exact", "linear", "x100"),
+    # DLT priority sampling: draw + one division scan-side, global
+    # top-k via TakeOrderedAndProject (per-partition heaps, k-row
+    # merge) — expected linear in the scan with a constant k term
+    ("priority_sample", "linear", "x300"),
     ("line_dedup", "linear", "x300"),
     ("minhash_signatures", "linear", "x300"),
     ("minhash_dedup_pairs", "linear", "x300"),
