@@ -823,10 +823,12 @@ def priority_sample(
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement — priority sampling
     (Duffield, Lund & Thorup, "Priority sampling for estimation of
-    arbitrary subset sums", JACM 2007): row i draws priority u_i / w_i
-    with u_i uniform and w_i = ``weight_col``; the k SMALLEST
-    priorities are the sample. With weight = token count this is the
-    "sample tokens, not documents" corpus subsample.
+    arbitrary subset sums", JACM 2007): row i draws priority
+    p_i = w_i / u_i with u_i uniform on (0, 1] and w_i =
+    ``weight_col``; the k LARGEST priorities are the sample (see
+    ``_dlt_priority`` for the exact shared keying). With weight =
+    token count this is the "sample tokens, not documents" corpus
+    subsample.
 
     Sibling of ``operators/curation.py:weighted_sample`` (A-ES
     exponential keys, per-stratum exactly-k) — same job, different
@@ -845,10 +847,27 @@ def priority_sample(
     (u/0 would select unconditionally).
 
     Scale shape: the draw is computed scan-side (no shuffle of the
-    weight source) and the k smallest resolve via orderBy().limit(k) ->
-    TakeOrderedAndProject — per-partition size-k heaps and a k-row
-    driver merge, never a global sort. One scan at any corpus size.
+    weight source) and the k largest priorities resolve via
+    orderBy().limit(k) -> TakeOrderedAndProject — per-partition size-k
+    heaps and a k-row driver merge, never a global sort. One scan at
+    any corpus size.
     """
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "_p", _dlt_priority(weight_col, id_col, seed)
+    )
+    return keyed.orderBy(F.desc("_p"), id_col).limit(k).drop("_p")
+
+
+def _dlt_priority(weight_col: str, id_col: str, seed: str) -> F.Column:
+    """The shared DLT priority p = w * 2^28 / draw, draw uniform on
+    1..2^28 (so draw/2^28 is uniform on (0, 1] and p = w/u on the
+    paper's scale). Selection-only consumers could use any rescaling,
+    but ``priority_sample`` and ``priority_sample_estimates`` MUST rank
+    the same double — two mathematically-equal representations (u/w
+    ascending vs w/u descending) round differently in IEEE and can
+    swap near-tied boundary rows, so sharing this expression is what
+    makes the two functions select the same sample. Exact in double for
+    w < 2^25 (~33M tokens per row)."""
     draw = (
         F.conv(
             F.substring(
@@ -861,7 +880,66 @@ def priority_sample(
         ).cast("long")
         + 1
     )
+    return (
+        F.col(weight_col).cast("long") * F.lit(1 << 28)
+    ).cast("double") / draw.cast("double")
+
+
+def priority_sample_estimates(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "psample:",
+) -> DataFrame:
+    """``priority_sample`` plus the estimator that is the POINT of the
+    DLT scheme: each sampled row carries ``w_hat = max(w, tau)`` where
+    ``tau`` is the (k+1)-th largest priority ``p = w/u`` — for ANY
+    subset S fixed in advance, ``sum(w_hat where i in S)`` is an
+    unbiased estimate of S's true total weight (Duffield-Lund-Thorup,
+    JACM 2007, Thm 1). With weight = token count: estimate the token
+    mass of any slice (a language, a source, a quality band) from the
+    k-row sample alone, without rescanning the corpus.
+
+    The estimator (unlike bare selection) needs the draw on the paper's
+    (0, 1] scale — tau competes against raw weights in ``max(w, tau)``
+    — which ``_dlt_priority`` provides; sharing that exact expression
+    with ``priority_sample`` is also what guarantees the two functions
+    select the SAME rows (two mathematically-equal priority
+    representations can IEEE-round into different boundary orders).
+    Bit-exactness: the priority is one correctly-rounded IEEE division
+    of exact integers and ``max`` introduces no rounding, so sample AND
+    estimates are engine-identical.
+
+    Membership is decided by RANK (row_number over (p desc, id) <= k),
+    not by ``p > tau``: priorities can genuinely tie (u-collisions
+    happen at birthday rates — observed at ~6.6k docs over 2^28 draw
+    space), and a strict-inequality frontier under-selects on a tie at
+    tau. tau itself is the minimum priority of the top k+1, which IS
+    the rank-(k+1) priority even under ties. Requires ``k`` < the
+    number of eligible rows.
+
+    Scale shape: ONE scan — priorities are scan-local, the top (k+1)
+    resolve via TakeOrderedAndProject, and the rank/threshold window
+    runs over that (k+1)-row frame (single partition of k+1 rows, not
+    of the corpus).
+    """
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
-        "_pri", draw.cast("double") / F.col(weight_col)
+        "_p", _dlt_priority(weight_col, id_col, seed)
     )
-    return keyed.orderBy("_pri", id_col).limit(k).drop("_pri")
+    top = keyed.orderBy(F.desc("_p"), id_col).limit(k + 1)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(F.lit(1))
+    return (
+        top.withColumn(
+            "_rn", F.row_number().over(w.orderBy(F.desc("_p"), id_col))
+        )
+        .withColumn("_tau", F.min("_p").over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumn(
+            "w_hat",
+            F.greatest(F.col(weight_col).cast("double"), F.col("_tau")),
+        )
+        .drop("_p", "_rn", "_tau")
+    )

@@ -1729,12 +1729,13 @@ WITH sized AS (
     SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
 ), keyed AS (
     SELECT doc_id, source, n_tokens,
+           CAST(n_tokens * 268435456 AS DOUBLE) /
            CAST(CAST('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 7)
-                     AS BIGINT) + 1 AS DOUBLE) / n_tokens AS pri
+                     AS BIGINT) + 1 AS DOUBLE) AS p
     FROM sized WHERE n_tokens > 0
 )
 SELECT doc_id, source, n_tokens
-FROM keyed ORDER BY pri, doc_id LIMIT 500
+FROM keyed ORDER BY p DESC, doc_id LIMIT 500
 """,
 )
 def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,6 +1750,49 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ps(sized, k=500, weight_col="n_tokens").select(
         "doc_id", "source", "n_tokens"
     )
+
+
+@query(
+    "priority_sample_estimate",
+    f"""
+WITH sized AS (
+    SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+), keyed AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens * 268435456 AS DOUBLE) /
+           CAST(CAST('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 7)
+                     AS BIGINT) + 1 AS DOUBLE) AS p
+    FROM sized WHERE n_tokens > 0
+), top AS (
+    SELECT doc_id, n_tokens, p
+    FROM keyed ORDER BY p DESC, doc_id LIMIT 501
+), thresh AS (
+    SELECT doc_id, n_tokens, p,
+           row_number() OVER (ORDER BY p DESC, doc_id) AS rn,
+           min(p) OVER () AS tau
+    FROM top
+)
+SELECT doc_id, n_tokens,
+       greatest(CAST(n_tokens AS DOUBLE), tau) AS w_hat
+FROM thresh WHERE rn <= 500
+""",
+)
+def priority_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DLT estimator companion of ``priority_sample``: the same
+    500-document token-weighted sample, each row carrying the unbiased
+    subset-sum weight estimate ``w_hat = max(n_tokens, tau)`` — sum
+    ``w_hat`` over any pre-specified slice of the sample to estimate
+    that slice's true total token count without rescanning the corpus
+    (see operators/pipeline.py:priority_sample_estimates)."""
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        priority_sample_estimates,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    return priority_sample_estimates(
+        sized, k=500, weight_col="n_tokens"
+    ).select("doc_id", "n_tokens", "w_hat")
 
 
 # ---------------------------------------------------------------------------

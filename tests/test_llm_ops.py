@@ -1009,3 +1009,50 @@ def test_priority_sample_is_deterministic_and_length_biased(spark):
     )
     top = {r.doc_id for r in priority_sample(rows, 5, "w").collect()}
     assert 7 in top  # the 1000x-weight row is effectively certain
+
+
+def test_priority_sample_estimates_unbiased_subset_sums(spark):
+    """DLT estimator invariants (exact) + unbiasedness (statistical, but
+    DETERMINISTIC here — the draws are md5-seeded, so the averaged
+    estimate is a fixed number and the assertion can never flake):
+    exactly k rows; w_hat = w above the threshold and = tau below it
+    (one shared tau); averaging sum(w_hat) over independent seeds
+    converges on the true total weight."""
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        priority_sample_estimates,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]  # weights 1..7
+    total = sum(w for _, w in rows)
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    got = priority_sample_estimates(df, 40, "w").collect()
+    assert len(got) == 40
+    assert all(r.w_hat >= r.w for r in got)
+    taus = {r.w_hat for r in got if r.w_hat > r.w}
+    assert len(taus) == 1  # every below-threshold row shares ONE tau
+
+    sums = [
+        sum(
+            r.w_hat
+            for r in priority_sample_estimates(
+                df, 40, "w", seed=f"est{s}:"
+            ).collect()
+        )
+        for s in range(12)
+    ]
+    mean = sum(sums) / len(sums)
+    assert abs(mean - total) / total < 0.15, (mean, total, sums)
+
+    # the estimator's sample is the SAME set priority_sample selects —
+    # guaranteed by the shared _dlt_priority keying (two mathematically
+    # equal priority forms would IEEE-round boundary rows differently)
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        priority_sample,
+    )
+
+    plain = {r.doc_id for r in priority_sample(df, 40, "w").collect()}
+    est = {
+        r.doc_id for r in priority_sample_estimates(df, 40, "w").collect()
+    }
+    assert plain == est
