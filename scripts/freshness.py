@@ -62,7 +62,11 @@ def main() -> None:
     stalest = sorted(latest.items(), key=lambda kv: kv[1])[:36]
     tiers = Counter(r for _, r in stalest)
     print("next window's 36 rotating slots target:",
-          dict(sorted(tiers.items())))
+          dict(sorted(tiers.items())),
+          "\n(NEVER-checked queries are invisible here — they have no"
+          " artifact row — yet they sort FIRST in the real window"
+          " (last-green round 0); subtract any newly-registered queries"
+          " from the stalest tier above.)")
 
 
 if __name__ == "__main__":
