@@ -41,51 +41,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from kafka_stream_unify_order_messages_spark import get_spark, registry
 
-
-def _engine_cpu_seconds(spark) -> float | None:
-    """Cumulative user+system CPU seconds of the WHOLE engine process
-    tree: the gateway JVM (driver + every executor thread in local mode)
-    plus every live descendant — pyspark.daemon and the Arrow python
-    workers that execute MapInPandas/Pandas-UDF stages. Same /proc
-    instrument as scripts/scaling_ramp.py:_jvm_cpu_seconds (see there
-    for why CPU is the load-robust clock on a co-tenant host), widened
-    so Python-heavy queries are not under-counted. Each stat row also
-    adds cutime/cstime (CPU of already-reaped children), which keeps the
-    series continuous when a worker exits between two samples: while
-    alive its CPU is counted from its own row, after reaping from the
-    parent's cutime — never both, never neither. Returns None when the
-    JVM pid is not discoverable (connect/cluster session); the bench
-    then degrades to wall-only."""
-    try:
-        root = spark.sparkContext._gateway.proc.pid
-    except AttributeError:
-        return None
-    ticks: dict[int, int] = {}
-    children: dict[int, list[int]] = {}
-    try:
-        for entry in os.listdir("/proc"):
-            if not entry.isdigit():
-                continue
-            try:
-                with open(f"/proc/{entry}/stat") as f:
-                    parts = f.read().rsplit(")", 1)[1].split()
-            except (OSError, IndexError):
-                continue  # process exited mid-scan
-            ppid = int(parts[1])
-            pid = int(entry)
-            ticks[pid] = sum(int(parts[i]) for i in (11, 12, 13, 14))
-            children.setdefault(ppid, []).append(pid)
-        if root not in ticks:
-            return None
-        total = 0
-        stack = [root]
-        while stack:
-            p = stack.pop()
-            total += ticks[p]
-            stack.extend(children.get(p, []))
-        return total / os.sysconf("SC_CLK_TCK")
-    except (OSError, IndexError, ValueError):
-        return None
+# the shared engine-tree CPU instrument (round 13: extracted so the
+# bench anchor and the scaling ramp's exponents read the SAME clock —
+# the ramp's original JVM-only clock under-counted MapInPandas-heavy
+# queries whose CPU burns in pyspark.daemon/Arrow workers)
+from kafka_stream_unify_order_messages_spark.cpuclock import (
+    engine_cpu_seconds as _engine_cpu_seconds,
+)
 
 
 def fit_blob(
@@ -158,9 +120,18 @@ def main() -> None:
     # benchmark-order query warms that path; its family-mates then
     # measure at steady state from run 1.
     first = registry.benchmark_order()[0]
-    registry.QUERIES[first](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        registry.QUERIES[first](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001 — the warm-up is an
+        # optimization, not a correctness prerequisite: if the head query
+        # is broken it will fail (and be recorded) in the measured loop
+        # below, which is designed so one bad query never wipes the
+        # whole artifact. Crashing HERE would.
+        print(f"bench: warm run of {first} failed ({e}); continuing — "
+              "head-family timings may carry the one-off JIT cost",
+              file=sys.stderr)
     from kafka_stream_unify_order_messages_spark import drop_cached_blocks
 
     drop_cached_blocks(spark)
@@ -243,7 +214,17 @@ def main() -> None:
         result["failed"] = failed
 
     # Full per-query detail always lands in a sibling file for the judge.
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    # $SPARK_GRAFT_BENCH_DETAIL redirects it (absolute or repo-relative
+    # path) so ad-hoc runs — sf0.001 contract checks, A/B sweeps, the
+    # driver's own per-round run — don't clobber the committed quiet
+    # sf0.1 trend anchor in the working tree (rounds 11 and 12 both
+    # ended with that exact dirty-tree). Default unchanged: the driver
+    # contract still reads/writes BENCH_DETAIL.json.
+    detail_path = Path(
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    )
+    if not detail_path.is_absolute():
+        detail_path = Path(__file__).resolve().parent / detail_path
     detail_text = json.dumps(result, indent=1) + "\n"
     detail_path.write_text(detail_text)
 

@@ -852,10 +852,34 @@ def priority_sample(
     heaps and a k-row driver merge, never a global sort. One scan at
     any corpus size.
     """
+    _require_integral_weight(df, weight_col)
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
         "_p", _dlt_priority(weight_col, id_col, seed)
     )
     return keyed.orderBy(F.desc("_p"), id_col).limit(k).drop("_p")
+
+
+def _require_integral_weight(df: DataFrame, weight_col: str) -> None:
+    """The DLT keying's bit-exactness argument (one correctly-rounded
+    IEEE division of EXACT integers) and its ``cast("long")`` both
+    assume integral weights; a fractional weight would be silently
+    truncated — a row with weight 0.5 passes the ``> 0`` eligibility
+    filter but gets priority 0 and is effectively never sampled, while
+    ``w_hat`` would still use the un-truncated value. Fail loudly
+    instead: reject non-integral weight columns up front."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
+
+    dtype = df.schema[weight_col].dataType
+    if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"priority sampling requires an integral weight column "
+            f"(got {weight_col}: {dtype.simpleString()}); fractional "
+            f"weights would be silently truncated by the exact-integer "
+            f"keying — cast or rescale to integers (e.g. token counts) "
+            f"explicitly first"
+        )
 
 
 def _dlt_priority(weight_col: str, id_col: str, seed: str) -> F.Column:
@@ -867,7 +891,9 @@ def _dlt_priority(weight_col: str, id_col: str, seed: str) -> F.Column:
     ascending vs w/u descending) round differently in IEEE and can
     swap near-tied boundary rows, so sharing this expression is what
     makes the two functions select the same sample. Exact in double for
-    w < 2^25 (~33M tokens per row)."""
+    w < 2^25 (~33M tokens per row). Callers validate the weight column
+    is integral (``_require_integral_weight``) — the ``cast("long")``
+    here is a type normalization, never a value truncation."""
     draw = (
         F.conv(
             F.substring(
@@ -924,6 +950,7 @@ def priority_sample_estimates(
     runs over that (k+1)-row frame (single partition of k+1 rows, not
     of the corpus).
     """
+    _require_integral_weight(df, weight_col)
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
         "_p", _dlt_priority(weight_col, id_col, seed)
     )

@@ -1711,9 +1711,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division of two exactly-representable integers — correctly rounded and
 # therefore bit-identical on every engine. The A-ES exponential-keys
 # form needs pow/ln, whose last-ulp behavior differs across libm
-# implementations (the F.round gotcha, see check_oracle notes). Ordering
-# ties are impossible (distinct doc_ids give distinct md5 draws at these
-# widths), and doc_id breaks them deterministically anyway.
+# implementations (the F.round gotcha, see check_oracle notes). Draw
+# collisions DO occur at birthday rates (~6.6k docs over the 2^28 draw
+# space — see priority_sample_estimates's docstring), so equal-weight
+# rows can tie on priority; the doc_id tie-break is what makes the
+# frontier deterministic, on both engines.
 #
 # Scale shape: weights are computed scan-side (no shuffle), and the k
 # smallest priorities resolve via orderBy().limit(k) ->

@@ -374,7 +374,9 @@ def make_bucket_first_wins_event_fn(retention_ms: int | None = None):
                 # deserializes correctly under the widened schema (a
                 # trailing nullable long is positionally safe), this
                 # branch reads it, and re-writes store 6 fields —
-                # re-enable the check afterwards.
+                # re-enable the check afterwards. Operator-facing
+                # runbook: docs/DEPLOYMENT.md §5 "State-schema upgrades
+                # on a live checkpoint".
                 first_seq, first_id, p_seqs, p_ids, p_ts = st
                 last_ts = None
             else:

@@ -10,6 +10,7 @@ trend-anchor reading rules mechanically, per query:
 
 - wall up AND cpu up        -> REGRESSION?  (a code/plan change — investigate)
 - wall up,  cpu flat        -> contention   (host noise — note, don't chase)
+- wall up,  cpu DOWN        -> mixed        (work changed shape AND host busy)
 - wall flat, cpu up         -> work-moved   (JVM<->python or parallel<->serial)
 - wall down AND cpu down    -> improvement
 
@@ -91,6 +92,11 @@ def main() -> None:
             cls = "wall-only move"
         elif dw > 0 and dc > 0:
             cls = "REGRESSION?"
+        elif dw > 0 and dc < 0:
+            # cheaper on CPU while wall regressed: NOT contention (the
+            # docstring defines that as wall up / cpu FLAT) — the work
+            # changed shape and the host was also busy; look at both.
+            cls = "mixed"
         elif dw > 0:
             cls = "contention"
         elif dw == 0 and dc > 0:

@@ -304,27 +304,26 @@ from kafka_stream_unify_order_messages_spark import drop_cached_blocks
 
 
 def _jvm_cpu_seconds(spark) -> float | None:
-    """Cumulative user+system CPU seconds of the Spark JVM process.
+    """Engine-tree CPU clock — the SAME instrument bench.py anchors on
+    (kafka_stream_unify_order_messages_spark/cpuclock.py).
 
     Round-9 finding: wall-clock cells at the x300 tier swing up to 2x
     with background host load (the dup_ngram_spans investigation), so
     the ramp also records a CPU-based exponent — far more robust to
     co-running processes (inflated only by memory-stall cycles, not by
-    losing the core entirely). Valid precisely because this harness is
-    local-mode: the WHOLE 'cluster' (driver + every executor thread) is
-    the one gateway JVM, so /proc accounting captures all query work.
-    Returns None when the JVM pid is not discoverable (e.g. a connect
-    or cluster session), and the report degrades to wall-only."""
-    import os
+    losing the core entirely). Rounds 9-12 this clock was JVM-only;
+    round 13 widened it to the whole engine process tree (gateway JVM +
+    pyspark.daemon/Arrow-worker descendants, incl. cutime/cstime of
+    reaped children) so MapInPandas-heavy ramp cells no longer
+    under-count Python-worker CPU and the two instruments agree. The
+    name is kept — every SCALING.json cpu cell was measured through
+    this symbol. Returns None when the JVM pid is not discoverable
+    (connect/cluster session); the report degrades to wall-only."""
+    from kafka_stream_unify_order_messages_spark.cpuclock import (
+        engine_cpu_seconds,
+    )
 
-    try:
-        pid = spark.sparkContext._gateway.proc.pid
-        with open(f"/proc/{pid}/stat") as f:
-            after_comm = f.read().rsplit(")", 1)[1].split()
-        utime, stime = int(after_comm[11]), int(after_comm[12])
-        return (utime + stime) / os.sysconf("SC_CLK_TCK")
-    except (AttributeError, OSError, IndexError, ValueError):
-        return None
+    return engine_cpu_seconds(spark)
 
 
 def main() -> None:

@@ -1056,3 +1056,30 @@ def test_priority_sample_estimates_unbiased_subset_sums(spark):
         r.doc_id for r in priority_sample_estimates(df, 40, "w").collect()
     }
     assert plain == est
+
+
+def test_priority_sample_rejects_fractional_weights(spark):
+    """The DLT keying casts the weight to long, so a fractional weight
+    would be silently truncated — weight 0.5 passes the > 0 eligibility
+    filter yet keys to priority 0 and is never sampled, while w_hat
+    would mix the truncated priority with the raw weight. Both entry
+    points must fail loudly on a non-integral weight column instead."""
+    import pytest
+
+    from kafka_stream_unify_order_messages_spark.operators.pipeline import (
+        priority_sample,
+        priority_sample_estimates,
+    )
+
+    frac = spark.createDataFrame(
+        [(i, 0.5 + i) for i in range(10)], ["doc_id", "w"]
+    )
+    with pytest.raises(TypeError, match="integral weight column"):
+        priority_sample(frac, 3, "w")
+    with pytest.raises(TypeError, match="integral weight column"):
+        priority_sample_estimates(frac, 3, "w")
+
+    # every integral width is accepted (the cast is normalization only)
+    ints = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                                 "doc_id long, w int")
+    assert priority_sample(ints, 3, "w").count() == 3

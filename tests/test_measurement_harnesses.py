@@ -160,3 +160,39 @@ def test_windowed_throughput_events_monotone_and_kicker_closes(spark):
     assert all(0.0 <= r["value"] < 1000.0 for r in ev)
     kick = _kicker(spark).collect()[0]["ts"]
     assert kick > ts[-1]
+
+
+def test_bench_diff_classifies_wall_up_cpu_down_as_mixed(tmp_path, capsys, monkeypatch):
+    """The classifier's docstring defines contention as wall-up with cpu
+    FLAT; a query whose CPU got cheaper while wall regressed is evidence
+    of a shape change under load, not host noise — it must land in the
+    'mixed' bucket, never be laundered as contention."""
+    import importlib
+    import json
+
+    bench_diff = importlib.import_module("scripts.bench_diff")
+
+    old = {"value": 10.0, "cpu_value": 20.0,
+           "queries": {"q_mixed": 2.0, "q_cont": 2.0, "q_reg": 2.0},
+           "queries_cpu": {"q_mixed": 8.0, "q_cont": 8.0, "q_reg": 2.0}}
+    new = {"value": 14.0, "cpu_value": 16.0,
+           # all three wall-up past 1.5x; cpu: down / flat / up
+           "queries": {"q_mixed": 4.0, "q_cont": 4.0, "q_reg": 4.0},
+           "queries_cpu": {"q_mixed": 4.0, "q_cont": 8.2, "q_reg": 4.0}}
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+
+    monkeypatch.setattr(sys, "argv", ["bench_diff.py", str(po), str(pn)])
+    bench_diff.main()
+    out = capsys.readouterr().out
+    section = {}
+    current = None
+    for line in out.splitlines():
+        if line.endswith("):") and "(" in line:
+            current = line.split(" (")[0]
+        elif line.strip().startswith("q_") and current:
+            section[line.split()[0]] = current
+    assert section["q_mixed"] == "mixed"
+    assert section["q_cont"] == "contention"
+    assert section["q_reg"] == "REGRESSION?"

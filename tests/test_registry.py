@@ -155,3 +155,22 @@ def test_pinned_queries_all_registered():
     # the loud guard a typo or stale _PINNED entry would otherwise lose
     missing = [n for n in registry._PINNED if n not in registry.QUERIES]
     assert missing == [], f"stale names in registry._PINNED: {missing}"
+
+
+def test_freshness_forward_view_sees_never_checked_queries(monkeypatch, capsys):
+    """scripts/freshness.py's forward view is registry-aware: a query
+    that has never earned a driver-green artifact row has no artifact
+    presence at all, yet the live rotation ranks it FIRST (last-green
+    round 0) — so the projection must list it leading the window, not
+    silently omit it (the round-12 blind spot)."""
+    import importlib
+
+    freshness = importlib.import_module("scripts.freshness")
+
+    monkeypatch.setitem(registry.ORACLES, "zz_hypothetical_new", "SELECT 1")
+    freshness.main()
+    out = capsys.readouterr().out
+    assert "never driver-checked" in out
+    assert "zz_hypothetical_new" in out
+    # and it occupies a rotating slot at round 0 in the tier summary
+    assert "{0: 1," in out
