@@ -83,6 +83,26 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def gram_instances_from_tokens(toks: Column, n: int = 2) -> Column:
+    """ALL word n-gram instances (multiplicity preserved) from a BOUND
+    token-array column — the frequency-counting sibling of
+    ``shingles_from_tokens`` (which deduplicates for set-similarity).
+    Documents shorter than ``n`` tokens contribute nothing (empty
+    array), mirroring the ``generate_series(1, len-n+1)`` oracle form.
+    Same binding contract as ``shingles_from_tokens``: pass an
+    attribute reference, not a computed expression."""
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the tokenized text (empty-safe).
 

@@ -601,3 +601,138 @@ def histogram_quantiles(
         "q",
         (F.col("lo") + (F.col("bin") + frac) * width).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact frequency heavy hitters via mergeable Misra-Gries candidates
+# (Misra & Gries 1982 "Finding repeated elements"; merge operation per
+# Agarwal, Cormode, Huang, Phillips, Wei, Yi, "Mergeable Summaries",
+# PODS 2012). Two passes, both scans:
+#
+#   pass 1  per-partition capacity-k MG summary (mapInPandas; the whole
+#           partition folds into <= k counters), so the shuffle that
+#           follows is PARTITIONS x k rows — candidate-sized, never
+#           vocabulary-sized;
+#   pass 2  exact recount of the candidate union only (broadcast
+#           semi-join onto the item stream), then the threshold filter.
+#
+# Why the candidate union is a guaranteed superset: MG with capacity k
+# keeps every item whose partition-local frequency exceeds n_p/(k+1),
+# and any item with global frequency ratio f/n must have at least one
+# partition where its local ratio is >= f/n (a weighted average cannot
+# exceed its maximum). So with threshold ceil(n/den) and k >= 2*den,
+# f >= n/den > n/(k+1) on some partition and the item survives there.
+# The exact recount then removes all false positives, which makes the
+# OUTPUT independent of partitioning even though the candidate set is
+# not — and lets the result be oracle-checked bit-exactly.
+#
+# This is the scale twin of the full-vocabulary top-k scan
+# (queries_llm.py:top_tokens): that plan shuffles a vocabulary-sized
+# partial-aggregate map; this one shuffles <= partitions*k summary rows
+# plus a candidate-sized recount, at the price of a second corpus scan.
+# At 100 TB with a web-scale vocabulary (n-grams: billions of distinct
+# keys) the second scan is the cheaper side of that trade.
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_partition_summaries(
+    items: DataFrame, k: int, item_col: str = "item"
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of the ``item_col`` stream.
+
+    Output rows per input partition: up to ``k`` candidate rows
+    (``item``, ``lb`` = the MG counter, a lower bound on the partition
+    count minus at most n_p/(k+1)) plus ONE sentinel row with
+    ``item IS NULL`` carrying ``n_part`` = the partition's exact item
+    count — emitted even for empty partitions, so summing sentinels
+    always reproduces the exact corpus total without another scan.
+
+    The kernel is vectorized: each Arrow batch collapses through
+    ``value_counts`` (C-side), then the mergeable-summaries MERGE
+    reduces to capacity k (subtract the (k+1)-th largest counter from
+    all, drop non-positives) — O(distinct-in-batch) per batch, never
+    the per-element decrement loop of the textbook formulation.
+    """
+    if k < 1:
+        raise ValueError(f"capacity k must be >= 1 (got {k})")
+    import pandas as pd
+
+    def fn(batches):
+        counts: pd.Series | None = None
+        n = 0
+        for pdf in batches:
+            vc = pdf[item_col].value_counts()
+            n += int(vc.sum())
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > k:
+                cut = counts.nlargest(k + 1).iloc[-1]
+                counts = counts[counts > cut] - cut
+        out = {
+            item_col: [None],
+            "lb": [0],
+            "n_part": [n],
+        }
+        if counts is not None and len(counts):
+            out = {
+                item_col: list(counts.index) + [None],
+                "lb": [int(v) for v in counts] + [0],
+                "n_part": [0] * len(counts) + [n],
+            }
+        yield pd.DataFrame(out)
+
+    return items.select(item_col).mapInPandas(
+        fn, f"{item_col} string, lb long, n_part long"
+    )
+
+
+def heavy_hitters_exact(
+    items: DataFrame, den: int, item_col: str = "item", k: int | None = None
+) -> DataFrame:
+    """All items with exact frequency >= ceil(total/den), with their
+    exact counts — computed in two scans and a candidate-sized shuffle
+    (see the module-section comment above for the guarantee).
+
+    ``den`` is the INTEGER reciprocal of the frequency threshold phi =
+    1/den: the threshold ceil(total/den) is pure integer arithmetic, so
+    the boundary is bit-identical on every engine (a float phi * total
+    product could round either side of an integer count). Default
+    capacity ``k = max(64, 2*den)`` satisfies the superset guarantee
+    with margin; pass a larger k only to shrink pass-1 summary error
+    (never needed for correctness).
+
+    Output: (``item_col``, n_item) — exact, and independent of input
+    partitioning (candidate sets vary with partitioning; the recount +
+    threshold make the result invariant, pinned by test).
+    """
+    if den < 1:
+        raise ValueError(f"den must be >= 1 (got {den})")
+    if k is None:
+        k = max(64, 2 * den)
+    elif k < 2 * den:
+        raise ValueError(
+            f"capacity k={k} breaks the superset guarantee for den={den}:"
+            f" need k >= {2 * den} so ceil(n/den) > n/(k+1)"
+        )
+    summ = misra_gries_partition_summaries(items, k, item_col)
+    # consumed twice (total + candidates); partitions*(k+1) rows, so the
+    # persist is summary-sized, never data-sized
+    summ.persist()
+    total = summ.filter(F.col(item_col).isNull()).agg(
+        F.sum("n_part").alias("_total")
+    )
+    cands = (
+        summ.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    )
+    exact = (
+        items.join(F.broadcast(cands), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_item")
+            >= F.expr(f"(_total + {den - 1}) DIV {den}")
+        )
+        .select(item_col, "n_item")
+    )

@@ -1653,6 +1653,52 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact frequency heavy hitters without a vocabulary-sized shuffle:
+# Misra-Gries candidate pass + exact recount (operators/sketches.py,
+# module-section comment there has the superset-guarantee argument).
+# top_tokens above is the full-vocabulary scan this replaces when the
+# key space is web-scale (n-grams): pass 1 folds each partition to a
+# capacity-k summary, so the only data-sized work is two scans. The
+# threshold is ceil(total/800) by INTEGER arithmetic — a float
+# phi*total product could round either side of an integer count.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bigram_heavy_hitters",
+    f"""
+WITH t AS (
+    SELECT {_TOKS} AS a FROM documents
+), g AS (
+    SELECT a[i] || ' ' || a[i + 1] AS gram
+    FROM t, unnest(generate_series(1, len(a) - 1)) AS u(i)
+), counts AS (
+    SELECT gram, count(*) AS n_gram FROM g GROUP BY gram
+), tot AS (
+    SELECT sum(n_gram) AS total FROM counts
+)
+SELECT gram, n_gram FROM counts, tot
+WHERE n_gram >= (total + 799) // 800
+""",
+)
+def bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_unify_order_messages_spark.operators import (
+        sketches as SK,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    toked = docs.select(T.tokens("text").alias("_toks"))
+    grams = toked.select(
+        F.explode(
+            D.gram_instances_from_tokens(F.col("_toks"), 2)
+        ).alias("gram")
+    )
+    return SK.heavy_hitters_exact(
+        grams, den=800, item_col="gram"
+    ).withColumnRenamed("n_item", "n_gram")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling (training-mix construction): per-source
 # rates via an md5 draw — reproducible on any engine/executor count, unlike
 # rand()-based sampleBy.

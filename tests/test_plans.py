@@ -499,3 +499,17 @@ def test_priority_sample_take_ordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan and "rangepartitioning" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bigram_heavy_hitters_candidate_broadcast_no_smj(spark):
+    # two-pass MG heavy hitters: pass 1 is a MapInPandas fold to
+    # partition summaries; pass 2 recounts ONLY candidates, which must
+    # reach the gram stream as a BROADCAST hash join — a sort-merge
+    # join here would shuffle the full gram stream on the join key,
+    # re-creating the vocabulary-sized exchange the operator exists to
+    # avoid. The persisted summary must be reused by both consumers.
+    plan = plan_of(spark, "bigram_heavy_hitters")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # summary persisted, reused

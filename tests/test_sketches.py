@@ -228,3 +228,80 @@ def test_kmeans_train_exact_rejects_zero_iterations(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="iters >= 1"):
         S.kmeans_train_exact(emb, "vec_id", "embedding", 64, 8, 0)
+
+
+def test_misra_gries_summary_compresses_and_keeps_frequent(spark):
+    """Force the MG compression path (distinct >> capacity k): the
+    per-partition summary must stay <= k candidate rows, the sentinel
+    must carry the exact partition total, and the genuinely frequent
+    item must survive the decrements (MG guarantee: anything with
+    partition frequency > n_p/(k+1) is present)."""
+    from kafka_stream_unify_order_messages_spark.operators.sketches import (
+        misra_gries_partition_summaries,
+    )
+
+    # one partition: 2000 singletons + one item appearing 500 times
+    rows = [(f"rare{i}",) for i in range(2000)] + [("hot",)] * 500
+    items = spark.createDataFrame(rows, ["item"]).coalesce(1)
+    summ = misra_gries_partition_summaries(items, k=64).collect()
+    sentinel = [r for r in summ if r.item is None]
+    cands = [r for r in summ if r.item is not None]
+    assert len(sentinel) == 1 and sentinel[0].n_part == 2500
+    assert 1 <= len(cands) <= 64
+    hot = {r.item: r.lb for r in cands}["hot"]
+    # counter is a lower bound, within n_p/(k+1) of the truth
+    assert 500 - 2500 // 65 <= hot <= 500
+
+
+def test_heavy_hitters_exact_matches_bruteforce_and_partitioning(spark):
+    """Output = exact counts filtered at ceil(total/den), regardless of
+    how the input is partitioned (candidate sets differ per layout; the
+    recount + threshold must erase that)."""
+    import collections
+
+    from kafka_stream_unify_order_messages_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    # zipf-ish: item j appears 1000//(j+1) times over j in 0..199,
+    # plus 3000 distinct singletons to swamp small capacities
+    raw = []
+    for j in range(200):
+        raw += [f"w{j}"] * (1000 // (j + 1))
+    raw += [f"s{i}" for i in range(3000)]
+    total = len(raw)
+    den = 100
+    thresh = -(-total // den)  # ceil
+    exact = collections.Counter(raw)
+    want = {(w, c) for w, c in exact.items() if c >= thresh}
+    assert 3 <= len(want) <= 30  # non-degenerate slice
+
+    for parts in (1, 7, 32):
+        items = spark.createDataFrame(
+            [(w,) for w in raw], ["item"]
+        ).repartition(parts)
+        got = {
+            (r.item, r.n_item)
+            for r in heavy_hitters_exact(items, den=den).collect()
+        }
+        assert got == want, f"partitions={parts}"
+
+
+def test_heavy_hitters_exact_rejects_guarantee_breaking_k(spark):
+    import pytest
+
+    from kafka_stream_unify_order_messages_spark.operators.sketches import (
+        heavy_hitters_exact,
+        misra_gries_partition_summaries,
+    )
+
+    items = spark.createDataFrame([("a",)], ["item"])
+    with pytest.raises(ValueError, match="superset guarantee"):
+        heavy_hitters_exact(items, den=100, k=150)
+    with pytest.raises(ValueError, match="den must be"):
+        heavy_hitters_exact(items, den=0)
+    with pytest.raises(ValueError, match="capacity k"):
+        misra_gries_partition_summaries(items, k=0)
+    # empty input: sentinel-only summaries, empty heavy-hitter set
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters_exact(empty, den=10).count() == 0
