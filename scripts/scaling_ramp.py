@@ -101,6 +101,11 @@ RAMP_QUERIES = [
     # correctness anchor runs on eval-sized corpora, production trains
     # via the numpy GEMM path — capped at x10 like the other anchors
     ("kmeans_train", "linear", "x10"),
+    # two-pass MG heavy hitters: pass 1 folds each partition to a
+    # capacity-k summary (shuffle = partitions*k rows, never the
+    # vocabulary), pass 2 recounts the broadcast candidate union —
+    # expected linear (two scans) with a constant summary-merge term
+    ("bigram_heavy_hitters", "linear", "x300"),
     ("dup_ngram_spans", "linear", "x300"),
     ("clean_corpus", "linear", "x300"),
     ("text_stats", "linear", "x300"),
