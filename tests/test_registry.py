@@ -172,5 +172,7 @@ def test_freshness_forward_view_sees_never_checked_queries(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "never driver-checked" in out
     assert "zz_hypothetical_new" in out
-    # and it occupies a rotating slot at round 0 in the tier summary
-    assert "{0: 1," in out
+    # and round 0 leads the tier summary (count varies with how many
+    # real queries are awaiting their first driver check, so assert the
+    # tier exists rather than its exact size)
+    assert "target: {0: " in out
