@@ -44,10 +44,11 @@ from kafka_stream_unify_order_messages_spark import get_spark, registry
 # the shared engine-tree CPU instrument (round 13: extracted so the
 # bench anchor and the scaling ramp's exponents read the SAME clock —
 # the ramp's original JVM-only clock under-counted MapInPandas-heavy
-# queries whose CPU burns in pyspark.daemon/Arrow workers)
-from kafka_stream_unify_order_messages_spark.cpuclock import (
-    engine_cpu_seconds as _engine_cpu_seconds,
-)
+# queries whose CPU burns in pyspark.daemon/Arrow workers; later in
+# round 13 upgraded to the stateful dip-proof clock, after orphaned
+# worker pools were caught taking their accumulated ticks out of the
+# naive live-tree sum mid-measure — see cpuclock.py "THE DIP PROBLEM")
+from kafka_stream_unify_order_messages_spark.cpuclock import EngineCpuClock
 
 
 def fit_blob(
@@ -147,6 +148,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cpu_timings: dict[str, float] = {}
     failed: list[str] = []
+    clock = EngineCpuClock(spark)
 
     # Measure in the STABLE registration order, not the driver-window
     # rotation: execution order is part of the measurement on a shared
@@ -161,13 +163,28 @@ def main() -> None:
             n = runs
             done = 0
             while done < n:
-                c0 = _engine_cpu_seconds(spark)
+                c0 = clock.read()
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
-                c1 = _engine_cpu_seconds(spark)
+                c1 = clock.read()
                 if c0 is not None and c1 is not None:
-                    best_cpu = min(best_cpu, c1 - c0)
+                    if c1 - c0 >= 0:
+                        best_cpu = min(best_cpu, c1 - c0)
+                    else:
+                        # EngineCpuClock is monotone by construction
+                        # (retirement arithmetic, cpuclock.py); a
+                        # negative delta therefore means the instrument
+                        # itself broke — exclude the sample and say so
+                        # loudly rather than minting a fake-cheap run
+                        # (the naive clock's dips minted 0.0-CPU rows
+                        # for multi-second queries in the r12/r13
+                        # sweeps).
+                        print(
+                            f"bench: {name} cpu delta negative "
+                            f"({c1 - c0:.2f}s) — monotone clock "
+                            "violation?! run excluded from the cpu min",
+                            file=sys.stderr)
                 done += 1
                 if done == n and n == runs and best < 1.0:
                     n += 1
@@ -197,7 +214,10 @@ def main() -> None:
             # min-of-runs, like wall: the reproducible cost of the plan.
             # /proc jiffies tick at 10 ms so sub-tick queries can read 0.0;
             # keep the 0 — it's honest ("cheaper than one tick").
-            cpu_timings[name] = round(max(best_cpu, 0.0), 2)
+            # Negative deltas never reach here (excluded above), so a
+            # query with ONLY glitched runs has no cpu entry at all —
+            # honest absence beats a fabricated 0.
+            cpu_timings[name] = round(best_cpu, 2)
 
     result = {
         "metric": "registry_queries_total",

@@ -308,6 +308,9 @@ assert _EMB_ROWS[_pq_cap] // 20 <= _PQ_GUARD_CEILING, (
 from kafka_stream_unify_order_messages_spark import drop_cached_blocks
 
 
+_CPU_CLOCKS: dict[int, object] = {}
+
+
 def _jvm_cpu_seconds(spark) -> float | None:
     """Engine-tree CPU clock — the SAME instrument bench.py anchors on
     (kafka_stream_unify_order_messages_spark/cpuclock.py).
@@ -320,15 +323,22 @@ def _jvm_cpu_seconds(spark) -> float | None:
     round 13 widened it to the whole engine process tree (gateway JVM +
     pyspark.daemon/Arrow-worker descendants, incl. cutime/cstime of
     reaped children) so MapInPandas-heavy ramp cells no longer
-    under-count Python-worker CPU and the two instruments agree. The
-    name is kept — every SCALING.json cpu cell was measured through
-    this symbol. Returns None when the JVM pid is not discoverable
-    (connect/cluster session); the report degrades to wall-only."""
+    under-count Python-worker CPU and the two instruments agree — and
+    then upgraded it to the stateful dip-proof `EngineCpuClock` (one
+    per session, cached here), after orphaned worker pools were caught
+    taking their accumulated ticks out of the naive live-tree sum
+    mid-measure (cpuclock.py "THE DIP PROBLEM"). The name is kept —
+    every SCALING.json cpu cell was measured through this symbol.
+    Returns None when the JVM pid is not discoverable (connect/cluster
+    session); the report degrades to wall-only."""
     from kafka_stream_unify_order_messages_spark.cpuclock import (
-        engine_cpu_seconds,
+        EngineCpuClock,
     )
 
-    return engine_cpu_seconds(spark)
+    key = id(spark)
+    if key not in _CPU_CLOCKS:
+        _CPU_CLOCKS[key] = EngineCpuClock(spark)
+    return _CPU_CLOCKS[key].read()
 
 
 def main() -> None:
@@ -449,7 +459,17 @@ def main() -> None:
                     if c0 is not None and c1 is not None
                     else None
                 )
-                if cpu is not None:
+                if cpu is not None and cpu < 0:
+                    # tree-CPU dip: a dying pyspark.daemon reparents its
+                    # live workers to init, dropping their accumulated
+                    # CPU from the tree sum — a glitched sample, not a
+                    # cheap run (same guard as bench.py's measured loop)
+                    print(
+                        f"{name} {sf_name}: negative cpu delta {cpu}s "
+                        "— sample excluded from the cpu min",
+                        file=sys.stderr,
+                    )
+                if cpu is not None and cpu >= 0:
                     best_cpu = min(best_cpu, cpu)
                 cell_runs.append(
                     {
