@@ -23,6 +23,11 @@ from kafka_stream_unify_order_messages_spark.streaming.dedup_stream import (
     band_decisions_stream,
     near_dup_verdicts,
 )
+from kafka_stream_unify_order_messages_spark.streaming.heavy_hitters_stream import (
+    heavy_hitter_candidates_stream,
+    heavy_hitters_from_candidates,
+    latest_candidate_snapshot,
+)
 from kafka_stream_unify_order_messages_spark.streaming.windowed import (
     session_windows,
     tumbling_counts,
@@ -47,5 +52,8 @@ __all__ = [
     "cell_assign_expr",
     "band_decisions_stream",
     "near_dup_verdicts",
+    "heavy_hitter_candidates_stream",
+    "heavy_hitters_from_candidates",
+    "latest_candidate_snapshot",
     "windowed_value_histogram",
 ]
