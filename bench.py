@@ -82,6 +82,53 @@ def fit_blob(
     return line
 
 
+def calibration_cpu() -> dict[str, float]:
+    """Fixed-work host-speed calibration, recorded with every sweep.
+
+    The CPU anchor's residual weakness: engine-CPU totals on identical
+    code swung +5-14% across one evening (r13, five same-code sweeps)
+    while a quiet-morning run sat at ratio 1.000 — co-tenant memory
+    pressure inflates CPU seconds through stall cycles, and nothing in
+    the artifact could PROVE the host (not the engine) was the variable.
+    These two probes are that proof: deterministic fixed work, engine-
+    independent, min-of-3 process_time seconds.
+
+    - `cpu_bound`: sha256 over a cache-resident buffer — pure ALU,
+      nearly immune to memory-bandwidth contention; moves only if the
+      host's effective clock changed.
+    - `mem_bound`: sort + scan over a ~200 MB array — deliberately
+      bandwidth-hungry, the same stall mechanism that inflates the
+      engine's CPU under co-tenancy.
+
+    Reading rule: engine CPU up with `mem_bound` up and `cpu_bound`
+    flat => host memory contention (discount the sweep); engine CPU up
+    with BOTH calibrations flat => a real engine change — investigate.
+    """
+    import hashlib
+    import time
+
+    import numpy as np
+
+    best_cpu = float("inf")
+    best_mem = float("inf")
+    for _ in range(3):
+        buf = b"\xa5" * 65536
+        t0 = time.process_time()
+        h = hashlib.sha256()
+        for _ in range(5000):
+            h.update(buf)
+        best_cpu = min(best_cpu, time.process_time() - t0)
+
+        rng = np.random.default_rng(13)
+        a = rng.random(25_000_000)
+        t0 = time.process_time()
+        s = np.sort(a)
+        x = float(s[::7].sum())
+        best_mem = min(best_mem, time.process_time() - t0)
+        assert x > 0 and h.digest()
+    return {"cpu_bound": round(best_cpu, 3), "mem_bound": round(best_mem, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -230,6 +277,17 @@ def main() -> None:
         # the load-robust trend anchor (see module docstring / BASELINE.md)
         result["cpu_value"] = round(sum(cpu_timings.values()), 1)
         result["queries_cpu"] = cpu_timings
+    # fixed-work host-speed probes: the engine-independent evidence that
+    # separates "host slow this window" from "engine regressed" when
+    # cross-round CPU totals move (see calibration_cpu docstring).
+    # Measured AFTER the sweep: it reflects the window the queries
+    # actually ran in, and a post-sweep probe cannot perturb the head
+    # family's timings.
+    try:
+        result["calib"] = calibration_cpu()
+    except Exception as e:  # noqa: BLE001 — diagnostics must not sink
+        # the artifact
+        print(f"bench: calibration failed ({e})", file=sys.stderr)
     if failed:
         result["failed"] = failed
 
