@@ -17,10 +17,44 @@ partition coalescing) while remaining correct on local[N] test runs:
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _fastworker_conf() -> dict[str, str]:
+    """Opt in to the memoized python worker (pyspark_fastworker.py) when
+    it can actually be imported by the pyspark daemon.
+
+    Upstream workers end EVERY task with ``importlib.invalidate_caches()``,
+    which re-reads pyspark.zip's whole central directory — ~0.2 CPU-s per
+    task of pure waste in reused workers (measured: an identity
+    ``mapInPandas`` over 32 partitions costs ~7 CPU-s/run steady-state,
+    row-count independent; see pyspark_fastworker.py). The custom worker
+    module memoizes the invalidation on the python-includes set.
+
+    The daemon resolves the module from its PYTHONPATH (inherited from the
+    JVM, which inherits the driver process env), so this must run BEFORE
+    the JVM launches and must also export the env var — conf alone cannot
+    reach the daemon's import path. If the module file is absent (package
+    installed without the repo-root helper), stay on the stock worker.
+    """
+    if os.environ.get("SPARK_GRAFT_STOCK_WORKER"):
+        return {}  # A/B kill-switch: measure against the stock worker
+    root = Path(__file__).resolve().parent.parent
+    if not (root / "pyspark_fastworker.py").is_file():
+        return {}
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if str(root) not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([str(root)] + parts)
+    conf = {"spark.python.worker.module": "pyspark_fastworker"}
+    if (root / "pyspark_fastdaemon.py").is_file():
+        # throttled per-task gc (see pyspark_fastdaemon.py)
+        conf["spark.python.daemon.module"] = "pyspark_fastdaemon"
+    return conf
 
 
 def get_spark(
@@ -83,6 +117,8 @@ def get_spark(
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # memoized-invalidation python worker — see _fastworker_conf
+        **_fastworker_conf(),
     }
     if extra_conf:
         conf.update(extra_conf)
