@@ -34,6 +34,11 @@ TABLE_NAMES = [
 ]
 
 
+# (id(session), applicationId, path, min_partitions, mtime) -> DataFrame;
+# plan-reuse only — see load_table's docstring
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Names of TIMESTAMP(NANOS) columns, from the parquet footer only."""
     schema = pq.ParquetFile(_first_parquet_file(path)).schema_arrow
@@ -107,10 +112,35 @@ def load_table(
     pass ``spark.sparkContext.defaultParallelism``; the round-robin
     repartition fires ONLY when the scan yields fewer partitions, so on a
     real many-file dataset it is a no-op and costs no shuffle.
+
+    The returned (lazy, immutable) DataFrame is memoized per
+    (session, path, mtime, min_partitions): ``spark.read.parquet`` costs
+    ~90 ms of driver-side relation resolution (file listing + footer
+    schema read) per call, and a bench sweep re-loads the same static
+    tables ~600 times — ~10s of pure planning wall (round-13
+    measurement). The memo reuses the PLAN only; every action against it
+    still scans parquet (nothing is persisted), so measurements and the
+    no-result-caching contract are untouched. The mtime key drops the
+    memo when the file/directory is replaced; the applicationId key
+    drops it when the session is restarted (id() alone can be recycled).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (
+        id(spark),
+        spark.sparkContext.applicationId,
+        path,
+        min_partitions,
+        mtime,
+    )
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
         # `div` = integer division: ns→us truncation without double-precision
@@ -121,6 +151,7 @@ def load_table(
         )
     if min_partitions and df.rdd.getNumPartitions() < min_partitions:
         df = df.repartition(min_partitions)
+    _TABLE_MEMO[key] = df
     return df
 
 
