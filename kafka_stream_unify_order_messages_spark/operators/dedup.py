@@ -170,12 +170,20 @@ def minhash_signatures_wide(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0 .. mh_{n-1}) — one row per document, one shuffle total:
     explode shingles -> hash once -> groupBy(id) with ``num_hashes`` min
     aggregates (map-side combined).
+
+    ``shingled``: optionally a pre-built (id, shingle) frame — callers
+    that also need the shingles for exact verification pass ONE persisted
+    exploded-shingle frame here so tokenize+shingle runs a single time
+    per corpus scan instead of once per consumer (guide §2.3/§6: one
+    pass, project early).
     """
-    shingled = _exploded_shingles(df, id_col, text_col, shingle_n)
+    if shingled is None:
+        shingled = _exploded_shingles(df, id_col, text_col, shingle_n)
     hashed = shingled.select(id_col, _shingle_hash().alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
@@ -241,6 +249,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate near-duplicate pairs (id_a < id_b) via LSH.
 
@@ -248,10 +257,13 @@ def minhash_candidate_pairs(
     band keys take ONE shuffle (groupBy id); the self-join is an equi-join
     on (band, band_key) — high-cardinality, shuffle-partitioned, never
     all-pairs. AQE's skew handling covers pathological buckets (e.g. many
-    near-empty documents).
+    near-empty documents). ``shingled``: optional pre-built (id, shingle)
+    frame — see minhash_signatures_wide.
     """
     bands_df = minhash_band_keys(
-        minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures_wide(
+            df, id_col, text_col, num_hashes, shingle_n, shingled=shingled
+        ),
         id_col,
         bands,
         num_hashes,
@@ -315,6 +327,7 @@ def minhash_estimate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) for LSH candidate pairs: the Broder
     estimator — fraction of signature components on which the two
@@ -331,7 +344,7 @@ def minhash_estimate_pairs(
     from pyspark import StorageLevel
 
     sigw = minhash_signatures_wide(
-        df, id_col, text_col, num_hashes, shingle_n
+        df, id_col, text_col, num_hashes, shingle_n, shingled=shingled
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bands_df = minhash_band_keys(sigw, id_col, bands, num_hashes)
     a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
@@ -371,14 +384,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over shingle sets for all pairs in ``df``.
 
     Quadratic by nature — callers bound the input (LSH candidates or an
     explicit subset). Implemented as shingle-postings self-join (documents
     sharing no shingle never meet), not a cross join.
+
+    ``shingled``: optionally the pre-built (id, shingle) frame — see
+    minhash_signatures_wide; evaluation queries that compute signatures
+    AND exact truth over the same corpus share one persisted scan.
     """
-    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    sh = (
+        shingled
+        if shingled is not None
+        else _exploded_shingles(df, id_col, text_col, shingle_n)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

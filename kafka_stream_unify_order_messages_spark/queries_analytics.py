@@ -293,6 +293,12 @@ def _aug_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _AUG_PAIRS_MEMO[sf_dir] = D.minhash_candidate_pairs(
             aug, num_hashes=16, bands=4, shingle_n=3
         ).persist()
+    # NOT re-persisted on later hand-outs (measured, r14): once the bench
+    # drops cache blocks, re-arming the persist costs MORE than the
+    # recompute — AQE exchange reuse already dedupes the duplicate
+    # pipeline subtrees within each action, so the cache only adds
+    # InMemoryRelation materialization (clustering_coefficient steady
+    # 10.5 -> 17.0 JVM-CPU-s with re-arm; see OPTIMIZATION_r14.md)
     return _AUG_PAIRS_MEMO[sf_dir]
 
 

@@ -726,8 +726,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = _load(spark, sf_dir, "documents")
+    # ONE tokenize+shingle scan of the corpus, persisted within the
+    # query, feeds BOTH the signature pass (hash -> 16 min-aggregates)
+    # and the candidate-bounded exact verification (guide §2.3: the
+    # estimator and the verifier used to re-tokenize the corpus
+    # independently — the shingle explosion is the expensive half of
+    # each pass)
+    sh = D._exploded_shingles(docs, "doc_id", "text", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     est = D.minhash_estimate_pairs(
-        docs, num_hashes=16, bands=4, shingle_n=3
+        docs, num_hashes=16, bands=4, shingle_n=3, shingled=sh
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # exact verification is CANDIDATE-BOUNDED: only documents that appear
     # in some candidate pair enter the postings self-join (broadcast semi
@@ -738,8 +747,8 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(est.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    docs_cand = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    exact = D.ngram_jaccard_pairs(docs_cand, shingle_n=3)
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    exact = D.ngram_jaccard_pairs(docs, shingle_n=3, shingled=sh_cand)
     return est.join(exact, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
@@ -3598,6 +3607,11 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = _load(spark, sf_dir, "documents")
+    # NOT worth fusing the two shingle scans here (measured, r14): unlike
+    # minhash_jaccard_estimate the truth pass needs the FULL corpus, so a
+    # shared persisted shingle frame saves one tokenize pass but pays an
+    # InMemoryRelation materialization of the whole exploded frame —
+    # steady-state CPU was flat (12.8 vs 14.4) with 6 extra jobs.
     # both pair sets feed two aggregates each (own count + the
     # intersection); persist the tiny pair frames so the expensive
     # shingle joins run once apiece

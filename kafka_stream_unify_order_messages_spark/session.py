@@ -24,7 +24,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
-def _fastworker_conf() -> dict[str, str]:
+# pyspark versions the fastworker's hand-copied socket protocol was
+# verified against (pyspark_fastworker.py asserts the same pin at import)
+_FASTWORKER_PYSPARK = ("4.1.2",)
+
+
+def _env_flag(name: str) -> bool:
+    """True when the env var is set to a truthy value ("", "0", "false",
+    "no", "off" count as unset — round-13 A/B sweeps tripped on
+    SPARK_GRAFT_STOCK_WORKER=0 activating the switch)."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off",
+    )
+
+
+def _fastworker_conf(master: str = "local[*]") -> dict[str, str]:
     """Opt in to the memoized python worker (pyspark_fastworker.py) when
     it can actually be imported by the pyspark daemon.
 
@@ -38,11 +52,23 @@ def _fastworker_conf() -> dict[str, str]:
     The daemon resolves the module from its PYTHONPATH (inherited from the
     JVM, which inherits the driver process env), so this must run BEFORE
     the JVM launches and must also export the env var — conf alone cannot
-    reach the daemon's import path. If the module file is absent (package
-    installed without the repo-root helper), stay on the stock worker.
+    reach the daemon's import path. That mechanism only works in LOCAL
+    mode (the executor daemon is a child of this process); on a cluster
+    master the executor daemons cannot import the module and every
+    python-boundary task would die at worker launch, so stay on the
+    stock worker there (ship via spark.files + executorEnv.PYTHONPATH if
+    ever needed at scale). Also stay stock if the module file is absent
+    (package installed without the repo-root helper) or pyspark is not a
+    pinned version the hand-copied socket protocol was verified against.
     """
-    if os.environ.get("SPARK_GRAFT_STOCK_WORKER"):
+    if _env_flag("SPARK_GRAFT_STOCK_WORKER"):
         return {}  # A/B kill-switch: measure against the stock worker
+    if not master.startswith("local"):
+        return {}
+    import pyspark
+
+    if pyspark.__version__ not in _FASTWORKER_PYSPARK:
+        return {}
     root = Path(__file__).resolve().parent.parent
     if not (root / "pyspark_fastworker.py").is_file():
         return {}
@@ -118,7 +144,7 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         # memoized-invalidation python worker — see _fastworker_conf
-        **_fastworker_conf(),
+        **_fastworker_conf(master),
     }
     if extra_conf:
         conf.update(extra_conf)

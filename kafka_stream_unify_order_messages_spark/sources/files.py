@@ -34,9 +34,54 @@ TABLE_NAMES = [
 ]
 
 
-# (id(session), applicationId, path, min_partitions, mtime) -> DataFrame;
-# plan-reuse only — see load_table's docstring
+# (id(session), applicationId, path, min_partitions, mtime, confs) ->
+# DataFrame; plan-reuse only — see load_table's docstring
 _TABLE_MEMO: dict[tuple, DataFrame] = {}
+_TABLE_MEMO_CAP = 512  # unbounded growth pins py4j refs from dead sessions
+
+# Session confs that change what `spark.read.parquet` RESOLVES (not just how
+# a later action plans it): the V1/V2 source split is baked into the relation
+# at read time, and mergeSchema/defaultParallelism-shaped splits feed the
+# min_partitions decision below. A memo hit under different values of these
+# would silently return a stale relation (round-13 regression:
+# test_parquet_v2_aggregate_pushdown got a V1 FileScan back after flipping
+# useV1SourceList, because the key ignored confs).
+_READ_CONFS = (
+    "spark.sql.sources.useV1SourceList",
+    "spark.sql.parquet.mergeSchema",
+    "spark.sql.files.maxPartitionBytes",
+)
+
+
+def clear_table_memo() -> None:
+    """Drop every memoized table plan (for conf-toggling callers/tests)."""
+    _TABLE_MEMO.clear()
+
+
+def _conf_val(spark: SparkSession, key: str) -> str:
+    # no default arg: Spark 4 type-checks a passed default against the
+    # conf's declared type, and these confs all have built-in defaults
+    try:
+        return spark.conf.get(key)
+    except Exception:
+        return ""
+
+
+def _table_mtime(path: str) -> float:
+    """Freshness stamp for the memo key: for a .parquet DIRECTORY the dir
+    mtime alone misses an in-place rewrite of a same-named part file, so
+    take the max over the dir and its entries' mtimes."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return -1.0
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            try:
+                mtime = max(mtime, os.path.getmtime(os.path.join(path, name)))
+            except OSError:
+                continue
+    return mtime
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
@@ -120,27 +165,29 @@ def load_table(
     tables ~600 times — ~10s of pure planning wall (round-13
     measurement). The memo reuses the PLAN only; every action against it
     still scans parquet (nothing is persisted), so measurements and the
-    no-result-caching contract are untouched. The mtime key drops the
-    memo when the file/directory is replaced; the applicationId key
-    drops it when the session is restarted (id() alone can be recycled).
+    no-result-caching contract are untouched. The mtime key (max over a
+    directory's entries) drops the memo when the file/directory is
+    replaced; the applicationId key drops it when the session is
+    restarted (id() alone can be recycled); the read-conf key
+    (_READ_CONFS) drops it when a caller flips a conf that changes what
+    the read resolves (e.g. the V1/V2 parquet source split).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = -1.0
     key = (
         id(spark),
         spark.sparkContext.applicationId,
         path,
         min_partitions,
-        mtime,
+        _table_mtime(path),
+        tuple(_conf_val(spark, c) for c in _READ_CONFS),
     )
     hit = _TABLE_MEMO.get(key)
     if hit is not None:
         return hit
+    if len(_TABLE_MEMO) >= _TABLE_MEMO_CAP:
+        _TABLE_MEMO.clear()
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
         # `div` = integer division: ns→us truncation without double-precision

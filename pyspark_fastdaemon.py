@@ -34,19 +34,51 @@ delegate to the stock ``manager()``.
 from __future__ import annotations
 
 import gc as _gc
+import os as _os
+
+_PAGE = _os.sysconf("SC_PAGE_SIZE") if hasattr(_os, "sysconf") else 4096
+
+
+def _rss_bytes() -> int:
+    """Resident set size of this worker, ~1 µs via /proc/self/statm."""
+    try:
+        with open("/proc/self/statm", "rb") as f:
+            return int(f.read().split()[1]) * _PAGE
+    except OSError:
+        return 0
 
 
 class _ThrottledGc:
-    """Stand-in for the ``gc`` module inside pyspark.daemon's loop."""
+    """Stand-in for the ``gc`` module inside pyspark.daemon's loop.
+
+    Tunables (env, because the daemon process sees the driver env but no
+    SQL confs): ``SPARK_GRAFT_GC_FULL_EVERY`` — tasks between full
+    collections (default 16); ``SPARK_GRAFT_GC_RSS_MB`` — worker RSS
+    above which every task runs the full collection regardless of the
+    cadence (default 1024), the memory-pressure escape hatch so cyclic
+    garbage from large Arrow batches cannot pile up 16 tasks deep.
+    """
 
     FULL_EVERY = 16
 
     def __init__(self) -> None:
         self._since_full = 0
+        try:
+            self.FULL_EVERY = max(
+                1, int(_os.environ.get("SPARK_GRAFT_GC_FULL_EVERY", "16"))
+            )
+        except ValueError:
+            pass
+        try:
+            self._rss_limit = (
+                int(_os.environ.get("SPARK_GRAFT_GC_RSS_MB", "1024")) << 20
+            )
+        except ValueError:
+            self._rss_limit = 1024 << 20
 
     def collect(self, *args):  # signature-compatible with gc.collect
         self._since_full += 1
-        if self._since_full >= self.FULL_EVERY:
+        if self._since_full >= self.FULL_EVERY or _rss_bytes() > self._rss_limit:
             self._since_full = 0
             return _gc.collect()
         return _gc.collect(1)

@@ -38,10 +38,31 @@ from __future__ import annotations
 import importlib
 import os
 
+import pyspark
+
+# The memoized setup re-reads worker_util.setup_spark_files's socket
+# protocol byte-for-byte, so it is pinned to the pyspark versions it was
+# verified against. session._fastworker_conf refuses to opt in on any
+# other version (graceful); this assert is the loud defense-in-depth for
+# anyone wiring the conf by hand — a silent protocol desync corrupts the
+# worker handshake, which is far worse than a failed import.
+_PINNED_PYSPARK = ("4.1.2",)
+if pyspark.__version__ not in _PINNED_PYSPARK:
+    raise ImportError(
+        f"pyspark_fastworker is pinned to pyspark {_PINNED_PYSPARK} "
+        f"(found {pyspark.__version__}); refusing to run an unverified "
+        "socket protocol — unset spark.python.worker.module to use the "
+        "stock worker"
+    )
+
 import pyspark.worker as _worker
 import pyspark.worker_util as _wu
 
-# (spark_files_dir, tuple(includes)) from the previous task in this worker
+# (spark_files_dir, dir_mtime, tuple(includes)) from the previous task in
+# this worker. dir_mtime covers the one upstream case a pure includes key
+# misses: sc.addFile() of a bare .py lands IN spark_files_dir without
+# changing the includes list (ADVICE r13) — a new file bumps the
+# directory mtime, so one cheap stat per task restores that invalidation.
 _last_includes: tuple | None = None
 
 
@@ -66,7 +87,11 @@ def _setup_spark_files_memo(infile) -> None:
     for filename in includes:
         _wu.add_path(os.path.join(spark_files_dir, filename))
 
-    key = (spark_files_dir, tuple(includes))
+    try:
+        dir_mtime = os.stat(spark_files_dir).st_mtime_ns
+    except OSError:
+        dir_mtime = -1
+    key = (spark_files_dir, dir_mtime, tuple(includes))
     if key != _last_includes:
         importlib.invalidate_caches()
         _last_includes = key

@@ -74,6 +74,31 @@ class TestSetupSparkFilesMemo:
         )
         assert len(calls) == 3  # files-dir change: fires again
 
+    def test_invalidates_on_files_dir_mtime_change(self, monkeypatch, tmp_path):
+        # sc.addFile() of a bare .py lands in spark_files_dir WITHOUT
+        # changing the includes list; the dir-mtime key must catch it
+        calls = []
+        monkeypatch.setattr(
+            pyspark_fastworker.importlib,
+            "invalidate_caches",
+            lambda: calls.append(1),
+        )
+        monkeypatch.setattr(pyspark_fastworker, "_last_includes", None)
+        d = str(tmp_path)
+        pyspark_fastworker._setup_spark_files_memo(_files_payload(d, []))
+        pyspark_fastworker._setup_spark_files_memo(_files_payload(d, []))
+        assert len(calls) == 1
+        (tmp_path / "added.py").write_text("x = 1\n")  # bumps dir mtime
+        pyspark_fastworker._setup_spark_files_memo(_files_payload(d, []))
+        assert len(calls) == 2
+
+    def test_pinned_pyspark_version(self):
+        import pyspark
+
+        # the module imported fine above, so the running version must be
+        # in the pin list — and the pin list must be non-trivial
+        assert pyspark.__version__ in pyspark_fastworker._PINNED_PYSPARK
+
     def test_adds_paths_like_upstream(self, monkeypatch, tmp_path):
         monkeypatch.setattr(
             pyspark_fastworker.importlib, "invalidate_caches", lambda: None
@@ -118,6 +143,32 @@ class TestThrottledGc:
         g = pyspark_fastdaemon._ThrottledGc()
         assert g.get_count is gc.get_count
 
+    def test_full_every_env_tunable(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_GC_FULL_EVERY", "4")
+        assert pyspark_fastdaemon._ThrottledGc().FULL_EVERY == 4
+        monkeypatch.setenv("SPARK_GRAFT_GC_FULL_EVERY", "bogus")
+        assert pyspark_fastdaemon._ThrottledGc().FULL_EVERY == 16
+
+    def test_rss_escape_hatch(self, monkeypatch):
+        # RSS above the limit forces the FULL collection on every task
+        g = pyspark_fastdaemon._ThrottledGc()
+        seen = []
+        monkeypatch.setattr(
+            pyspark_fastdaemon, "_gc", type(
+                "G", (), {"collect": staticmethod(lambda gen=2: seen.append(gen))}
+            )
+        )
+        monkeypatch.setattr(
+            pyspark_fastdaemon, "_rss_bytes", lambda: g._rss_limit + 1
+        )
+        g.collect()
+        g.collect()
+        assert seen == [2, 2]
+
+    def test_rss_bytes_reads_proc(self):
+        rss = pyspark_fastdaemon._rss_bytes()
+        assert rss > 1 << 20  # this test process surely resides in >1 MB
+
 
 class TestSessionOptIn:
     def test_conf_present_when_modules_exist(self):
@@ -128,6 +179,19 @@ class TestSessionOptIn:
     def test_kill_switch(self, monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_STOCK_WORKER", "1")
         assert _fastworker_conf() == {}
+
+    def test_kill_switch_falsy_values_stay_fast(self, monkeypatch):
+        # the round-13 footgun: =0 must NOT force the stock worker
+        for v in ("0", "false", "no", "off", ""):
+            monkeypatch.setenv("SPARK_GRAFT_STOCK_WORKER", v)
+            assert _fastworker_conf(), v
+
+    def test_cluster_master_stays_stock(self):
+        # the daemon import path only reaches executors in local mode;
+        # a cluster master must not opt in (ADVICE r13 medium)
+        assert _fastworker_conf("spark://host:7077") == {}
+        assert _fastworker_conf("yarn") == {}
+        assert _fastworker_conf("local[32]") != {}
 
     def test_live_session_uses_fast_worker(self, spark):
         assert (
