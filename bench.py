@@ -60,16 +60,27 @@ def fit_blob(
     The driver keeps only the last 2000 chars of stdout and parses the
     JSON line out of that tail (round 1's full per-query line exceeded
     it -> "parsed": null), so emit the most detail that provably fits:
-    first round per-query values to 2dp, then drop the fastest queries
-    one at a time — the slow ones are the story. When a `queries_cpu`
-    twin is present it drops the SAME name each step, so the two maps
-    always hold the same key set (full per-query pairs live untruncated
-    in BENCH_DETAIL.json). Totals (`value`, `cpu_value`), counts, and
-    the detail-file hash are never touched.
+    first round per-query values to 2dp, then to 1dp (r14: as queries
+    got faster the 2dp blob held only ~31 of 215 entries and the
+    driver's round-over-round common set kept shrinking — 1dp fits
+    roughly twice the names, and a 0.05 s quantization on multi-second
+    queries is far inside the documented wall noise), then drop the
+    fastest queries one at a time — the slow ones are the story. When a
+    `queries_cpu` twin is present it drops the SAME name each step, so
+    the two maps always hold the same key set (full per-query pairs
+    live untruncated in BENCH_DETAIL.json). Totals (`value`,
+    `cpu_value`), counts, and the detail-file hash are never touched.
     """
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > budget:
         result["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        result["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        if "queries_cpu" in result:
+            result["queries_cpu"] = {
+                k: round(v, 1) for k, v in result["queries_cpu"].items()
+            }
         line = json.dumps(result, separators=(",", ":"))
     while len(line) > budget and result["queries"]:
         fastest = min(result["queries"], key=result["queries"].get)

@@ -2055,20 +2055,35 @@ JOIN support sb ON sb.part = p.part_b
 )
 def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    n_orders = items.agg(F.count_distinct("okey").alias("n"))
-    a = items.select(F.col("okey"), F.col("part").alias("part_a"))
-    b = items.select(F.col("okey"), F.col("part").alias("part_b"))
+    # ONE shuffle on okey builds per-order item SETS (collect_set dedups
+    # (okey, part) exactly like the old DISTINCT); pairs are then
+    # generated scan-locally by exploding within each ~7-item set
+    # instead of a hash self-join — the old shape shuffled the items
+    # frame twice more (both join sides) to meet rows that already sat
+    # in the same order (guide §2.3/§2.4: shuffle once, pair locally).
+    # Pair blowup per order is (items/order)^2 either way; the bound is
+    # the basket size, never |parts|^2.
+    sets = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n"))
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        sets.select(F.col("ps"), F.explode("ps").alias("part_a"))
+        .select(
+            "part_a",
+            F.explode(
+                F.filter(F.col("ps"), lambda x: x > F.col("part_a"))
+            ).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 2)
     )
-    support = items.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
+    support = (
+        sets.select(F.explode("ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
     return (
         # support joins stay un-hinted: |parts| scales with the data,
         # so AQE should pick broadcast at bench scale and hash at 100 TB
