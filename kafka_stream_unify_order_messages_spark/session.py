@@ -138,6 +138,17 @@ def get_spark(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning":
             "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # PySpark 4 wraps every DataFrame API call to capture the user
+        # call site for error enrichment — measured here at ~4 extra
+        # py4j round-trips per call (errors/utils.py _with_origin:
+        # getActiveSession + conf.get + PySparkCurrentOrigin.set/clear),
+        # i.e. 40%+ of driver-side plan-BUILD time (r14 A/B over 24
+        # builds: 7.7 s -> 4.4 s with it off; execution side also drops
+        # the per-call set/clear churn). Pure driver overhead at any
+        # scale — a 1000-executor job pays it identically. Cost: error
+        # messages lose the DataFrame-API call-site line (the JVM stack
+        # and error class are unchanged). Overridable via extra_conf.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

@@ -193,6 +193,14 @@ class TestSessionOptIn:
         assert _fastworker_conf("yarn") == {}
         assert _fastworker_conf("local[32]") != {}
 
+    def test_dataframe_debugging_off(self, spark):
+        # r14: the per-call py4j call-site capture is ~40% of driver-side
+        # plan-build time; the engine session must keep it off
+        assert (
+            spark.conf.get("spark.python.sql.dataFrameDebugging.enabled")
+            == "false"
+        )
+
     def test_live_session_uses_fast_worker(self, spark):
         assert (
             spark.conf.get("spark.python.worker.module") == "pyspark_fastworker"
