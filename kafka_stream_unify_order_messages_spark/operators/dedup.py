@@ -171,6 +171,7 @@ def minhash_signatures_wide(
     num_hashes: int = 16,
     shingle_n: int = 3,
     shingled: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0 .. mh_{n-1}) — one row per document, one shuffle total:
     explode shingles -> hash once -> groupBy(id) with ``num_hashes`` min
@@ -181,10 +182,18 @@ def minhash_signatures_wide(
     exploded-shingle frame here so tokenize+shingle runs a single time
     per corpus scan instead of once per consumer (guide §2.3/§6: one
     pass, project early).
+
+    ``hashed``: optionally a pre-built (id, h) frame of 28-bit shingle
+    hashes (`_shingle_hash` convention) — for callers that can derive
+    hash rows cheaper than re-hashing text (e.g. an augmented corpus
+    whose synthetic copies share the original's text: hash once,
+    duplicate the hash rows under the copies' ids). Takes precedence
+    over ``shingled``/``df``.
     """
-    if shingled is None:
-        shingled = _exploded_shingles(df, id_col, text_col, shingle_n)
-    hashed = shingled.select(id_col, _shingle_hash().alias("h"))
+    if hashed is None:
+        if shingled is None:
+            shingled = _exploded_shingles(df, id_col, text_col, shingle_n)
+        hashed = shingled.select(id_col, _shingle_hash().alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
         for j, (a, b) in enumerate(minhash_coefficients(num_hashes))
@@ -250,6 +259,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     shingled: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate near-duplicate pairs (id_a < id_b) via LSH.
 
@@ -257,12 +267,13 @@ def minhash_candidate_pairs(
     band keys take ONE shuffle (groupBy id); the self-join is an equi-join
     on (band, band_key) — high-cardinality, shuffle-partitioned, never
     all-pairs. AQE's skew handling covers pathological buckets (e.g. many
-    near-empty documents). ``shingled``: optional pre-built (id, shingle)
-    frame — see minhash_signatures_wide.
+    near-empty documents). ``shingled``/``hashed``: optional pre-built
+    (id, shingle) / (id, h) frames — see minhash_signatures_wide.
     """
     bands_df = minhash_band_keys(
         minhash_signatures_wide(
-            df, id_col, text_col, num_hashes, shingle_n, shingled=shingled
+            df, id_col, text_col, num_hashes, shingle_n,
+            shingled=shingled, hashed=hashed,
         ),
         id_col,
         bands,

@@ -284,14 +284,29 @@ def _aug_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset, not once per graph query."""
     if sf_dir not in _AUG_PAIRS_MEMO:
         docs = _load(spark, sf_dir, "documents")
-        fifth = docs.filter(F.col("doc_id") % 5 == 0)
-        aug = docs.select("doc_id", "text").unionByName(
-            fifth.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-        ).unionByName(
-            fifth.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        # The synthetic +1M/+2M copies carry the ORIGINAL text, so the
+        # old 3-branch union tokenized+md5-hashed the doc_id%5 slice
+        # three times for byte-identical results. Hash the real corpus
+        # ONCE, then duplicate the (id, h) rows under the copies' ids —
+        # same multiset of hash rows the union produced (r14, guide
+        # §1.2 "don't compute things you throw away"; bit-exact by
+        # construction and re-proven against the oracle).
+        sh = D._exploded_shingles(
+            docs.select("doc_id", "text"), "doc_id", "text", 3
+        )
+        hashed = sh.select("doc_id", D._shingle_hash().alias("h"))
+        offsets = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.lit(0), F.lit(1000000), F.lit(2000000)),
+        ).otherwise(F.array(F.lit(0)))
+        hashed_aug = hashed.select(
+            "doc_id", "h", F.explode(offsets).alias("_off")
+        ).select(
+            (F.col("doc_id") + F.col("_off")).cast("long").alias("doc_id"),
+            "h",
         )
         _AUG_PAIRS_MEMO[sf_dir] = D.minhash_candidate_pairs(
-            aug, num_hashes=16, bands=4, shingle_n=3
+            docs, num_hashes=16, bands=4, shingle_n=3, hashed=hashed_aug
         ).persist()
     # NOT re-persisted on later hand-outs (measured, r14): once the bench
     # drops cache blocks, re-arming the persist costs MORE than the
