@@ -60,16 +60,18 @@ def fit_blob(
     The driver keeps only the last 2000 chars of stdout and parses the
     JSON line out of that tail (round 1's full per-query line exceeded
     it -> "parsed": null), so emit the most detail that provably fits:
-    first round per-query values to 2dp, then to 1dp (r14: as queries
-    got faster the 2dp blob held only ~31 of 215 entries and the
-    driver's round-over-round common set kept shrinking — 1dp fits
-    roughly twice the names, and a 0.05 s quantization on multi-second
-    queries is far inside the documented wall noise), then drop the
-    fastest queries one at a time — the slow ones are the story. When a
-    `queries_cpu` twin is present it drops the SAME name each step, so
-    the two maps always hold the same key set (full per-query pairs
-    live untruncated in BENCH_DETAIL.json). Totals (`value`,
-    `cpu_value`), counts, and the detail-file hash are never touched.
+    first round per-query values to 2dp, then to 1dp wall / integer cpu
+    (0.05 s / 0.5 CPU-s quantization is far inside the documented noise
+    bands), then shed entries — CPU twins of the FASTEST queries first,
+    because the driver's round-over-round comparison (PERF) runs on the
+    WALL map, down to a floor that keeps the slowest quarter's cpu
+    visible for the trend story; only then drop whole wall entries,
+    fastest first — the slow ones are the story. (r14: the r13 behavior
+    of dropping wall+cpu pairs together surfaced only ~31-34 of 215
+    wall entries — query NAMES dominate entry cost, so aligned maps
+    halve wall coverage; full per-query pairs live untruncated in
+    BENCH_DETAIL.json.) Totals (`value`, `cpu_value`), counts, and the
+    detail-file hash are never touched.
     """
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > budget:
@@ -79,15 +81,28 @@ def fit_blob(
         result["queries"] = {k: round(v, 1) for k, v in timings.items()}
         if "queries_cpu" in result:
             result["queries_cpu"] = {
-                k: round(v, 1) for k, v in result["queries_cpu"].items()
+                k: int(round(v)) for k, v in result["queries_cpu"].items()
             }
         line = json.dumps(result, separators=(",", ":"))
-    while len(line) > budget and result["queries"]:
-        fastest = min(result["queries"], key=result["queries"].get)
-        del result["queries"][fastest]
-        if "queries_cpu" in result:
-            result["queries_cpu"].pop(fastest, None)
-        result["queries_omitted"] = len(timings) - len(result["queries"])
+    # floor tuned on the real 215-query detail: n//14 keeps the ~15
+    # biggest CPU burners visible while wall coverage roughly doubles
+    # (31 -> 58 entries); n//4 would spend the budget on cpu twins
+    cpu_floor = max(1, len(timings) // 14)
+    while len(line) > budget and (
+        result.get("queries_cpu") or result["queries"]
+    ):
+        cpu = result.get("queries_cpu")
+        if cpu and len(cpu) > cpu_floor:
+            # shed the fastest query's cpu twin, keep its wall entry
+            fastest = min(cpu, key=cpu.get)
+            del cpu[fastest]
+            result["cpu_omitted"] = len(timings) - len(cpu)
+        else:
+            fastest = min(result["queries"], key=result["queries"].get)
+            del result["queries"][fastest]
+            if cpu:
+                cpu.pop(fastest, None)
+            result["queries_omitted"] = len(timings) - len(result["queries"])
         result["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(result, separators=(",", ":"))
     return line
